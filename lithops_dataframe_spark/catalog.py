@@ -1,0 +1,57 @@
+"""Fixture/table loaders for the driver's star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet each under an
+``sf_dir`` such as ``/root/testdata/sf0.01``.
+
+Scale notes: parquet scans get column pruning + predicate pushdown from
+Catalyst for free; loaders never collect or cache eagerly. At 100 TB the
+same loaders point at partitioned parquet/object-store layouts — Spark's
+Hadoop FS connectors (s3a://, gs://, abfss://) replace the local paths
+transparently (reference analog: the IBM-COS object URL in
+``/root/reference/dataframe/io.py:80-85``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions that are always small relative to the fact tables; the query
+# library broadcasts these explicitly (at 100 TB lineitem/orders are the
+# fact tables, these stay MBs).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` works on them."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,347 @@
+"""LDFrame — pandas-flavored veneer over a PySpark DataFrame.
+
+Re-implements the reference's live operator surface (the ten whole-frame
+reductions at ``/root/reference/dataframe/core.py:264-404``, row-wise
+``apply`` at ``core.py:171-262``) and its *declared* distributed machinery
+(``reduction``/``map_partitions``/``apply_concat_apply`` at
+``core.py:15-144, 407-548, 551-758``) with pandas semantics
+(``skipna``/``min_count``/``ddof``/``axis``) — but executed by Catalyst:
+
+- axis=0 reductions compile to native ``HashAggregate(partial) → Exchange →
+  HashAggregate(final)`` plans — exactly the chunk→combine→aggregate tree
+  the reference's dead ACA stratum describes (``core.py:551-758``), with
+  ``split_every`` fan-in subsumed by Spark's exchange and
+  ``split_out`` subsumed by ``spark.sql.shuffle.partitions``/AQE.
+- axis=1 reductions are narrow per-row expressions (no shuffle at all).
+- ``apply``/``map_partitions`` use Arrow-batched ``mapInPandas``; the
+  mandatory output schema plays the role of the reference's Dask ``meta``
+  contract (``core.py:221-237``).
+
+Nothing here collects to the driver except the explicit ``to_pandas`` exit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator, Sequence
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _numeric_cols(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NUMERIC_TYPES)]
+
+
+def _bool_like_cols(df: DataFrame) -> list[str]:
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.BooleanType, *NUMERIC_TYPES))
+    ]
+
+
+def from_spark(df: DataFrame) -> "LDFrame":
+    return LDFrame(df)
+
+
+class LDFrame:
+    """A thin, lazy pandas-semantics layer; every method returns a new
+    LDFrame (or a one-row reduction frame), never materialized data."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- plumbing ----------------------------------------------------------
+    @property
+    def spark(self) -> DataFrame:
+        """Escape hatch to the underlying Spark DataFrame."""
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    @property
+    def npartitions(self) -> int:
+        # Reference: DataFrame.npartitions (core.py:12). In Spark this is the
+        # RDD partition count of the current plan.
+        return self._df.rdd.getNumPartitions()
+
+    def repartition(self, n: int) -> "LDFrame":
+        return LDFrame(self._df.repartition(n))
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self._df.toPandas()
+
+    # -- projection / filtering (SURVEY §2.2) -------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return F.col(key)
+        if isinstance(key, Column):
+            return LDFrame(self._df.filter(key))
+        if isinstance(key, (list, tuple)):
+            return LDFrame(self._df.select(*key))
+        raise TypeError(f"unsupported key type: {type(key)}")
+
+    def assign(self, **kwargs: Column) -> "LDFrame":
+        df = self._df
+        for name, col in kwargs.items():
+            df = df.withColumn(name, col)
+        return LDFrame(df)
+
+    # -- reductions (reference core.py:264-404) ------------------------------
+    def _agg_col(
+        self,
+        c: str,
+        fn: Callable[[Column], Column],
+        skipna: bool,
+        min_count: int | None = None,
+    ) -> Column:
+        """Wrap a native aggregate with pandas skipna/min_count semantics.
+
+        skipna=False → null result if the column has any null (pandas NaN).
+        min_count   → null result unless ≥ min_count non-null values.
+        Both wrappers stay inside the single aggregation (no extra pass).
+        """
+        col = F.col(c)
+        agg = fn(col)
+        if not skipna:
+            agg = F.when(F.count(F.when(col.isNull(), F.lit(1))) > 0, F.lit(None)).otherwise(agg)
+        if min_count is not None and min_count > 0:
+            agg = F.when(F.count(col) >= F.lit(min_count), agg).otherwise(F.lit(None))
+        return agg.alias(c)
+
+    def _reduce0(
+        self,
+        fn: Callable[[Column], Column],
+        cols: Sequence[str],
+        skipna: bool = True,
+        min_count: int | None = None,
+    ) -> DataFrame:
+        """axis=0 reduction → one-row DataFrame (pandas Series analog)."""
+        return self._df.agg(*[self._agg_col(c, fn, skipna, min_count) for c in cols])
+
+    def _rowwise(self, cols: Sequence[str], expr: Column, name: str) -> DataFrame:
+        """axis=1 reduction → per-row column; a narrow map, zero shuffle
+        (the reference routes axis=1 to map_partitions, core.py:153-157)."""
+        return self._df.select(expr.alias(name))
+
+    def _arr(self, cols: Sequence[str], skipna: bool) -> Column:
+        arr = F.array(*[F.col(c).cast("double") for c in cols])
+        if skipna:
+            arr = F.filter(arr, lambda x: x.isNotNull())
+        return arr
+
+    def sum(self, axis: int = 0, skipna: bool = True, min_count: int | None = None) -> DataFrame:
+        """Reference: core.py:290-310 (pandas df.sum per chunk + intended agg)."""
+        cols = _numeric_cols(self._df)
+        if axis in (1, "columns"):
+            arr = self._arr(cols, skipna)
+            expr = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+            if not skipna:
+                # any null in the row → null (pandas NaN propagation)
+                expr = F.when(F.size(F.filter(self._arr(cols, False), lambda x: x.isNull())) > 0, F.lit(None)).otherwise(expr)
+            return self._rowwise(cols, expr, "sum")
+        return self._reduce0(F.sum, cols, skipna, min_count)
+
+    def prod(self, axis: int = 0, skipna: bool = True, min_count: int | None = None) -> DataFrame:
+        """Reference: core.py:312-332."""
+        cols = _numeric_cols(self._df)
+        if axis in (1, "columns"):
+            arr = self._arr(cols, skipna)
+            expr = F.aggregate(arr, F.lit(1.0), lambda acc, x: acc * x)
+            return self._rowwise(cols, expr, "prod")
+        return self._reduce0(F.product, cols, skipna, min_count)
+
+    def max(self, axis: int = 0, skipna: bool = True) -> DataFrame:
+        """Reference: core.py:334-346."""
+        cols = _numeric_cols(self._df)
+        if axis in (1, "columns"):
+            return self._rowwise(cols, F.greatest(*[F.col(c).cast("double") for c in cols]), "max")
+        return self._reduce0(F.max, cols, skipna)
+
+    def min(self, axis: int = 0, skipna: bool = True) -> DataFrame:
+        """Reference: core.py:348-360."""
+        cols = _numeric_cols(self._df)
+        if axis in (1, "columns"):
+            return self._rowwise(cols, F.least(*[F.col(c).cast("double") for c in cols]), "min")
+        return self._reduce0(F.min, cols, skipna)
+
+    def count(self, axis: int = 0) -> DataFrame:
+        """Reference: core.py:362-374 — non-null count per column/row."""
+        cols = self._df.columns
+        if axis in (1, "columns"):
+            expr = sum(F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols)
+            return self._rowwise(cols, expr.cast("long"), "count")
+        return self._df.agg(*[F.count(F.col(c)).alias(c) for c in cols])
+
+    def mean(self, axis: int = 0, skipna: bool = True) -> DataFrame:
+        """Reference: core.py:376-388 (defective there — maps an undefined
+        function; implemented here with the *declared* semantics)."""
+        cols = _numeric_cols(self._df)
+        if axis in (1, "columns"):
+            arr = self._arr(cols, skipna)
+            expr = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / F.size(arr)
+            return self._rowwise(cols, expr, "mean")
+        return self._reduce0(F.avg, cols, skipna)
+
+    def std(self, axis: int = 0, skipna: bool = True, ddof: int = 1) -> DataFrame:
+        """Reference: core.py:390-404 (defective there — computes count).
+
+        Generic ddof via stddev_samp * sqrt((n-1)/(n-ddof)); Spark's stddev
+        is the distributed Welford/M2 merge the reference's chunk/combine/
+        aggregate contract describes.
+        """
+        cols = _numeric_cols(self._df)
+        if axis in (1, "columns"):
+            arr = self._arr(cols, skipna)
+            n = F.size(arr)
+            mean = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x) / n
+            m2 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean))
+            expr = F.when(n > ddof, F.sqrt(m2 / (n - F.lit(ddof)))).otherwise(F.lit(None))
+            return self._rowwise(cols, expr, "std")
+
+        def _std(col: Column) -> Column:
+            if ddof == 1:
+                return F.stddev_samp(col)
+            if ddof == 0:
+                return F.stddev_pop(col)
+            n = F.count(col)
+            return F.when(
+                n > ddof,
+                F.stddev_samp(col) * F.sqrt((n - 1).cast("double") / (n - ddof)),
+            ).otherwise(F.lit(None))
+
+        return self._reduce0(_std, cols, skipna)
+
+    def all(self, axis: int = 0, skipna: bool = True) -> DataFrame:
+        """Reference: core.py:264-275. Non-zero/true → True, pandas truthiness."""
+        cols = _bool_like_cols(self._df)
+        def to_bool(c: str) -> Column:
+            col = F.col(c)
+            b = col.cast("boolean") if isinstance(self._df.schema[c].dataType, T.BooleanType) else (col != 0)
+            return b if skipna else F.coalesce(b, F.lit(True))
+        if axis in (1, "columns"):
+            expr = F.aggregate(F.array(*[F.coalesce(to_bool(c), F.lit(True)) for c in cols]), F.lit(True), lambda a, x: a & x)
+            return self._rowwise(cols, expr, "all")
+        return self._df.agg(*[F.coalesce(F.bool_and(to_bool(c)), F.lit(True)).alias(c) for c in cols])
+
+    def any(self, axis: int = 0, skipna: bool = True) -> DataFrame:
+        """Reference: core.py:277-288."""
+        cols = _bool_like_cols(self._df)
+        def to_bool(c: str) -> Column:
+            col = F.col(c)
+            b = col.cast("boolean") if isinstance(self._df.schema[c].dataType, T.BooleanType) else (col != 0)
+            return b if skipna else F.coalesce(b, F.lit(False))
+        if axis in (1, "columns"):
+            expr = F.aggregate(F.array(*[F.coalesce(to_bool(c), F.lit(False)) for c in cols]), F.lit(False), lambda a, x: a | x)
+            return self._rowwise(cols, expr, "any")
+        return self._df.agg(*[F.coalesce(F.bool_or(to_bool(c)), F.lit(False)).alias(c) for c in cols])
+
+    # -- UDF surface (reference core.py:171-262, 407-548) --------------------
+    def apply(
+        self,
+        func: Callable[..., Any],
+        axis: int = 1,
+        args: tuple = (),
+        meta: T.StructType | str | None = None,
+        **kwds: Any,
+    ) -> "LDFrame":
+        """Row-wise UDF with pandas semantics, Arrow-batched.
+
+        Reference: ``DataFrame.apply`` (core.py:171-262) ships
+        ``df.apply(func, args=args, axis=1, **kwds)`` per CSV chunk; axis=0
+        is rejected there (core.py:246-251) and here. ``meta`` is the
+        mandatory output schema (the Dask meta contract, core.py:221-237).
+        """
+        if axis not in (1, "columns"):
+            raise NotImplementedError("apply(axis=0) is not supported (parity with reference core.py:246-251)")
+        if meta is None:
+            raise ValueError("apply requires `meta` (output schema) — Spark needs a declared return schema")
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = pdf.apply(func, axis=1, args=args, **kwds)
+                if isinstance(out, pd.Series):
+                    out = out.to_frame(name=meta_names[0] if meta_names else "apply")
+                yield out
+
+        schema = meta if isinstance(meta, T.StructType) else T._parse_datatype_string(meta)
+        meta_names = [f.name for f in schema.fields]
+        return LDFrame(self._df.mapInPandas(run, schema))
+
+    def map_partitions(
+        self,
+        func: Callable[..., pd.DataFrame],
+        meta: T.StructType | str,
+        *,
+        partition_info: bool = False,
+    ) -> "LDFrame":
+        """Apply ``func(pandas_partition) -> pandas_frame`` per partition.
+
+        Reference: ``map_partitions`` (core.py:407-548, dead stratum).
+        ``partition_info`` mirrors its injected ``{'number': n, 'division': d}``
+        (core.py:434-435, 531-545) via ``spark_partition_id``. Spark enforces
+        the declared schema on returned batches — the reference's
+        ``enforce_metadata=True``.
+        """
+        schema = meta if isinstance(meta, T.StructType) else T._parse_datatype_string(meta)
+        src = self._df
+        if partition_info:
+            src = src.withColumn("__partition_id", F.spark_partition_id())
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if partition_info:
+                    pid = int(pdf["__partition_id"].iloc[0]) if len(pdf) else -1
+                    pdf = pdf.drop(columns=["__partition_id"])
+                    yield func(pdf, partition_info={"number": pid, "division": None})
+                else:
+                    yield func(pdf)
+
+        return LDFrame(src.mapInPandas(run, schema))
+
+    def reduction(
+        self,
+        chunk: Callable[[pd.DataFrame], pd.DataFrame],
+        aggregate: Callable[[pd.DataFrame], pd.DataFrame],
+        meta: T.StructType | str,
+        chunk_meta: T.StructType | str | None = None,
+    ) -> DataFrame:
+        """Generic chunk→aggregate tree reduction (reference core.py:15-144).
+
+        ``chunk`` runs per partition (map-side, Arrow-batched); the partial
+        frames are coalesced and ``aggregate`` runs once over their concat.
+        Spark's exchange replaces the reference's ``split_every`` combine
+        tree — on a cluster the partials are tiny (one row-group per
+        partition), so a single final task is the right shape.
+        """
+        chunk_schema = chunk_meta or meta
+        cs = chunk_schema if isinstance(chunk_schema, T.StructType) else T._parse_datatype_string(chunk_schema)
+        fs = meta if isinstance(meta, T.StructType) else T._parse_datatype_string(meta)
+
+        def run_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = [chunk(p) for p in batches if len(p)]
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+        def run_agg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            allp = [p for p in batches if len(p)]
+            yield aggregate(pd.concat(allp, ignore_index=True) if allp else pd.DataFrame())
+
+        partials = self._df.mapInPandas(run_chunk, cs)
+        return partials.coalesce(1).mapInPandas(run_agg, fs)

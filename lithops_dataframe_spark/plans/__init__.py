@@ -1,0 +1,15 @@
+"""Query plan library.
+
+Every implemented operator/query from SURVEY.md §2 registers itself here as
+a named pair: a PySpark builder ``(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) an equivalent ANSI-SQL oracle string for DuckDB. The
+driver contract in ``__spark_entry__.py`` re-exports this registry.
+"""
+
+from lithops_dataframe_spark.plans.registry import QUERIES, ORACLES, register, query_names
+
+# Importing the modules populates the registry.
+from lithops_dataframe_spark.plans import relational  # noqa: F401
+from lithops_dataframe_spark.plans import reductions  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES", "register", "query_names"]

@@ -1,0 +1,164 @@
+"""Reduction queries — the reference's live operator surface as oracle-checked
+queries over the ``lineitem`` fixture.
+
+Reference: the ten whole-frame reductions at
+``/root/reference/dataframe/core.py:264-404`` (sum/prod/max/min/count/mean/
+std/all/any + axis=1 variants). Implemented via the LDFrame veneer
+(:mod:`lithops_dataframe_spark.frame`), which compiles them to single-pass
+native hash aggregations.
+
+Doubles are rounded (builder + oracle identically) per registry discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.frame import LDFrame
+from lithops_dataframe_spark.plans.registry import register
+
+# lineitem numeric columns, in schema order (FIXTURES.md).
+LI_NUM = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+LI_DOUBLE = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _li(spark: SparkSession, sf_dir: str) -> LDFrame:
+    return LDFrame(load_table(spark, sf_dir, "lineitem").select(*LI_NUM))
+
+
+def _round_doubles(df: DataFrame, ndigits: int = 2) -> DataFrame:
+    return df.select(
+        *[
+            F.round(F.col(f.name), ndigits).alias(f.name)
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def _oracle_reduce(fn_sql: str, ndigits: int = 2) -> str:
+    cols = ", ".join(
+        f"ROUND({fn_sql.format(c=c)}, {ndigits}) AS {c}" if c in LI_DOUBLE or fn_sql.startswith(("AVG", "STDDEV"))
+        else f"{fn_sql.format(c=c)} AS {c}"
+        for c in LI_NUM
+    )
+    return f"SELECT {cols} FROM lineitem"
+
+
+@register("red_sum_axis0", oracle=_oracle_reduce("SUM({c})"))
+def red_sum_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_doubles(_li(spark, sf_dir).sum())
+
+
+@register("red_min_axis0", oracle=_oracle_reduce("MIN({c})"))
+def red_min_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_doubles(_li(spark, sf_dir).min())
+
+
+@register("red_max_axis0", oracle=_oracle_reduce("MAX({c})"))
+def red_max_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_doubles(_li(spark, sf_dir).max())
+
+
+@register("red_count_axis0", oracle=_oracle_reduce("COUNT({c})"))
+def red_count_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _li(spark, sf_dir).count()
+
+
+@register(
+    "red_mean_axis0",
+    oracle="SELECT " + ", ".join(f"ROUND(AVG({c}), 4) AS {c}" for c in LI_NUM) + " FROM lineitem",
+)
+def red_mean_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_doubles(_li(spark, sf_dir).mean(), 4)
+
+
+@register(
+    "red_std_axis0",
+    oracle="SELECT " + ", ".join(f"ROUND(STDDEV_SAMP({c}), 4) AS {c}" for c in LI_NUM) + " FROM lineitem",
+)
+def red_std_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_doubles(_li(spark, sf_dir).std(ddof=1), 4)
+
+
+@register(
+    "red_all_any",
+    oracle="""
+    SELECT BOOL_AND(l_quantity != 0)  AS all_qty,
+           BOOL_AND(l_discount != 0)  AS all_disc,
+           BOOL_OR(l_discount != 0)   AS any_disc,
+           BOOL_OR(l_tax != 0)        AS any_tax
+    FROM lineitem
+    """,
+)
+def red_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _li(spark, sf_dir)
+    alls = LDFrame(li.spark.select("l_quantity", "l_discount")).all()
+    anys = LDFrame(li.spark.select("l_discount", "l_tax")).any()
+    return (
+        alls.select(F.col("l_quantity").alias("all_qty"), F.col("l_discount").alias("all_disc"))
+        .crossJoin(anys.select(F.col("l_discount").alias("any_disc"), F.col("l_tax").alias("any_tax")))
+    )
+
+
+@register(
+    "red_prod",
+    oracle="""
+    SELECT ROUND(PRODUCT(1 + l_tax), 6) AS prod_tax_factor, COUNT(*) AS n_rows
+    FROM lineitem WHERE l_orderkey <= 8
+    """,
+)
+def red_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 8)
+    frame = LDFrame(li.select((1 + F.col("l_tax")).alias("prod_tax_factor")))
+    prod = frame.prod().select(F.round(F.col("prod_tax_factor"), 6).alias("prod_tax_factor"))
+    return prod.crossJoin(li.agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+@register(
+    "red_sum_axis1",
+    oracle="""
+    SELECT ROUND(l_quantity + l_extendedprice + l_discount + l_tax, 2) AS sum
+    FROM lineitem
+    """,
+)
+def red_sum_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = LDFrame(load_table(spark, sf_dir, "lineitem").select(*LI_DOUBLE))
+    return li.sum(axis=1).select(F.round(F.col("sum"), 2).alias("sum"))
+
+
+@register(
+    "red_max_axis1",
+    oracle="""
+    SELECT GREATEST(l_quantity, l_extendedprice, l_discount, l_tax) AS max
+    FROM lineitem
+    """,
+)
+def red_max_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = LDFrame(load_table(spark, sf_dir, "lineitem").select(*LI_DOUBLE))
+    return li.max(axis=1)
+
+
+@register(
+    "red_mean_axis1",
+    oracle="""
+    SELECT ROUND((l_quantity + l_extendedprice + l_discount + l_tax) / 4.0, 4) AS mean
+    FROM lineitem
+    """,
+)
+def red_mean_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = LDFrame(load_table(spark, sf_dir, "lineitem").select(*LI_DOUBLE))
+    return li.mean(axis=1).select(F.round(F.col("mean"), 4).alias("mean"))

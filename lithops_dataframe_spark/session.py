@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+One place to own the engine configuration so every entry point (tests,
+bench, driver contract) runs the same tuned session.
+
+Scale notes (100 TB design):
+- AQE on with coalescing + skew-join: at cluster scale the static
+  ``shuffle.partitions`` is a ceiling, AQE right-sizes the actual
+  post-shuffle partitioning at runtime and splits skewed partitions.
+- ``autoBroadcastJoinThreshold`` left at default (10 MB): the star-schema
+  dimensions (region/nation/supplier/customer/part) stay broadcast-able
+  far beyond sf0.1; explicit ``F.broadcast`` hints are still applied in
+  the query library where the dimension is provably small.
+- Arrow enabled for every pandas-UDF exchange (the only Python↔JVM
+  data path we allow in hot paths).
+- Timezone pinned to UTC so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) the tuned SparkSession.
+
+    In local mode there is a single JVM; ``spark.driver.memory`` is the only
+    memory knob. On a real cluster the same config applies per-executor and
+    AQE handles partition right-sizing.
+    """
+    cpus = _cpus()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # ANSI off: pandas/duckdb-style permissive casts & null-on-error.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,90 @@
+"""Simulate the driver's verify gate locally.
+
+Fresh-imports ``__spark_entry__``, smoke-runs ``entry(spark)``, then runs
+every ``queries()[name]`` at sf0.01 against ``oracle_sql()[name]`` in DuckDB
+with the driver's comparison shape: sorted column names, row count, and an
+order-insensitive value-hash (columns sorted by name, floats %.9g,
+None/NaN → NULL). Exits nonzero on any mismatch.
+
+Usage: python tools/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+from lithops_dataframe_spark.catalog import TABLES, table_path  # noqa: E402
+from lithops_dataframe_spark.session import get_spark  # noqa: E402
+
+
+def norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("driver-sim")
+
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    print(f"entry rows: {len(rows)} schema: {df.schema.simpleString()}")
+    assert len(rows) > 0, "entry() must return >0 rows"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    fails = 0
+    for name in sorted(qs):
+        sdf = qs[name](spark, sf)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        if name in oracles:
+            rel = con.sql(oracles[name])
+            drows = rel.fetchall()
+            dcols = [d[0] for d in rel.description]
+            ok = (
+                sorted(scols) == sorted(dcols)
+                and len(srows) == len(drows)
+                and value_hash(scols, srows) == value_hash(dcols, drows)
+            )
+            fails += 0 if ok else 1
+            print(f"{'OK  ' if ok else 'FAIL'} {name}: rows {len(srows)}/{len(drows)}")
+            if not ok and len(srows) == len(drows) and sorted(scols) == sorted(dcols):
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ls = sorted("|".join(norm(r[i]) for i in order_s) for r in srows)
+                ld = sorted("|".join(norm(r[i]) for i in order_d) for r in drows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        print(f"   spark : {a}\n   duckdb: {b}")
+                        break
+        else:
+            print(f"ROWS {name}: {len(srows)} rows (no oracle)")
+    print(f"FAILS: {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
