@@ -11,5 +11,9 @@ from lithops_dataframe_spark.plans.registry import QUERIES, ORACLES, register, q
 # Importing the modules populates the registry.
 from lithops_dataframe_spark.plans import relational  # noqa: F401
 from lithops_dataframe_spark.plans import reductions  # noqa: F401
+from lithops_dataframe_spark.plans import joins_q  # noqa: F401
+from lithops_dataframe_spark.plans import windows_q  # noqa: F401
+from lithops_dataframe_spark.plans import setops_q  # noqa: F401
+from lithops_dataframe_spark.plans import scalars_q  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "query_names"]

@@ -1,0 +1,169 @@
+"""Join-surface queries: every join flavor SURVEY §2.3 requires, each with a
+DuckDB oracle. Broadcast hints where a side is provably dimension-sized;
+the as-of and range joins go through the scalable operators in
+:mod:`lithops_dataframe_spark.operators.joins`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators.joins import asof_join, range_join
+from lithops_dataframe_spark.plans.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer_nation_coverage",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    return cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_cross_region_segment",
+    oracle="""
+    SELECT r_name, seg.c_mktsegment
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").select("r_name")
+    seg = _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(seg)
+
+
+@register(
+    "join_theta_price_band",
+    oracle="""
+    SELECT p_partkey, l_orderkey, l_linenumber
+    FROM part JOIN lineitem
+      ON l_partkey = p_partkey
+     AND l_extendedprice > p_retailprice * 20
+    WHERE p_size = 50
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equi-key plus non-equi residual: Catalyst plans a hash join on
+    # l_partkey = p_partkey with the theta predicate as post-join filter —
+    # no nested loop. part filtered on size → broadcast-able at any sf.
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 50)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(part),
+            (li.l_partkey == part.p_partkey) & (li.l_extendedprice > part.p_retailprice * 20),
+        )
+        .select("p_partkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "join_asof_purchase_last_click",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS click_ts, ROUND(c.value, 4) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 4).alias("click_value")
+    )
+    return asof_join(purchases, clicks, on="ts", by="user_id").withColumnRenamed("__asof_ts", "click_ts")
+
+
+@register(
+    "join_range_value_bands",
+    oracle="""
+    SELECT b.band_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (VALUES (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 100.0), (3, 100.0, 1000.0))
+         AS b(band_id, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    bands = events.sparkSession.createDataFrame(
+        [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 100.0), (3, 100.0, 1000.0)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    joined = range_join(events, bands, "value", "lo", "hi", bucket_width=25.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -1,0 +1,147 @@
+"""Scalar-function queries (SURVEY §2.8): string, date/time, math, JSON
+(`events.props`), and array functions — the reference delegates all of this
+to user pandas closures (``/root/reference/dataframe/core.py:253-256``);
+here it's the native `pyspark.sql.functions` surface, whole-stage codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.plans.registry import register
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                          AS brand_upper,
+           LOWER(p_type)                           AS type_lower,
+           LENGTH(p_name)                          AS name_len,
+           SUBSTRING(p_name, 1, 5)                 AS name_prefix,
+           CONCAT(p_brand, ':', p_type)            AS brand_type,
+           REPLACE(p_brand, 'Brand#', 'B')         AS brand_short,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1)  AS brand_num,
+           TRIM(p_name)                            AS name_trim,
+           SPLIT_PART(p_type, ' ', 1)              AS type_first_word
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.trim("p_name").alias("name_trim"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate)::INT     AS yr,
+           EXTRACT(month FROM o_orderdate)::INT    AS mon,
+           EXTRACT(day FROM o_orderdate)::INT      AS dom,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE)  AS month_start,
+           DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))::INT AS days_since_epoch_start,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY     AS due_ts
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS")).cast("timestamp").alias("due_ts"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 4)      AS abs_disc,
+           FLOOR(l_quantity / 7)                 AS qty_bucket,
+           CEIL(l_extendedprice / 1000)          AS price_k,
+           ROUND(SQRT(l_quantity), 6)            AS qty_sqrt,
+           ROUND(POW(1 + l_tax, 2), 6)           AS tax_sq,
+           ROUND(LN(l_extendedprice), 6)         AS price_ln,
+           SIGN(l_discount - 0.05)               AS disc_sign
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "scalar_json_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, 'k') AS INT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, 'k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, 'k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.props is a JSON string like {"k": 87} (FIXTURES.md) —
+    # from_json with an explicit schema, never schema_of_json per row.
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                           AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))            AS n_unique,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("first3"),
+    )

@@ -1,0 +1,158 @@
+"""Window-function queries (SURVEY §2.5 — ABSENT in the reference; part of
+the required pandas-parity surface: rank/shift/cumsum/rolling).
+
+Every window partitions by a key, so the plan is one hash shuffle on the
+partition key then a per-partition sort — the shape that scales. No
+global (unpartitioned) windows in headline paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.plans.registry import register
+
+
+@register(
+    "win_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def win_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+           NTILE(4)     OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "win_cumsum_per_supplier",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(SUM(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_qty
+    FROM lineitem WHERE l_suppkey <= 20
+    """,
+)
+def win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 20)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w), 2).alias("cum_qty"),
+    )
+
+
+@register(
+    "win_lag_lead_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d, ROUND(SUM(l_extendedprice), 2) AS rev
+        FROM lineitem GROUP BY CAST(l_shipdate AS DATE)
+    )
+    SELECT d, rev,
+           ROUND(COALESCE(rev - LAG(rev) OVER (ORDER BY d), 0), 2) AS delta_prev,
+           LEAD(rev) OVER (ORDER BY d) AS next_rev
+    FROM daily
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The inner agg collapses to ~2500 day rows, so the single-partition
+    # window over the tiny aggregate is fine at any input scale.
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("d")).agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("rev")
+    )
+    w = Window.orderBy("d")
+    return daily.select(
+        "d",
+        "rev",
+        F.round(F.coalesce(F.col("rev") - F.lag("rev").over(w), F.lit(0.0)), 2).alias("delta_prev"),
+        F.lead("rev").over(w).alias("next_rev"),
+    )
+
+
+@register(
+    "win_rolling_avg_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_7
+    FROM events
+    """,
+)
+def win_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas rolling(7) analog: rowsBetween(-6, 0) per user (SURVEY §2.5).
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg_7"),
+    )
+
+
+@register(
+    "win_first_last_range",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_event,
+           LAST_VALUE(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(wfull).alias("last_event"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+    ).distinct()

@@ -51,6 +51,9 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Fixture events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+        # timestamp type — read as long and normalize in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ANSI off: pandas/duckdb-style permissive casts & null-on-error.
         .config("spark.sql.ansi.enabled", "false")
     )
