@@ -1,0 +1,179 @@
+"""Deterministic hashing primitives shared by the dedup/similarity operators
+AND their DuckDB oracles.
+
+Everything here is engine-portable by construction: the only hash source is
+md5 (identical in Spark and DuckDB), mapped to int64 via a 15-hex-digit
+prefix (60 bits, fits signed 64), then mixed with fixed universal-hash
+constants modulo the Mersenne prime 2^31-1. For every Spark expression
+builder there is a twin SQL-string builder generated from the SAME
+constants, so operator output and oracle output are bit-identical —
+MinHash/SimHash/LSH become hash-checkable, not rows-only.
+
+Arithmetic safety: token hash is reduced mod P (< 2^31) before a*h+b with
+a,b < 2^31 → products < 2^62, no 64-bit overflow on either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Mersenne prime 2^31 - 1.
+P = 2_147_483_647
+
+#: Fixed universal-hash constants (k=16 permutations for MinHash).
+#: Chosen once, arbitrary odd/nonzero values < P; order matters (signature
+#: component i uses pair i on both engines).
+MINHASH_A = [
+    1_000_003, 1_193_891, 1_299_709, 1_400_305,
+    1_523_659, 1_687_931, 1_777_777, 1_894_439,
+    2_011_073, 29_383_741, 47_055_833, 61_333_331,
+    77_777_777, 91_815_541, 104_729_87, 119_126_843,
+]
+MINHASH_B = [
+    12_345, 67_891, 24_680, 13_579,
+    98_765, 55_555, 31_415, 27_182,
+    16_180, 14_142, 17_320, 22_360,
+    26_457, 30_000, 33_166, 36_055,
+]
+MINHASH_K = len(MINHASH_A)
+
+
+# ---------------------------------------------------------------------------
+# token → int64 (both engines)
+# ---------------------------------------------------------------------------
+def token_hash(col: Column) -> Column:
+    """md5-prefix hash of a string → int64 in [0, 2^60), reduced mod P."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % P
+
+
+def token_hash_sql(expr: str) -> str:
+    """DuckDB twin of :func:`token_hash`."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {P})"
+
+
+def token_hash60(col: Column) -> Column:
+    """md5-prefix hash → 60-bit value (for SimHash bit sampling)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def token_hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# word shingles
+# ---------------------------------------------------------------------------
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text column."""
+    words = F.split(text, " ")
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
+    return F.when(
+        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def word_shingles_sql(expr: str, n: int = 2) -> str:
+    """DuckDB twin of :func:`word_shingles` (1-based list indexing)."""
+    if n == 1:
+        return f"list_distinct(string_split({expr}, ' '))"
+    words = f"string_split({expr}, ' ')"
+    gram = " || ' ' || ".join(f"{words}[i+{j}]" for j in range(n))
+    return (
+        f"(CASE WHEN len({words}) >= {n} THEN "
+        f"list_distinct(list_transform(range(1, len({words}) - {n - 2}), i -> {gram})) "
+        f"ELSE [array_to_string({words}, ' ')] END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature (k components) + LSH bands
+# ---------------------------------------------------------------------------
+def minhash_component(shingles: Column, i: int) -> Column:
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return F.array_min(F.transform(shingles, lambda s: (F.lit(a) * (token_hash(s)) + F.lit(b)) % P))
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """Array of MINHASH_K minhash values for a shingle-array column."""
+    return F.array(*[minhash_component(shingles, i) for i in range(MINHASH_K)])
+
+
+def minhash_signature_sql(shingles_expr: str) -> str:
+    comps = ", ".join(
+        f"list_min(list_transform({shingles_expr}, s -> ({a} * {token_hash_sql('s')} + {b}) % {P}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    )
+    return f"[{comps}]"
+
+
+def band_signatures(sig: Column, bands: int) -> Column:
+    """Split a k-component signature into `bands` md5 band keys.
+
+    Returns array of structs (band_idx, band_key); band key is the md5 of the
+    comma-joined slice — a compact join key for bucketing.
+    """
+    r = MINHASH_K // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.md5(F.concat_ws(",", *[F.element_at(sig, j * r + i + 1).cast("string") for i in range(r)])).alias(
+                    "band_key"
+                ),
+            )
+            for j in range(bands)
+        ]
+    )
+
+
+def band_signatures_sql(sig_expr: str, bands: int) -> list[str]:
+    """DuckDB twins: list of band_key SQL expressions, index j in 0..bands-1."""
+    r = MINHASH_K // bands
+    out = []
+    for j in range(bands):
+        joined = " || ',' || ".join(f"CAST({sig_expr}[{j * r + i + 1}] AS VARCHAR)" for i in range(r))
+        out.append(f"md5({joined})")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (60-bit, distinct-token set)
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60
+
+
+def simhash(tokens: Column) -> Column:
+    """60-bit SimHash of a distinct-token array column (60 bits = the md5
+    15-hex-digit prefix, the widest value both engines parse identically
+    into int64).
+
+    Bit j of the result is 1 iff the majority of token hashes have bit j set
+    (strictly positive vote sum; zero votes → 0 on both engines).
+    """
+    hashes = F.transform(tokens, token_hash60)
+
+    def _vote(j: int):
+        # closure factory: pyspark higher-order functions infer lambda arity,
+        # so the bit index must be captured, not passed as a default arg.
+        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+    bit_votes = [F.aggregate(hashes, F.lit(0).cast("long"), _vote(j)) for j in range(SIMHASH_BITS)]
+    out = F.lit(0).cast("long")
+    for j, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_sql(tokens_expr: str) -> str:
+    terms = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"list_sum(list_transform({tokens_expr}, "
+            f"t -> (({token_hash60_sql('t')} >> {j}) % 2) * 2 - 1))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale text pipelines (SURVEY §2.11).
+
+Five dedup families, all Spark-first and shuffle-conscious:
+
+- **exact**: ``dropDuplicates`` (hash aggregate on the dedup key — at scale,
+  dedup on a fingerprint column, never on the raw text payload).
+- **MinHash + LSH**: shingle → k-component minhash signature → banded LSH
+  bucketing → equi-join on band key → exact-Jaccard verification of the
+  candidates. The band join replaces the quadratic all-pairs comparison
+  with hash-partitioned buckets; verification touches only candidates.
+- **SimHash**: 32-bit fingerprints, LSH on 8-bit blocks (any pair within
+  Hamming distance d must agree on ≥1 of d+1 blocks), XOR+popcount verify.
+- **exact n-gram Jaccard**: inverted-index join (explode shingles → join on
+  shingle → count per pair) — exact, and linear in total postings rather
+  than quadratic in documents; prune high-frequency shingles like any
+  inverted index would.
+- **embedding cosine near-dup** lives in
+  :mod:`lithops_dataframe_spark.operators.similarity`.
+
+All hashing comes from :mod:`lithops_dataframe_spark.functions.hashing`, so
+every operator here has a bit-identical DuckDB oracle (see plans/dedup_q.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.functions import hashing as H
+
+
+def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact deduplication — ``dropDuplicates`` (hash groupBy under the hood).
+
+    Non-deterministic in *which* duplicate survives (Spark keeps an
+    arbitrary row per key); use :func:`exact_dedup_keep_min` when the output
+    must be stable (e.g. for differential testing).
+    """
+    return df.dropDuplicates(list(subset) if subset else None)
+
+
+def exact_dedup_keep_min(df: DataFrame, key: Sequence[str], order_col: str) -> DataFrame:
+    """Deterministic exact dedup: keep the row with min(order_col) per key.
+
+    One shuffle on the key (window + filter); ties on order_col must not
+    exist (use a unique id).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key).orderBy(F.col(order_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str,
+    *,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Attach ``__shingles`` (distinct word n-grams) and ``__sig`` (minhash
+    signature array, k=16) columns. Narrow map, no shuffle."""
+    sh = H.word_shingles(F.col(text_col), shingle_n)
+    return df.withColumn("__shingles", sh).withColumn("__sig", H.minhash_signature(F.col("__shingles")))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 2,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    Plan shape (scales to 100 TB):
+      1. narrow map: shingles + signature + band keys per doc;
+      2. explode to (band_idx, band_key, id, shingles) postings;
+      3. self equi-join on (band_idx, band_key) — hash shuffle on band key,
+         which is uniform by construction (md5), so no skew;
+      4. distinct candidate pairs (a < b);
+      5. exact Jaccard on the candidates only; filter by threshold.
+
+    With k=16, bands=4 (r=4), P(candidate | j) = 1-(1-j^4)^4: ≈1.0 at
+    j≥0.9, ≈0.22 at j=0.5, ≈0.03 at j=0.3 — tuned for the high-similarity
+    dedup regime; raise `bands` for lower thresholds.
+    """
+    base = with_minhash(df.select(id_col, text_col), text_col, shingle_n=shingle_n).select(
+        F.col(id_col).alias("id"), "__shingles", "__sig"
+    )
+    posted = base.select(
+        "id",
+        "__shingles",
+        F.explode(H.band_signatures(F.col("__sig"), bands)).alias("band"),
+    ).select("id", "__shingles", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+
+    a, b = posted.alias("a"), posted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__shingles").alias("sh_a"),
+            F.col("b.__shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str, *, shingle_n: int = 2) -> DataFrame:
+    """Attach a 60-bit ``__simhash`` fingerprint over word n-gram shingles.
+
+    Shingles (not unigrams) keep word order in the fingerprint — on corpora
+    with a small shared vocabulary, unigram-set simhash collapses most
+    documents to near-identical fingerprints.
+    """
+    return df.withColumn("__simhash", H.simhash(H.word_shingles(F.col(text_col), shingle_n)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash within a Hamming radius.
+
+    LSH on the 4 disjoint 15-bit blocks of the 60-bit fingerprint: any pair
+    with Hamming distance ≤ 3 agrees exactly on ≥ 1 block (pigeonhole), so
+    the 4-way block join has perfect recall for d ≤ 3; XOR+popcount verifies.
+    """
+    base = with_simhash(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("id"), F.col("__simhash").alias("sh")
+    )
+    blocks = base.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("blk"), (F.shiftright("sh", 15 * j) % 32768).alias("key"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.blk").alias("blk"), F.col("b.key").alias("key"))
+
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 2,
+    threshold: float = 0.3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via inverted index.
+
+    explode(shingles) → self-join on shingle → count common shingles per
+    pair → jaccard = common / (|A| + |B| - common). Work is Σ df(s)² over
+    shingle document-frequencies, not |docs|²; `max_shingle_freq` drops
+    stop-shingles (df > cap) exactly like an inverted-index stop list —
+    essential at scale, optional here.
+    """
+    base = df.select(F.col(id_col).alias("id"), H.word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("n_sh"))
+    postings = base.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_freq is not None:
+        freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        postings = postings.join(freq.filter(F.col("df") <= max_shingle_freq), "shingle", "inner").select(
+            "id", "shingle"
+        )
+
+    pa, pb = postings.alias("pa"), postings.alias("pb")
+    common = (
+        pa.join(pb, (F.col("pa.shingle") == F.col("pb.shingle")) & (F.col("pa.id") < F.col("pb.id")))
+        .groupBy(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -1,0 +1,134 @@
+"""Dedup queries over the `documents` fixture — every operator in
+operators/dedup.py as an oracle-checked `queries()` entry.
+
+The oracles are *generated from the same hash constants* as the Spark
+operators (functions/hashing.py), so even the approximate LSH pipelines are
+hash-checkable end-to-end: identical shingles → identical signatures →
+identical candidate sets → identical verified pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.operators import dedup as D
+from lithops_dataframe_spark.plans.registry import register
+
+_SHINGLES = H.word_shingles_sql("text", 2)
+_BANDS = H.band_signatures_sql("sig", 4)
+_BAND_UNION = "\n      UNION ALL ".join(
+    f"SELECT id, sh, {j} AS band_idx, {expr} AS band_key FROM sig" for j, expr in enumerate(_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+    WITH shng AS (
+        SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+        SELECT id, sh, {H.minhash_signature_sql('sh')} AS sig FROM shng
+    ),
+    bands AS (
+      {_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    verif AS (
+        SELECT id_a, id_b,
+               len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))) AS j
+        FROM cand
+        JOIN shng sa ON sa.id = cand.id_a
+        JOIN shng sb ON sb.id = cand.id_b
+    )
+    SELECT id_a, id_b, ROUND(j, 4) AS jaccard FROM verif WHERE j >= 0.6
+"""
+
+_SIMHASH_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id AS id,
+               {H.simhash_sql(_SHINGLES)} AS sh
+        FROM documents
+    ),
+    blocks AS (
+        SELECT id, sh, t.j AS blk, (sh >> (15 * t.j::INT)) % 32768 AS key
+        FROM s, range(4) t(j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        FROM blocks a JOIN blocks b
+          ON a.blk = b.blk AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+_NGRAM_ORACLE = f"""
+    WITH shng AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents)
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM shng a JOIN shng b ON a.id < b.id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+"""
+
+
+@register(
+    "dedup_exact_after_union",
+    oracle="""
+    SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM (
+        SELECT DISTINCT doc_id, n_chars FROM (
+            SELECT doc_id, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id, n_chars FROM documents
+        )
+    )
+    """,
+)
+def dedup_exact_after_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    doubled = docs.unionByName(docs)
+    return D.exact_dedup(doubled).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT COUNT(DISTINCT md5(text)) AS n_unique_texts,
+           COUNT(*) AS n_docs
+    FROM documents
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale pattern: dedup on a 128-bit fingerprint, never on the payload —
+    # the shuffle key is 32 bytes instead of the full document.
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(F.md5("text").alias("fp")).agg(
+        F.countDistinct("fp").alias("n_unique_texts"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "text", "doc_id", shingle_n=2, bands=4, threshold=0.6)
+
+
+@register("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register("dedup_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=2, threshold=0.3)
