@@ -1,0 +1,258 @@
+"""Similarity search over embedding columns (SURVEY §2.11).
+
+Reference context: the reference (cloudbutton/lithops-dataframe) has no
+vector operations at all — its only compute surface is pandas closures over
+CSV chunks (`core.py:253-256`). This module supplies the north-star
+similarity surface the target engine requires, Spark-first:
+
+- **exact cosine top-k** — the baseline: broadcast the (small) query set,
+  one narrow pass over the corpus computing cosine via JVM-side
+  higher-order functions (``zip_with`` + ``aggregate`` — no Python UDF),
+  then per-query top-k with a window. At 100 TB the corpus side stays
+  partition-parallel and nothing but (n_queries × k) rows ever shuffles
+  after the per-partition rank pre-prune.
+- **sign-LSH (random hyperplane) ANN** — the scale path: T hash tables ×
+  P hyperplanes; bucket key per table = sign-bit pattern of the
+  hyperplane dot products. Candidates = corpus rows sharing a bucket with
+  the query in ≥1 table; exact cosine re-ranks candidates only. The
+  bucket join is an equi-join (hash shuffle on compact int keys) instead
+  of a cross join.
+- **cosine near-dup pairs** — all-pairs j ≥ threshold; exact variant for
+  the oracle gate, LSH-bucketed variant for scale.
+
+Hyperplanes are module-level constants generated from a fixed seed, so the
+DuckDB oracles (plans/similarity_q.py) replicate buckets bit-for-bit:
+identical candidates → identical results, making even the *approximate*
+path hash-checkable.
+
+All arithmetic is done in float64 after an explicit cast of each float32
+component — the same cast order as the oracle SQL — so dot products agree
+to the last ulp modulo summation order (outputs are rounded to 6 decimals
+on both sides).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Embedding dimensionality of the fixture corpus (embeddings.parquet).
+DIM = 64
+
+#: LSH configuration: N_TABLES hash tables, N_PLANES hyperplanes each.
+N_TABLES = 4
+N_PLANES = 8
+
+_rng = random.Random(0xC0FFEE)
+#: HYPERPLANES[t][p] is a DIM-vector of N(0,1) components rounded to 6
+#: decimals — embedded as literals in both the Spark plan and the oracle
+#: SQL, so bucket assignment is engine-independent.
+HYPERPLANES: list[list[list[float]]] = [
+    [[round(_rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(N_PLANES)]
+    for _ in range(N_TABLES)
+]
+
+
+# ---------------------------------------------------------------------------
+# core expressions (JVM-side higher-order functions — no Python UDFs)
+# ---------------------------------------------------------------------------
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] in float64 (explicit per-component cast, index order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def plane_dot(a: Column, plane: list[float]) -> Column:
+    """Dot of an embedding column with a literal hyperplane."""
+    arr = F.array(*[F.lit(v) for v in plane])
+    return dot(a, arr)
+
+
+def bucket_key(a: Column, table: int) -> Column:
+    """Sign-bit bucket key of embedding `a` in hash table `table`.
+
+    Bit p is set iff dot(a, plane_p) > 0; key ∈ [0, 2^N_PLANES).
+    """
+    key = F.lit(0)
+    for p in range(N_PLANES):
+        key = key + F.when(plane_dot(a, HYPERPLANES[table][p]) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return key.cast("int")
+
+
+def with_buckets(df: DataFrame, emb_col: str) -> DataFrame:
+    """Explode each row into N_TABLES (table_idx, bucket) postings (narrow map)."""
+    posting = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("table_idx"), bucket_key(F.col(emb_col), t).alias("bucket"))
+                for t in range(N_TABLES)
+            ]
+        )
+    ).alias("p")
+    return df.select("*", posting).select(
+        *df.columns, F.col("p.table_idx").alias("table_idx"), F.col("p.bucket").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows.
+
+    Returns (query_id, neighbor_id, rank, sim); self-matches excluded.
+
+    Scale shape: ``broadcast(queries)`` keeps the corpus scan shuffle-free;
+    the window ranks within query_id partitions — with Q queries the
+    shuffle moves only the (corpus × Q) scored rows, and AQE coalesces.
+    For very large Q, swap the broadcast for a bucket join (see ann_topk).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("sim", 6).alias("sim"))
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k via sign-LSH buckets + exact re-rank of candidates.
+
+    Candidates = corpus rows sharing a (table, bucket) with the query in at
+    least one of the N_TABLES hash tables. Recall < 1 by design; the
+    candidate equi-join on (table_idx, bucket) replaces the cross join —
+    at 100 TB this is a hash-partitioned join on int keys with per-bucket
+    fan-out instead of |corpus| × |queries| work.
+    """
+    qb = with_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")), "q_emb"
+    )
+    cb = with_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")), "c_emb"
+    )
+    cand = (
+        cb.join(qb, ["table_idx", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("sim", 6).alias("sim"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, sim) with sim ≥ threshold.
+
+    ``use_lsh=True`` (the scale path) restricts comparisons to pairs
+    sharing an LSH bucket in ≥1 table — near-exact for high thresholds
+    (cosine ≥ 0.9 pairs collide in ≥1 of 4 tables with prob
+    1-(1-(1-θ/π)^8)^4 ≈ 0.97). ``use_lsh=False`` is the exact quadratic
+    baseline for small inputs / oracle use.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
+    if use_lsh:
+        b = with_buckets(base, "emb")
+        a1, a2 = b.alias("a"), b.alias("b")
+        cand = (
+            a1.join(
+                a2,
+                (F.col("a.table_idx") == F.col("b.table_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.emb").alias("emb_a"),
+                F.col("b.emb").alias("emb_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        a1, a2 = base.alias("a"), base.alias("b")
+        cand = a1.join(a2, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.emb").alias("emb_a"),
+            F.col("b.emb").alias("emb_b"),
+        )
+    return (
+        cand.withColumn("sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+    )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN majority-label classification of each query row.
+
+    Composition: exact top-k → join labels → per-query majority (ties
+    broken by smaller label). Returns (query_id, pred_label, votes).
+    """
+    topk = brute_force_topk(corpus, queries, id_col=id_col, emb_col=emb_col, k=k)
+    labeled = topk.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("nb_label").asc())
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"), F.col("votes").cast("long").alias("votes"))
+    )

@@ -1,0 +1,186 @@
+"""Similarity-search queries over the `embeddings` fixture — every operator
+in operators/similarity.py as an oracle-checked `queries()` entry.
+
+The DuckDB oracles are *generated from the same hyperplane constants* as
+the Spark operators, so even the approximate LSH paths are hash-checkable:
+identical bucket keys → identical candidate sets → identical results.
+Cosine arithmetic matches by construction: per-component float32→float64
+cast then an in-order left-fold sum on both engines; outputs rounded to 6
+decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators import similarity as S
+from lithops_dataframe_spark.plans.registry import register
+
+_K = 10
+_NEARDUP_T = 0.4
+_N_QUERIES = 5  # query set = vec_id < 5
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generators (twins of operators/similarity.py expressions)
+# ---------------------------------------------------------------------------
+def _dot_sql(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, {S.DIM + 1}), i -> ({a}[i]::DOUBLE * {b}[i]::DOUBLE)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+def _plane_lit(t: int, p: int) -> str:
+    vals = ", ".join(repr(v) for v in S.HYPERPLANES[t][p])
+    return f"([{vals}]::DOUBLE[])"
+
+
+def _plane_dot_sql(emb: str, t: int, p: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {S.DIM + 1}), "
+        f"i -> ({emb}[i]::DOUBLE * {_plane_lit(t, p)}[i])))"
+    )
+
+
+def _bucket_sql(emb: str, t: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(emb, t, p)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(S.N_PLANES)
+    )
+    return f"({terms})::INT"
+
+
+#: buckets CTE body: one posting row per (vector, hash table).
+_BUCKETS = "\n      UNION ALL ".join(
+    f"SELECT vec_id AS id, embedding AS emb, {t} AS table_idx, {_bucket_sql('embedding', t)} AS bucket "
+    f"FROM embeddings"
+    for t in range(S.N_TABLES)
+)
+
+_TOPK_BRUTE_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_cos_sql('q.q_emb', 'c.embedding')} AS sim
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rk::INT AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rk <= {_K}
+"""
+
+_TOPK_LSH_ORACLE = f"""
+    WITH buckets AS (
+      {_BUCKETS}
+    ),
+    cand AS (
+        SELECT DISTINCT q.id AS query_id, q.emb AS q_emb, c.id AS neighbor_id, c.emb AS c_emb
+        FROM buckets c
+        JOIN buckets q ON c.table_idx = q.table_idx AND c.bucket = q.bucket
+        WHERE q.id < {_N_QUERIES} AND c.id <> q.id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, {_cos_sql('q_emb', 'c_emb')} AS sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_cos_sql('q_emb', 'c_emb')} DESC, neighbor_id ASC) AS rk
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, rk::INT AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rk <= {_K}
+"""
+
+_NEARDUP_EXACT_ORACLE = f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_cos_sql('a.embedding', 'b.embedding')} AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM pairs WHERE sim >= {_NEARDUP_T}
+"""
+
+_NEARDUP_LSH_ORACLE = f"""
+    WITH buckets AS (
+      {_BUCKETS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.emb AS emb_a, b.emb AS emb_b
+        FROM buckets a
+        JOIN buckets b ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    scored AS (
+        SELECT id_a, id_b, {_cos_sql('emb_a', 'emb_b')} AS sim FROM cand
+    )
+    SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {_NEARDUP_T}
+"""
+
+_KNN_VOTE_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS nb_label,
+               {_cos_sql('q.q_emb', 'c.embedding')} AS sim
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, nb_label,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, nb_label, COUNT(*) AS votes
+        FROM ranked WHERE rk <= 5
+        GROUP BY query_id, nb_label
+    ),
+    best AS (
+        SELECT query_id, nb_label, votes,
+               row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nb_label ASC) AS vr
+        FROM votes
+    )
+    SELECT query_id, nb_label AS pred_label, votes FROM best WHERE vr = 1
+"""
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register("sim_cosine_topk_bruteforce", oracle=_TOPK_BRUTE_ORACLE)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K)
+
+
+@register("sim_cosine_topk_lsh", oracle=_TOPK_LSH_ORACLE)
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.ann_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K)
+
+
+@register("sim_cosine_neardup_exact", oracle=_NEARDUP_EXACT_ORACLE)
+def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_T, use_lsh=False)
+
+
+@register("sim_cosine_neardup_lsh", oracle=_NEARDUP_LSH_ORACLE)
+def sim_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_T, use_lsh=True)
+
+
+@register("sim_knn_label_vote", oracle=_KNN_VOTE_ORACLE)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.knn_label_vote(emb, emb.filter(F.col("vec_id") < 20), k=5)
