@@ -1,0 +1,140 @@
+"""Text-analysis queries over the `documents` fixture — the operators in
+functions/text.py as oracle-checked `queries()` entries.
+
+Oracles are generated from the same constants (stopword lists, weights,
+winnowing parameters, hash constants) as the Spark expressions, so every
+query — including language-ID and fingerprinting — hash-matches DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.functions import text as T
+from lithops_dataframe_spark.plans.registry import register
+
+_TOKS = T.ws_tokens_sql("text")
+
+_TOKEN_STATS_ORACLE = f"""
+    SELECT doc_id,
+           len({_TOKS})::BIGINT AS n_ws_tokens,
+           len({T.bpe_ish_tokens_sql('text')})::BIGINT AS n_bpe_tokens,
+           len(list_distinct({_TOKS}))::BIGINT AS n_uniq_tokens,
+           ROUND((length(text) - (len({_TOKS}) - 1))::DOUBLE / len({_TOKS}), 6) AS mean_token_len
+    FROM documents
+"""
+
+_QUALITY_ORACLE = f"""
+    WITH scored AS (
+        SELECT lang, source, {T.quality_score_sql('text')} AS q, len({_TOKS}) AS n_toks
+        FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(q), 4) AS avg_quality,
+           ROUND(AVG(n_toks), 4) AS avg_tokens
+    FROM scored GROUP BY lang, source
+"""
+
+_LANGID_ORACLE = f"""
+    SELECT lang, {T.language_id_sql(_TOKS)} AS pred_lang, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, pred_lang
+"""
+
+_FINGERPRINT_ORACLE = f"""
+    WITH fp AS (
+        SELECT doc_id, {T.winnow_fingerprints_sql('text')} AS fps FROM documents
+    )
+    SELECT doc_id,
+           len(fps)::BIGINT AS n_fp,
+           COALESCE(list_min(fps), -1)::BIGINT AS min_fp
+    FROM fp
+"""
+
+_TOP_TOKENS_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk FROM counts
+    )
+    SELECT token, n FROM ranked WHERE rk <= 20
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    n_chars = F.length("text").cast("double")
+    n_toks = F.size(toks).cast("double")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+        F.size(T.bpe_ish_tokens(F.col("text"))).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq_tokens"),
+        F.round((n_chars - (n_toks - 1)) / n_toks, 6).alias("mean_token_len"),
+    )
+
+
+@register("text_quality_by_source", oracle=_QUALITY_ORACLE)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Narrow map computes the per-doc score; one hash-shuffle on the small
+    # (lang, source) key space — partial aggregation makes this scan-bound
+    # at 100 TB.
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "lang",
+        "source",
+        T.quality_score(F.col("text")).alias("q"),
+        F.size(T.ws_tokens(F.col("text"))).alias("n_toks"),
+    )
+    return scored.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+    )
+
+
+@register("text_langid_confusion", oracle=_LANGID_ORACLE)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", T.language_id(T.ws_tokens(F.col("text"))).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register("text_fingerprint_stats", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fps = T.winnow_fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.coalesce(F.array_min(fps), F.lit(-1)).cast("long").alias("min_fp"),
+    )
+
+
+@register("text_top_tokens", oracle=_TOP_TOKENS_ORACLE)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode → partial-agg per partition → shuffle on token → TakeOrdered:
+    # the classic word-count whose map-side combine keeps the shuffle tiny.
+    docs = _docs(spark, sf_dir)
+    counts = (
+        docs.select(F.explode(T.ws_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20).select("token", "n")
