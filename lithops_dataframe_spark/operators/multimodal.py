@@ -1,0 +1,209 @@
+"""Multimodal (image/audio/video) column plumbing (SURVEY §2.11).
+
+Reference context: the reference handles only CSV scalars (io.py:13-88);
+multimodal columns are a north-star extension. The design treats media as
+**opaque binary columns plus a typed metadata struct**, processed by
+Arrow-batched Pandas UDFs over ``mapInPandas`` — the shape a 100 TB
+image/audio pipeline needs: payloads never transit the driver, each task
+decodes its own Arrow batches, and outputs carry an explicit schema.
+
+Decode stubs: the real decoders (PIL / torchaudio / av) are not available
+in this environment. ``REAL_DECODE`` gates them behind an import-try; the
+fallback is a **deterministic fake decode** derived from ``md5(payload)``
+— clearly marked, stable across engines, and therefore *oracle-checkable*:
+the DuckDB twin SQL (plans/multimodal_q.py) reproduces every fake-decoded
+value from the same bytes, so the whole Arrow/mapInPandas plumbing is
+verified end-to-end by the correctness gate, not just smoke-tested.
+
+Operators:
+- :func:`media_table` — synthesize a media table from `documents`
+  (payload = UTF-8 bytes of `text`; media_type cycles image/audio/video).
+- :func:`decode_media` — per-row decode to typed metadata (width/height/
+  duration), ``mapInPandas``.
+- :func:`media_features` — fixed-size feature vector per payload
+  (md5-chunk features in the fake path), ``mapInPandas``.
+- :func:`resize_images` — metadata-transforming "resize" for image rows.
+- :func:`frame_sample` — UDTF-shaped row explosion: one output row per
+  256-char frame of each video payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - decoder libs absent in this environment
+    import PIL.Image  # noqa: F401
+
+    REAL_DECODE = True
+except ImportError:
+    REAL_DECODE = False
+
+#: chars per sampled video frame (fake-decode path).
+FRAME_CHARS = 256
+#: feature vector dimensionality (md5 yields 8 × 4-hex chunks).
+FEATURE_DIM = 8
+
+MEDIA_TYPES = ["image", "audio", "video"]
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """Synthetic media table: (doc_id, uri, media_type, payload, meta).
+
+    payload is the UTF-8 encoding of the document text — an opaque binary
+    column as far as every downstream operator is concerned. media_type
+    cycles by doc_id % 3. meta is a typed struct (n_bytes, lang, source).
+    """
+    mt = F.element_at(
+        F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("synthetic://docs/"), F.col("doc_id").cast("string")).alias("uri"),
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: (width, height, duration_ms) from md5.
+
+    NOT a real decoder — stands in for PIL/av in this environment; the
+    DuckDB oracle reproduces these exact values from the same bytes.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    width = 16 + int(h[0:4], 16) % 1024
+    height = 16 + int(h[4:8], 16) % 1024
+    duration_ms = int(h[8:13], 16) % 600_000
+    return width, height, duration_ms
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, duration_ms int, n_bytes long"
+)
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode payloads to typed metadata via Arrow-batched ``mapInPandas``.
+
+    image → (width, height, null); audio → (null, null, duration);
+    video → (width, height, duration). Batch-at-a-time, schema-declared —
+    swap ``_fake_dims`` for a real decoder without touching the plan.
+    """
+    if REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("real decoders are stubbed out in this environment")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_dims(bytes(p)) for p in pdf["payload"]]
+            mt = pdf["media_type"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": mt,
+                    "width": [
+                        w if t in ("image", "video") else None for (w, _, _), t in zip(dims, mt)
+                    ],
+                    "height": [
+                        h if t in ("image", "video") else None for (_, h, _), t in zip(dims, mt)
+                    ],
+                    "duration_ms": [
+                        d if t in ("audio", "video") else None for (_, _, d), t in zip(dims, mt)
+                    ],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(fn, _DECODE_SCHEMA)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Fixed-size feature vector per payload (f0..f7 in [0,1], 6 decimals).
+
+    Fake path: 4-hex md5 chunks / 65535 — deterministic stand-in for a
+    real embedding model; the Arrow batch shape and declared schema are
+    exactly what a model-backed extractor would use.
+    """
+    schema = "doc_id long, " + ", ".join(f"f{i} double" for i in range(FEATURE_DIM))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hexes = [hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = [round(int(h[4 * i : 4 * i + 4], 16) / 65535, 6) for h in hexes]
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
+def resize_images(media: DataFrame, *, max_side: int = 128) -> DataFrame:
+    """'Resize' image rows: halve dimensions until both fit max_side.
+
+    Fake path transforms metadata only (payload untouched) — the real
+    implementation would re-encode bytes in the same mapInPandas pass.
+    """
+    if REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("real resize is stubbed out in this environment")
+
+    schema = "doc_id long, width int, height int, out_width int, out_height int"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ = _fake_dims(bytes(p))
+                ow, oh = w, h
+                while ow > max_side or oh > max_side:
+                    ow, oh = max(1, ow // 2), max(1, oh // 2)
+                rows.append((doc_id, w, h, ow, oh))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "out_width", "out_height"])
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("doc_id", "payload")
+        .mapInPandas(fn, schema)
+    )
+
+
+def frame_sample(media: DataFrame) -> DataFrame:
+    """Sample 'frames' from video payloads — UDTF-shaped (1 row → N rows).
+
+    Fake path: consecutive FRAME_CHARS-char slices of the payload text,
+    each fingerprinted with md5. A real implementation would emit decoded
+    keyframes; the explosion/batching/schema shape is identical.
+    """
+    if REAL_DECODE:  # pragma: no cover
+        raise NotImplementedError("real frame decode is stubbed out in this environment")
+
+    schema = "doc_id long, frame_idx int, frame_chars int, frame_md5 string"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                # char-based slicing of the ASCII payload (parity with SQL substr)
+                s = bytes(p).decode("utf-8")
+                for i in range(math.ceil(len(s) / FRAME_CHARS)):
+                    frame = s[i * FRAME_CHARS : (i + 1) * FRAME_CHARS]
+                    rows.append(
+                        (doc_id, i, len(frame), hashlib.md5(frame.encode("utf-8")).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_chars", "frame_md5"])
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+        .mapInPandas(fn, schema)
+    )

@@ -1,0 +1,99 @@
+"""Multimodal queries — the mapInPandas operators in operators/multimodal.py
+cross-checked against DuckDB twins computed from the same payload bytes.
+
+Because the fake decode is a pure function of md5(payload) and the payload
+is the UTF-8 encoding of ASCII document text, DuckDB's VARCHAR md5
+reproduces Python hashlib's digest exactly — so the Arrow/mapInPandas
+plumbing (binary columns in, typed batches out, row explosion) is verified
+by value hash, not merely smoke-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators import multimodal as M
+from lithops_dataframe_spark.plans.registry import register
+
+# media_type by doc_id % 3 (matches operators/multimodal.py MEDIA_TYPES).
+_MT = "(CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END)"
+_W = "(16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)"
+_H = "(16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)"
+_D = "(('0x' || substr(md5(text), 9, 5))::BIGINT % 600000)"
+
+_DECODE_ORACLE = f"""
+    SELECT doc_id,
+           {_MT} AS media_type,
+           (CASE WHEN {_MT} IN ('image','video') THEN {_W} END)::INT AS width,
+           (CASE WHEN {_MT} IN ('image','video') THEN {_H} END)::INT AS height,
+           (CASE WHEN {_MT} IN ('audio','video') THEN {_D} END)::INT AS duration_ms,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents
+"""
+
+_FEATURES_ORACLE = "SELECT doc_id, " + ", ".join(
+    f"ROUND((('0x' || substr(md5(text), {4 * i + 1}, 4))::BIGINT)::DOUBLE / 65535, 6) AS f{i}"
+    for i in range(M.FEATURE_DIM)
+) + " FROM documents"
+
+_RESIZE_ORACLE = f"""
+    WITH img AS (
+        SELECT doc_id, {_W} AS w, {_H} AS h FROM documents WHERE doc_id % 3 = 0
+    ),
+    halved AS (
+        -- steps = min s with m // 2^s <= 128, i.e. m <= 129 * 2^s - 1;
+        -- fixture dims are 16..1039 so at most 4 halvings
+        SELECT doc_id, w, h,
+               CASE WHEN greatest(w, h) <= 128 THEN 0
+                    WHEN greatest(w, h) <= 257 THEN 1
+                    WHEN greatest(w, h) <= 515 THEN 2
+                    WHEN greatest(w, h) <= 1031 THEN 3
+                    ELSE 4 END AS steps
+        FROM img
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           greatest(1, w // (1 << steps))::INT AS out_width,
+           greatest(1, h // (1 << steps))::INT AS out_height
+    FROM halved
+"""
+
+_FRAMES_ORACLE = f"""
+    WITH v AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+        SELECT doc_id, text,
+               unnest(range((length(text) + {M.FRAME_CHARS - 1}) // {M.FRAME_CHARS})) AS i
+        FROM v
+    )
+    SELECT doc_id,
+           i::INT AS frame_idx,
+           length(substr(text, (i * {M.FRAME_CHARS} + 1)::INT, {M.FRAME_CHARS}))::INT AS frame_chars,
+           md5(substr(text, (i * {M.FRAME_CHARS} + 1)::INT, {M.FRAME_CHARS})) AS frame_md5
+    FROM f
+"""
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.media_table(load_table(spark, sf_dir, "documents"))
+
+
+@register("mm_decode_media", oracle=_DECODE_ORACLE)
+def mm_decode_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.decode_media(_media(spark, sf_dir))
+
+
+@register("mm_media_features", oracle=_FEATURES_ORACLE)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.media_features(_media(spark, sf_dir))
+
+
+@register("mm_resize_images", oracle=_RESIZE_ORACLE)
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.resize_images(_media(spark, sf_dir), max_side=128)
+
+
+@register("mm_frame_sample", oracle=_FRAMES_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.frame_sample(_media(spark, sf_dir))
