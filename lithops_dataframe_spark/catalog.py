@@ -41,19 +41,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
+    matching DuckDB's ns→µs truncation in the oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer `div`, not floor(x/1000): double division loses ulps at
+        # ~1.7e18 ns and shifts some timestamps by 1 µs vs the oracle.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
-        # matching DuckDB's ns→µs truncation in the oracle.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer `div`, not floor(x/1000): double division loses ulps at
-            # ~1.7e18 ns and shifts some timestamps by 1 µs vs the oracle.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df
 
 

@@ -19,5 +19,6 @@ from lithops_dataframe_spark.plans import dedup_q  # noqa: F401
 from lithops_dataframe_spark.plans import similarity_q  # noqa: F401
 from lithops_dataframe_spark.plans import text_q  # noqa: F401
 from lithops_dataframe_spark.plans import multimodal_q  # noqa: F401
+from lithops_dataframe_spark.plans import streaming_q  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "query_names"]

@@ -1,0 +1,111 @@
+"""Streaming-surface queries registered in BATCH mode (the driver gate runs
+batch plans): every builder in streaming/events.py applied to the batch
+events table, with DuckDB oracles. The streaming half of the contract —
+that the SAME builders produce identical results under readStream +
+availableNow replay — is asserted in tests/test_streaming.py.
+
+Window-origin parity: Spark's `window()` and DuckDB's `time_bucket` both
+align tumbling buckets to the 1970-01-01 epoch; the session pins UTC so
+timestamp arithmetic agrees.
+
+Session-window parity: Spark merges an event into a session iff its ts is
+strictly inside [start, last_ts + gap); the oracle's gaps-and-islands
+`>= gap → new session` reproduces the exclusive end bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.streaming import events as SE
+from lithops_dataframe_spark.plans.registry import register
+
+_TUMBLING_ORACLE = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS w_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+"""
+
+_SLIDING_ORACLE = """
+    WITH offs AS (SELECT unnest(range(2)) AS k),
+    e AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start,
+               value
+        FROM events, offs
+    )
+    SELECT w_start, w_start + INTERVAL '1 hour' AS w_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM e GROUP BY 1, 2
+"""
+
+_SESSION_ORACLE = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL '10 minutes' AS s_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
+"""
+
+_DEDUP_ORACLE = """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+    GROUP BY event_type
+"""
+
+_DAILY_ORACLE = """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.tumbling_counts(_events(spark, sf_dir))
+
+
+@register("stream_sliding_activity", oracle=_SLIDING_ORACLE)
+def stream_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.sliding_user_activity(_events(spark, sf_dir))
+
+
+@register("stream_session_windows", oracle=_SESSION_ORACLE)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.session_windows(_events(spark, sf_dir))
+
+
+@register("stream_dedup_events", oracle=_DEDUP_ORACLE)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.dedup_events(_events(spark, sf_dir))
+
+
+@register("stream_daily_type_revenue", oracle=_DAILY_ORACLE)
+def stream_daily_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.daily_type_revenue(_events(spark, sf_dir))

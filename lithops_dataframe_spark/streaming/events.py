@@ -1,0 +1,192 @@
+"""Structured Streaming surface over the `events` table (SURVEY §2.10).
+
+Reference context: the reference has no streaming at all — this is the
+north-star slice. Discipline: **batch-first, streaming as incrementalized
+batch.** Every transformation here is written against a plain DataFrame,
+so the SAME builder runs in two modes:
+
+- batch: applied to ``spark.read.parquet(events)`` → oracle-checked
+  against DuckDB (plans/streaming_q.py);
+- streaming: applied to ``spark.readStream`` over the same files
+  (file source + ``availableNow`` trigger) → asserted **equal to the
+  batch result** in tests/test_streaming.py (incremental-view-maintenance
+  equivalence).
+
+Watermarks bound state at scale: with a 1-day watermark over a 30-day
+replay, completed windows are evicted instead of accumulating; the file
+replay delivers data roughly in ts order so nothing is dropped and the
+batch equivalence holds exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: watermark delay for all event-time operators.
+WATERMARK = "1 day"
+
+
+def read_events_stream(spark: SparkSession, events_dir: str, schema) -> DataFrame:
+    """File-source replay of an events directory (parquet), 1 file/trigger.
+
+    At scale the same plan reads from Kafka — only this reader changes.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def with_watermark(events: DataFrame) -> DataFrame:
+    """Apply the event-time watermark on streaming inputs; no-op for batch
+    (watermark is legal but ignored in batch mode)."""
+    return events.withWatermark("ts", WATERMARK)
+
+
+def tumbling_counts(events: DataFrame, *, size: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    Streaming: partial aggregation per micro-batch + state store keyed by
+    (window, event_type); watermark evicts closed windows. Batch: ordinary
+    hash aggregate — identical results on the same input.
+    """
+    w = F.window("ts", size)
+    return (
+        with_watermark(events)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_user_activity(events: DataFrame, *, size: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding-window activity: each event lands in size/slide overlapping
+    windows (here 2). Exact count+sum only — distinct counts in streaming
+    go through approx_count_distinct or a dedup-then-count pipeline."""
+    w = F.window("ts", size, slide)
+    return (
+        with_watermark(events)
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, *, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows: events within `gap` merge into one session.
+
+    ``session_window`` works identically in batch and streaming (merging
+    session state per user in the state store when streaming).
+    """
+    sw = F.session_window("ts", gap)
+    return (
+        with_watermark(events)
+        .groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Exact dedup on event_id with watermark-bounded state.
+
+    Streaming keeps one state entry per event_id inside the watermark
+    horizon; batch is a plain dropDuplicates. Aggregated here (count +
+    value sum) so the result is a stable small frame in both modes.
+    """
+    deduped = with_watermark(events).dropDuplicates(["event_id"])
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (n_events, sum_value)
+    via ``applyInPandasWithState`` — the template for operators Spark's
+    built-in aggregations can't express (per-key custom state machines).
+
+    Emits one row per user per micro-batch with the running totals; state
+    is a single (count, sum) pair per user_id, so state size is O(users)
+    regardless of event volume. Batch equivalence: the totals emitted
+    after the last micro-batch equal ``groupBy(user_id).agg(count, sum)``
+    over the full input (asserted in tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]})
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def daily_type_revenue(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day revenue per event_type — the rollup a hypertable
+    continuous aggregate would maintain incrementally."""
+    return (
+        with_watermark(events)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("day_start"), "event_type", "n_events", "sum_value", "avg_value")
+    )

@@ -1,0 +1,99 @@
+"""Stream-vs-batch equivalence: every builder in streaming/events.py must
+produce IDENTICAL results when fed the same data through a file-source
+replay (readStream + availableNow, 1 file per micro-batch) as when run as
+a plain batch plan — the incremental-view-maintenance discipline of
+SURVEY §2.10.
+
+The replay directory stages the events file TWICE, so the input contains
+full duplicates: this makes dedup_events a real cross-micro-batch state
+test (duplicates arrive in different micro-batches) rather than a no-op.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pytest
+
+from lithops_dataframe_spark.catalog import normalize_events_ts
+from lithops_dataframe_spark.streaming import events as SE
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_replay")
+    src = f"{SF_SMOKE}/events.parquet"
+    shutil.copy(src, d / "part-0000.parquet")
+    shutil.copy(src, d / "part-0001.parquet")
+    return str(d)
+
+
+def _run_stream_mode(spark, stream_df, mode):
+    name = "mem_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "stream did not finish in 300s"
+    return spark.table(name)
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "builder",
+    [
+        SE.tumbling_counts,
+        SE.sliding_user_activity,
+        SE.session_windows,
+        SE.dedup_events,
+        SE.daily_type_revenue,
+    ],
+    ids=lambda b: b.__name__,
+)
+def test_stream_equals_batch(spark, replay_dir, builder):
+    raw = spark.read.parquet(replay_dir)
+    expected = builder(normalize_events_ts(raw))
+
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay_dir, raw.schema))
+    got = _run_stream_mode(spark, builder(stream_in), "complete")
+
+    assert _rows(got, expected.columns) == _rows(expected)
+
+
+def test_stateful_running_totals(spark, replay_dir):
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(replay_dir)
+    batch_in = normalize_events_ts(raw)
+    expected = _rows(
+        batch_in.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay_dir, raw.schema))
+    emitted = _run_stream_mode(spark, SE.user_running_totals(stream_in), "update")
+    # update mode emits one row per user per micro-batch; the final state
+    # is the row with the largest running count per user.
+    final = (
+        emitted.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+    )
+    got = _rows(final, ["user_id", "n_events", "sum_value"])
+    # the stateful path sums floats sequentially per micro-batch; compare
+    # sums at 4 decimals (both sides rounded) — exact unless ties
+    assert got == expected
