@@ -1,0 +1,139 @@
+"""Differential tests for the LDFrame pandas-parity veneer (SURVEY §2.4/2.9):
+every reduction against the pandas oracle (the reference's implicit oracle —
+each operator there calls the same-named pandas method per chunk), including
+the skipna/min_count/ddof corners and edge frames the fixtures under-sample
+(all-null columns, single row, negative values).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from lithops_dataframe_spark.frame import LDFrame
+
+EDGE = pd.DataFrame(
+    {
+        "a": [1.0, None, 3.0, -4.5, 2.5],
+        "b": [float("nan")] * 5,
+        "c": [2, 0, 7, 1, 9],
+        "d": [True, False, True, True, False],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def ldf(spark):
+    # explicit schema: the all-null column b must be double, not void
+    return LDFrame(
+        spark.createDataFrame(EDGE, schema="a double, b double, c long, d boolean").repartition(3)
+    )
+
+
+def _one_row(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0].asDict()
+
+
+def _close(a, b):
+    if a is None and (b is None or (isinstance(b, float) and math.isnan(b))):
+        return True
+    if b is None or (isinstance(b, float) and math.isnan(b)):
+        return a is None
+    return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+@pytest.mark.parametrize("skipna", [True, False])
+@pytest.mark.parametrize("op", ["sum", "min", "max", "mean", "std", "prod"])
+def test_reduction_axis0_matches_pandas(ldf, op, skipna):
+    got = _one_row(getattr(ldf, op)(axis=0, skipna=skipna))
+    exp = getattr(EDGE[["a", "b", "c"]], op)(axis=0, skipna=skipna)
+    for c in ("a", "b", "c"):
+        e = exp[c]
+        e = None if (isinstance(e, float) and math.isnan(e)) else e
+        # pandas sum/prod over all-NaN with skipna=True give 0/1 identity;
+        # SQL aggregates give NULL. Pin the SQL convention for column b.
+        if c == "b" and skipna and op in ("sum", "prod"):
+            assert got[c] is None
+            continue
+        assert _close(got[c], e), f"{op} skipna={skipna} col={c}: {got[c]} != {e}"
+
+
+def test_sum_min_count(ldf):
+    got = _one_row(ldf.sum(axis=0, min_count=5))
+    # a has 4 non-null < 5 → null; c has 5 → 14.5 equivalent sum
+    assert got["a"] is None
+    assert _close(got["c"], 19)
+    got2 = _one_row(ldf.sum(axis=0, min_count=4))
+    assert _close(got2["a"], 2.0)
+
+
+@pytest.mark.parametrize("ddof", [0, 1, 2])
+def test_std_ddof(ldf, ddof):
+    got = _one_row(ldf.std(axis=0, ddof=ddof))
+    exp = EDGE[["a", "b", "c"]].std(axis=0, ddof=ddof)
+    for c in ("a", "c"):
+        assert _close(got[c], exp[c]), f"ddof={ddof} col={c}: {got[c]} != {exp[c]}"
+
+
+def test_count_axis0(ldf):
+    got = _one_row(ldf.count(axis=0))
+    assert got == {"a": 4, "b": 0, "c": 5, "d": 5}
+
+
+def test_rowwise_sum_mean(ldf):
+    got = sorted(r["sum"] for r in ldf.sum(axis=1).collect())
+    exp = sorted(EDGE[["a", "b", "c"]].sum(axis=1, skipna=True))
+    assert all(_close(g, e) for g, e in zip(got, exp))
+    gotm = sorted(r["mean"] for r in ldf.mean(axis=1).collect())
+    expm = sorted(EDGE[["a", "b", "c"]].mean(axis=1, skipna=True))
+    assert all(_close(g, e) for g, e in zip(gotm, expm))
+
+
+def test_all_any(ldf):
+    got = _one_row(ldf.all(axis=0))
+    exp = EDGE[["a", "b", "c", "d"]].all(axis=0, skipna=True)
+    assert got["d"] == bool(exp["d"])
+    assert got["c"] == bool(exp["c"])  # c contains 0 → False
+    gota = _one_row(ldf.any(axis=0))
+    assert gota["d"] is True and gota["b"] is False
+
+
+def test_apply_rowwise(ldf, spark):
+    out = (
+        ldf.apply(lambda r: (r["c"] or 0) * 2, axis=1, meta="c2 long")
+        .spark.collect()
+    )
+    assert sorted(r["c2"] for r in out) == sorted(int(c) * 2 for c in EDGE["c"])
+
+
+def test_apply_axis0_rejected(ldf):
+    with pytest.raises(NotImplementedError):
+        ldf.apply(lambda r: r, axis=0, meta="x long")
+
+
+def test_map_partitions_partition_info(ldf):
+    out = ldf.map_partitions(
+        lambda pdf, partition_info=None: pd.DataFrame(
+            {"n": [len(pdf)], "pid": [partition_info["number"]]}
+        ),
+        meta="n long, pid int",
+        partition_info=True,
+    ).spark.collect()
+    assert sum(r["n"] for r in out) == len(EDGE)
+    assert len({r["pid"] for r in out}) == len(out)
+
+
+def test_generic_reduction(ldf):
+    out = ldf.reduction(
+        chunk=lambda pdf: pd.DataFrame({"s": [pdf["c"].sum()], "n": [len(pdf)]}),
+        aggregate=lambda pdf: pd.DataFrame(
+            {"total": [int(pdf["s"].sum())], "rows": [int(pdf["n"].sum())]}
+        ),
+        meta="total long, rows long",
+        chunk_meta="s long, n long",
+    ).collect()
+    assert out[0]["total"] == int(EDGE["c"].sum()) and out[0]["rows"] == len(EDGE)

@@ -1,0 +1,80 @@
+"""Property-based invariants (SURVEY §5.2.4): results must be independent of
+physical partitioning — the distributed-correctness property the reference's
+``split_every`` tree-reduction machinery declares (core.py:55-59) and Spark's
+exchange-based aggregation must deliver. Each invariant runs a representative
+query over the same data at several partition counts and asserts identical
+results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.operators import dedup as D
+
+from tests.conftest import SF_SMOKE
+
+PARTITIONS = [1, 7, 32]
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("n", PARTITIONS)
+def test_sum_invariant_under_repartition(spark, n):
+    li = load_table(spark, SF_SMOKE, "lineitem").repartition(n)
+    got = li.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_discount"), 9).alias("d"),
+    )
+    base = load_table(spark, SF_SMOKE, "lineitem").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_discount"), 9).alias("d"),
+    )
+    assert _rows(got) == _rows(base)
+
+
+@pytest.mark.parametrize("n", PARTITIONS)
+def test_dedup_invariant_under_repartition(spark, n):
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    doubled = docs.unionByName(docs).repartition(n)
+    got = D.exact_dedup(doubled)
+    assert got.count() == docs.count()
+
+
+@pytest.mark.parametrize("n", PARTITIONS)
+def test_minhash_pairs_invariant_under_repartition(spark, n):
+    docs = load_table(spark, SF_SMOKE, "documents").repartition(n)
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", shingle_n=2, bands=4, threshold=0.6)
+    key = _rows(pairs)
+    docs1 = load_table(spark, SF_SMOKE, "documents").coalesce(1)
+    base = _rows(D.minhash_lsh_pairs(docs1, "text", "doc_id", shingle_n=2, bands=4, threshold=0.6))
+    assert key == base
+
+
+def test_union_distinct_idempotence(spark):
+    # count(distinct) invariant under union with itself (SURVEY §5.2.4)
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    once = orders.distinct().count()
+    twice = orders.unionByName(orders).distinct().count()
+    assert once == twice
+
+
+def test_minhash_signature_stability(spark):
+    # signatures are pure functions of text: recomputing under a different
+    # plan shape yields byte-identical arrays
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    sig = docs.select("doc_id", H.minhash_signature(H.word_shingles(F.col("text"), 2)).alias("sig"))
+    a = {r["doc_id"]: list(r["sig"]) for r in sig.collect()}
+    b = {
+        r["doc_id"]: list(r["sig"])
+        for r in sig.repartition(13).collect()
+    }
+    assert a == b

