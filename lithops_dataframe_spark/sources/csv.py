@@ -124,6 +124,23 @@ def read_csv(
         if len(names) != len(df.columns):
             raise ValueError(f"names has {len(names)} entries but CSV has {len(df.columns)} columns")
         df = df.toDF(*names)
+    if true_values or false_values:
+        # pandas true_values/false_values: map the tokens to canonical
+        # 'true'/'false' strings BEFORE any dtype cast, so a subsequent
+        # bool cast (dtype={'col': 'bool'}) resolves them; columns stay
+        # string-typed otherwise (Spark columns cannot mix types).
+        from pyspark.sql import functions as F
+
+        tv = list(true_values or [])
+        fv = list(false_values or [])
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StringType):
+                df = df.withColumn(
+                    f.name,
+                    F.when(df[f.name].isin(tv), F.lit("true"))
+                    .when(df[f.name].isin(fv), F.lit("false"))
+                    .otherwise(df[f.name]),
+                )
     if dtype is not None and schema is None:
         for c, dt in dtype.items():
             spark_dt = _PANDAS_TO_SPARK_DTYPE.get(str(dt).lower())
@@ -133,23 +150,6 @@ def read_csv(
     if parse_dates and schema is None:
         for c in parse_dates:
             df = df.withColumn(c, df[c].cast("timestamp"))
-    if true_values or false_values:
-        from pyspark.sql import functions as F
-
-        tv = list(true_values or [])
-        fv = list(false_values or [])
-        for c in dtype or {}:
-            pass  # bool coercion handled via dtype cast above
-        for f in df.schema.fields:
-            if isinstance(f.dataType, T.StringType):
-                df = df.withColumn(
-                    f.name,
-                    F.when(df[f.name].isin(tv), True)
-                    .when(df[f.name].isin(fv), False)
-                    .otherwise(df[f.name])
-                    if tv or fv
-                    else df[f.name],
-                )
     if skiprows:
         raise ValueError("skiprows is not supported distributed (no stable row order in a parallel scan)")
     if usecols is not None:
