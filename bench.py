@@ -27,6 +27,11 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
+    "q10_returned_items_topk",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk_lsh",
+    "text_quality_by_source",
+    "stream_session_windows",
 ]
 
 

@@ -97,9 +97,24 @@ def minhash_component(shingles: Column, i: int) -> Column:
     return F.array_min(F.transform(shingles, lambda s: (F.lit(a) * (token_hash(s)) + F.lit(b)) % P))
 
 
+def minhash_component_from_hashes(hashes: Column, i: int) -> Column:
+    """Component i over PRE-HASHED shingles (token_hash already applied)."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    return F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P))
+
+
 def minhash_signature(shingles: Column) -> Column:
     """Array of MINHASH_K minhash values for a shingle-array column."""
     return F.array(*[minhash_component(shingles, i) for i in range(MINHASH_K)])
+
+
+def minhash_signature_from_hashes(hashes: Column) -> Column:
+    """Signature over a pre-hashed shingle array — md5 runs ONCE per
+    shingle (in the projection that built `hashes`) instead of once per
+    component; the affine (a*h+b)%P mixes are integer-cheap.
+
+    Identical output to :func:`minhash_signature` by construction."""
+    return F.array(*[minhash_component_from_hashes(hashes, i) for i in range(MINHASH_K)])
 
 
 def minhash_signature_sql(shingles_expr: str) -> str:
@@ -154,7 +169,13 @@ def simhash(tokens: Column) -> Column:
     Bit j of the result is 1 iff the majority of token hashes have bit j set
     (strictly positive vote sum; zero votes → 0 on both engines).
     """
-    hashes = F.transform(tokens, token_hash60)
+    return simhash_from_hashes(F.transform(tokens, token_hash60))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """SimHash over a pre-hashed token array. Prefer materializing the
+    hash array in its own projection (``withColumn``) so md5 runs once per
+    token, not once per bit position."""
 
     def _vote(j: int):
         # closure factory: pyspark higher-order functions infer lambda arity,

@@ -60,9 +60,18 @@ def with_minhash(
     shingle_n: int = 2,
 ) -> DataFrame:
     """Attach ``__shingles`` (distinct word n-grams) and ``__sig`` (minhash
-    signature array, k=16) columns. Narrow map, no shuffle."""
+    signature array, k=16) columns. Narrow map, no shuffle.
+
+    The md5 token hash is materialized once per shingle in its own
+    projection; the 16 signature components are integer affine mixes of
+    that array (16× fewer md5 evaluations than the naive form)."""
     sh = H.word_shingles(F.col(text_col), shingle_n)
-    return df.withColumn("__shingles", sh).withColumn("__sig", H.minhash_signature(F.col("__shingles")))
+    return (
+        df.withColumn("__shingles", sh)
+        .withColumn("__hashes", F.transform(F.col("__shingles"), H.token_hash))
+        .withColumn("__sig", H.minhash_signature_from_hashes(F.col("__hashes")))
+        .drop("__hashes")
+    )
 
 
 def minhash_lsh_pairs(
@@ -73,6 +82,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 2,
     bands: int = 4,
     threshold: float = 0.6,
+    reuse_signatures: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard verification.
 
@@ -93,11 +103,23 @@ def minhash_lsh_pairs(
     base = with_minhash(df.select(id_col, text_col), text_col, shingle_n=shingle_n).select(
         F.col(id_col).alias("id"), "__shingles", "__sig"
     )
+    if reuse_signatures:
+        # base feeds three lineages (both join sides + verification);
+        # persisting computes shingles+signatures once instead of 3×.
+        # MEMORY_AND_DISK spills at corpus scale; callers running many
+        # queries in one session may pass reuse_signatures=False or
+        # unpersist via base's storage (bounded here: per-process bench/
+        # driver sessions).
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # Slim postings: the band self-join shuffles only (id, band_idx,
+    # band_key) — never the shingle arrays. Shingles rejoin AFTER candidate
+    # dedup, so payload movement is O(candidates), not O(docs × bands).
     posted = base.select(
         "id",
-        "__shingles",
         F.explode(H.band_signatures(F.col("__sig"), bands)).alias("band"),
-    ).select("id", "__shingles", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+    ).select("id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
 
     a, b = posted.alias("a"), posted.alias("b")
     cand = (
@@ -107,13 +129,13 @@ def minhash_lsh_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__shingles").alias("sh_a"),
-            F.col("b.__shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("id", "__shingles")
+    cand = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("__shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("__shingles").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -129,9 +151,14 @@ def with_simhash(df: DataFrame, text_col: str, *, shingle_n: int = 2) -> DataFra
 
     Shingles (not unigrams) keep word order in the fingerprint — on corpora
     with a small shared vocabulary, unigram-set simhash collapses most
-    documents to near-identical fingerprints.
+    documents to near-identical fingerprints. Token hashes are materialized
+    once (own projection) before the 60 per-bit votes.
     """
-    return df.withColumn("__simhash", H.simhash(H.word_shingles(F.col(text_col), shingle_n)))
+    return (
+        df.withColumn("__tokhashes", F.transform(H.word_shingles(F.col(text_col), shingle_n), H.token_hash60))
+        .withColumn("__simhash", H.simhash_from_hashes(F.col("__tokhashes")))
+        .drop("__tokhashes")
+    )
 
 
 def simhash_pairs(

@@ -93,17 +93,50 @@ def bucket_key(a: Column, table: int) -> Column:
     return key.cast("int")
 
 
+def all_plane_dots(a: Column) -> Column:
+    """All N_TABLES×N_PLANES hyperplane dots in ONE pass.
+
+    A single ``transform`` over a literal array-of-planes keeps the
+    expression tree one lambda deep — the naive per-plane formulation
+    duplicates the fold lambda 32×, which costs seconds of driver-side
+    analysis per query (constant, but pure overhead). Dot i is for
+    table i // N_PLANES, plane i % N_PLANES.
+    """
+    planes = F.array(
+        *[
+            F.array(*[F.lit(v) for v in HYPERPLANES[t][p]])
+            for t in range(N_TABLES)
+            for p in range(N_PLANES)
+        ]
+    )
+    return F.transform(planes, lambda plane: dot(a, plane))
+
+
 def with_buckets(df: DataFrame, emb_col: str) -> DataFrame:
-    """Explode each row into N_TABLES (table_idx, bucket) postings (narrow map)."""
+    """Explode each row into N_TABLES (table_idx, bucket) postings.
+
+    Narrow map, no shuffle: dots are materialized once per row
+    (``__dots`` projection), bucket keys are cheap sign-bit sums over it.
+    """
+    dotted = df.withColumn("__dots", all_plane_dots(F.col(emb_col)))
+
+    def key(t: int) -> Column:
+        k = F.lit(0)
+        for p in range(N_PLANES):
+            k = k + F.when(
+                F.element_at(F.col("__dots"), t * N_PLANES + p + 1) > 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+        return k.cast("int")
+
     posting = F.explode(
         F.array(
             *[
-                F.struct(F.lit(t).alias("table_idx"), bucket_key(F.col(emb_col), t).alias("bucket"))
+                F.struct(F.lit(t).alias("table_idx"), key(t).alias("bucket"))
                 for t in range(N_TABLES)
             ]
         )
     ).alias("p")
-    return df.select("*", posting).select(
+    return dotted.select("*", posting).select(
         *df.columns, F.col("p.table_idx").alias("table_idx"), F.col("p.bucket").alias("bucket")
     )
 

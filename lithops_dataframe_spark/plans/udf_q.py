@@ -1,0 +1,126 @@
+"""Pandas-UDF surface queries (SURVEY §2.9's ABSENT rows): grouped-map
+``applyInPandas`` (frame→frame per group — the UDTF-like shape) and a
+grouped-agg pandas UDAF, both oracle-checked against DuckDB.
+
+Scale notes: grouped-map materializes each group as one pandas frame in one
+task — correct for bounded groups (here: returnflag×linestatus, ≤6 groups
+split across tasks by hash). For unbounded groups the same semantics should
+be expressed with window functions (see udf_grouped_zscore's docstring);
+the query exists to verify the *API surface* with real Arrow plumbing.
+
+Float discipline: pandas/numpy sum order differs from DuckDB's, so ratio
+outputs are rounded to 4 decimals on both sides (error ~1e-8, granularity
+1e-4 → no boundary flakes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.plans.registry import register
+
+_ZSCORE_ORACLE = """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROUND((l_extendedprice - AVG(l_extendedprice) OVER w)
+                 / STDDEV_SAMP(l_extendedprice) OVER w, 4) AS price_z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+"""
+
+_WAVG_ORACLE = """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+_TRIM_ORACLE = """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(AVG(l_extendedprice), 4) AS trimmed_mean,
+           COUNT(*) AS n_kept
+    FROM ranked
+    WHERE rk > n // 10 AND rk <= n - n // 10
+    GROUP BY l_returnflag
+"""
+
+
+@register("udf_grouped_zscore", oracle=_ZSCORE_ORACLE)
+def udf_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via grouped-map ``applyInPandas``.
+
+    At 100 TB, per-row standardization against group stats should be the
+    window-function plan in the oracle SQL (two passes, no group
+    materialization); the grouped-map form verifies the pandas
+    frame→frame surface (reference analog: the intended ACA/groupby-apply
+    machinery, core.py:551-758).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"]
+        z = (x - x.mean()) / x.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "price_z": z.round(4),
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        zscore, "l_orderkey long, l_linenumber long, l_returnflag string, price_z double"
+    )
+
+
+@register("udf_grouped_agg_weighted_avg", oracle=_WAVG_ORACLE)
+def udf_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price per returnflag via a GROUPED_AGG
+    pandas UDAF — the generic-UDAF shape of the reference's
+    chunk/combine/aggregate contract (core.py:15-144)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+@register("udf_grouped_trimmed_mean", oracle=_TRIM_ORACLE)
+def udf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per group via grouped-map — an order-statistic
+    aggregate SQL needs window machinery for; pandas does it in-group.
+    Oracle mirrors with row_number/count windows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    def tmean(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_extendedprice"].sort_values().reset_index(drop=True)
+        n = len(x)
+        k = n // 10
+        kept = x.iloc[k : n - k]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "trimmed_mean": [round(float(kept.mean()), 4)],
+                "n_kept": [len(kept)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        tmean, "l_returnflag string, trimmed_mean double, n_kept long"
+    )
