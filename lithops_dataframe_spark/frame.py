@@ -58,6 +58,74 @@ def from_spark(df: DataFrame) -> "LDFrame":
     return LDFrame(df)
 
 
+_AGG_FNS: dict[str, Callable[[str], Column]] = {
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "mean": lambda c: F.avg(c),
+    "avg": lambda c: F.avg(c),
+    "count": lambda c: F.count(c),
+    "std": lambda c: F.stddev_samp(c),
+    "var": lambda c: F.var_samp(c),
+    "first": lambda c: F.first(c),
+    "last": lambda c: F.last(c),
+    "nunique": lambda c: F.countDistinct(c),
+}
+
+
+class LDGroupBy:
+    """pandas-flavored grouped frame: ``agg`` with {col: fn} dicts plus the
+    named shortcuts (sum/mean/count/...). Compiles to a single Spark
+    hash-aggregate (partial → exchange → final)."""
+
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self._df = df
+        self._keys = keys
+
+    def agg(self, spec: dict[str, str | Sequence[str]]) -> "LDFrame":
+        """``agg({'x': 'sum', 'y': ['min', 'max']})`` → columns named
+        pandas-flat style ``x_sum``, ``y_min``, ``y_max``."""
+        aggs: list[Column] = []
+        for col, fns in spec.items():
+            for fn in [fns] if isinstance(fns, str) else list(fns):
+                if fn not in _AGG_FNS:
+                    raise ValueError(f"unsupported aggregate: {fn}")
+                aggs.append(_AGG_FNS[fn](col).alias(f"{col}_{fn}"))
+        return LDFrame(self._df.groupBy(*self._keys).agg(*aggs))
+
+    def _all_numeric(self, fn: str) -> "LDFrame":
+        num = [
+            f.name
+            for f in self._df.schema.fields
+            if isinstance(f.dataType, NUMERIC_TYPES) and f.name not in self._keys
+        ]
+        return LDFrame(
+            self._df.groupBy(*self._keys).agg(*[_AGG_FNS[fn](c).alias(c) for c in num])
+        )
+
+    def sum(self) -> "LDFrame":
+        return self._all_numeric("sum")
+
+    def mean(self) -> "LDFrame":
+        return self._all_numeric("mean")
+
+    def min(self) -> "LDFrame":
+        return self._all_numeric("min")
+
+    def max(self) -> "LDFrame":
+        return self._all_numeric("max")
+
+    def count(self) -> "LDFrame":
+        return LDFrame(self._df.groupBy(*self._keys).agg(F.count(F.lit(1)).alias("count")))
+
+    def size(self) -> "LDFrame":
+        return LDFrame(self._df.groupBy(*self._keys).agg(F.count(F.lit(1)).alias("size")))
+
+    def apply_in_pandas(self, fn, schema) -> "LDFrame":
+        """Grouped-map escape hatch (pandas ``groupby().apply`` analog)."""
+        return LDFrame(self._df.groupBy(*self._keys).applyInPandas(fn, schema))
+
+
 class LDFrame:
     """A thin, lazy pandas-semantics layer; every method returns a new
     LDFrame (or a one-row reduction frame), never materialized data."""
@@ -251,6 +319,66 @@ class LDFrame:
             expr = F.aggregate(F.array(*[F.coalesce(to_bool(c), F.lit(False)) for c in cols]), F.lit(False), lambda a, x: a | x)
             return self._rowwise(cols, expr, "any")
         return self._df.agg(*[F.coalesce(F.bool_or(to_bool(c)), F.lit(False)).alias(c) for c in cols])
+
+    # -- relational veneer (reference duck-type surface, utils.py:319-336:
+    # is_dataframe_like requires `merge` + `groupby` attributes; the merge
+    # subsystem was the never-written multi.py, core.py:445) ----------------
+    def merge(
+        self,
+        other: "LDFrame | DataFrame",
+        on: str | Sequence[str] | None = None,
+        how: str = "inner",
+        suffixes: tuple[str, str] = ("_x", "_y"),
+    ) -> "LDFrame":
+        """pandas ``merge`` → Spark join. Overlapping non-key columns get
+        pandas-style suffixes. how: inner/left/right/outer/cross/semi/anti."""
+        right = other._df if isinstance(other, LDFrame) else other
+        how = {"outer": "full"}.get(how, how)
+        if how == "cross":
+            return LDFrame(self._df.crossJoin(right))
+        keys = [on] if isinstance(on, str) else list(on or [])
+        overlap = (set(self._df.columns) & set(right.columns)) - set(keys)
+        left_df = self._df
+        for c in overlap:
+            left_df = left_df.withColumnRenamed(c, c + suffixes[0])
+            right = right.withColumnRenamed(c, c + suffixes[1])
+        return LDFrame(left_df.join(right, keys or None, how))
+
+    def groupby(self, by: str | Sequence[str]) -> "LDGroupBy":
+        """pandas ``groupby`` → Spark groupBy with named-agg surface."""
+        keys = [by] if isinstance(by, str) else list(by)
+        return LDGroupBy(self._df, keys)
+
+    def sort_values(self, by: str | Sequence[str], ascending: bool | Sequence[bool] = True) -> "LDFrame":
+        keys = [by] if isinstance(by, str) else list(by)
+        asc = [ascending] * len(keys) if isinstance(ascending, bool) else list(ascending)
+        cols = [F.col(k).asc() if a else F.col(k).desc() for k, a in zip(keys, asc)]
+        return LDFrame(self._df.orderBy(*cols))
+
+    def drop_duplicates(self, subset: Sequence[str] | None = None) -> "LDFrame":
+        return LDFrame(self._df.dropDuplicates(list(subset) if subset else None))
+
+    def rename(self, columns: dict[str, str]) -> "LDFrame":
+        df = self._df
+        for old, new in columns.items():
+            df = df.withColumnRenamed(old, new)
+        return LDFrame(df)
+
+    def drop(self, columns: str | Sequence[str]) -> "LDFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return LDFrame(self._df.drop(*cols))
+
+    def fillna(self, value) -> "LDFrame":
+        return LDFrame(self._df.fillna(value))
+
+    def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "LDFrame":
+        return LDFrame(self._df.dropna(how=how, subset=list(subset) if subset else None))
+
+    def head(self, n: int = 5) -> pd.DataFrame:
+        """Driver-side peek (reference analog: the 250 KB sample frame,
+        io.py:84-88) — the only other driver-materializing exit besides
+        ``to_pandas``."""
+        return self._df.limit(n).toPandas()
 
     # -- UDF surface (reference core.py:171-262, 407-548) --------------------
     def apply(

@@ -99,6 +99,32 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           ROUND(quantile_cont(l_discount, 0.99), 6) AS p99_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont — verified bit-parity on linear interpolation). At
+    100 TB prefer `approx_percentile` (mergeable t-digest-style sketch,
+    single pass, fixed memory); exact percentile needs a per-group sort."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+            F.round(F.percentile("l_discount", 0.99), 6).alias("p99_disc"),
+        )
+    )
+
+
+@register(
     "agg_rollup_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
