@@ -96,6 +96,36 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key across ``salt``
+    reducers.
+
+    Left rows get a deterministic salt (hash of the whole row, mod
+    ``salt``); the right side replicates each row to all ``salt`` values;
+    the join key becomes (keys..., salt). One hot key's rows now land on
+    ``salt`` reducers instead of one, at the cost of a ``salt``× blow-up
+    of the (small) right side — use when AQE's skew-join split can't
+    apply (e.g. the skewed side feeds an aggregation that pins
+    partitioning). Supports inner/left joins (right replication makes
+    right-outer semantics wrong by construction).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return l.join(r, keys + ["__salt"], how).drop("__salt")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

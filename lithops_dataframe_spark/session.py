@@ -50,6 +50,8 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # bucketed-table storage (bucketBy saveAsTable) — out of the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lds_warehouse"))
         .config("spark.sql.parquet.filterPushdown", "true")
         # Fixture events.parquet stores TIMESTAMP(NANOS); Spark has no ns
         # timestamp type — read as long and normalize in the catalog.
