@@ -374,6 +374,47 @@ class LDFrame:
     def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "LDFrame":
         return LDFrame(self._df.dropna(how=how, subset=list(subset) if subset else None))
 
+    def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)) -> DataFrame:
+        """pandas ``describe``: count/mean/std/min/percentiles/max per
+        numeric column, one output row per statistic (``summary`` column).
+
+        Uses exact interpolated percentiles (same interpolation as
+        pandas/DuckDB quantile_cont); one aggregation pass computes every
+        cell, then a literal unpivot shapes the rows — no per-statistic
+        rescans (unlike Spark's built-in ``describe`` which omits
+        percentiles).
+        """
+        cols = _numeric_cols(self._df)
+        aggs: list[Column] = []
+        for c in cols:
+            aggs += [
+                F.count(F.col(c)).cast("double").alias(f"{c}__count"),
+                F.avg(F.col(c)).alias(f"{c}__mean"),
+                F.stddev_samp(F.col(c)).alias(f"{c}__std"),
+                F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+                *[
+                    F.percentile(F.col(c), F.lit(p)).alias(f"{c}__p{int(p * 100)}")
+                    for p in percentiles
+                ],
+                F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            ]
+        wide = self._df.agg(*aggs)
+        stats = (
+            ["count", "mean", "std", "min"]
+            + [f"p{int(p * 100)}" for p in percentiles]
+            + ["max"]
+        )
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit("count" if s == "count" else s).alias("summary"),
+                    *[F.col(f"{c}__{s}").alias(c) for c in cols],
+                )
+                for s in stats
+            ]
+        )
+        return wide.select(F.explode(rows).alias("r")).select("r.*")
+
     def head(self, n: int = 5) -> pd.DataFrame:
         """Driver-side peek (reference analog: the 250 KB sample frame,
         io.py:84-88) — the only other driver-materializing exit besides

@@ -1,0 +1,39 @@
+"""``describe`` summary-statistics query: LDFrame.describe over lineitem
+numerics vs a DuckDB oracle built from the same statistic definitions
+(stddev_samp, quantile_cont interpolation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.frame import LDFrame
+from lithops_dataframe_spark.plans.registry import register
+
+_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+_PIECES = {
+    "count": "COUNT({c})::DOUBLE",
+    "mean": "AVG({c})",
+    "std": "STDDEV_SAMP({c})",
+    "min": "MIN({c})::DOUBLE",
+    "p25": "quantile_cont({c}, 0.25)",
+    "p50": "quantile_cont({c}, 0.5)",
+    "p75": "quantile_cont({c}, 0.75)",
+    "max": "MAX({c})::DOUBLE",
+}
+
+_DESCRIBE_ORACLE = "\n    UNION ALL ".join(
+    "SELECT '{s}' AS summary, ".format(s=s)
+    + ", ".join(f"ROUND({tpl.format(c=c)}, 6) AS {c}" for c in _COLS)
+    + " FROM lineitem"
+    for s, tpl in _PIECES.items()
+)
+
+
+@register("frame_describe", oracle=_DESCRIBE_ORACLE)
+def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
+    d = LDFrame(li).describe()
+    return d.select("summary", *[F.round(F.col(c), 6).alias(c) for c in _COLS])
