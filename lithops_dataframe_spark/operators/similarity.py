@@ -192,17 +192,20 @@ def ann_topk(
     at 100 TB this is a hash-partitioned join on int keys with per-bucket
     fan-out instead of |corpus| × |queries| work.
     """
-    qb = with_buckets(
-        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")), "q_emb"
-    )
-    cb = with_buckets(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")), "c_emb"
-    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    # Slim bucket join: postings carry only (id, table_idx, bucket);
+    # embeddings rejoin AFTER candidate dedup (payload movement is
+    # O(candidates), and the query side re-attaches via broadcast).
+    qb = with_buckets(q, "q_emb").select("query_id", "table_idx", "bucket")
+    cb = with_buckets(c, "c_emb").select("neighbor_id", "table_idx", "bucket")
     cand = (
         cb.join(qb, ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -231,7 +234,8 @@ def cosine_near_dup_pairs(
     """
     base = df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
     if use_lsh:
-        b = with_buckets(base, "emb")
+        # slim band join (ids only), embeddings rejoin on the candidates
+        b = with_buckets(base, "emb").select("id", "table_idx", "bucket")
         a1, a2 = b.alias("a"), b.alias("b")
         cand = (
             a1.join(
@@ -240,13 +244,10 @@ def cosine_near_dup_pairs(
                 & (F.col("a.bucket") == F.col("b.bucket"))
                 & (F.col("a.id") < F.col("b.id")),
             )
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.emb").alias("emb_a"),
-                F.col("b.emb").alias("emb_b"),
-            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            .join(base.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a")), "id_a")
+            .join(base.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b")), "id_b")
         )
     else:
         a1, a2 = base.alias("a"), base.alias("b")
