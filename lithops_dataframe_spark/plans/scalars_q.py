@@ -127,6 +127,34 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_funcs",
+    oracle="""
+    WITH m AS (
+        SELECT event_id,
+               MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)} AS props_map
+        FROM events WHERE event_id < 100
+    )
+    SELECT event_id,
+           map_extract(props_map, 't')[1] AS t_val,
+           cardinality(props_map)::INT AS n_keys,
+           array_to_string(list_sort(map_keys(props_map)), ',') AS keys_sorted
+    FROM m
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.create_map(
+        F.lit("t"), F.col("event_type"), F.lit("u"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "t").alias("t_val"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+@register(
     "scalar_array_funcs",
     oracle="""
     SELECT doc_id,

@@ -25,10 +25,13 @@ HEADLINE = [
     "q03_shipping_priority",
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
+    "q19_brand_quantity_bands",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk_lsh",
     "text_quality_by_source",
     "stream_session_windows",
+    "rollup_continuous_aggregate",
+    "sql_cte_window_topn",
 ]
 
 # brute-force baselines are intentionally quadratic at small input
