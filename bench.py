@@ -41,8 +41,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("lds-bench")
 
-    # Warmup: trivial job to finish JVM/codegen bootstrap.
+    # Warmup: finish JVM/codegen bootstrap AND the parquet reader init
+    # (footer reads, filesystem client) so per-query numbers measure the
+    # engine, not first-touch setup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
 
     names = [n for n in HEADLINE if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]

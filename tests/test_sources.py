@@ -90,6 +90,27 @@ def test_write_csv_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_write_orc_roundtrip(spark, tmp_path):
+    from lithops_dataframe_spark.sources.io import read_orc
+
+    src = load_table(spark, SF_SMOKE, "region").select("r_regionkey", "r_name")
+    out = str(tmp_path / "region_orc")
+    write(src, out, fmt="orc")
+    back = read_orc(spark, out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_binary_file_source(spark, tmp_path):
+    """binaryFile source — the multimodal ingestion path (SURVEY §2.11):
+    opaque bytes + path/length metadata, no decode on read."""
+    payloads = {f"img_{i}.bin": bytes([i]) * (10 + i) for i in range(3)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = {r["path"].rsplit("/", 1)[-1]: (r["length"], bytes(r["content"])) for r in df.collect()}
+    assert rows == {n: (len(d), d) for n, d in payloads.items()}
+
+
 def test_write_json_roundtrip(spark, tmp_path):
     from lithops_dataframe_spark.sources.io import read_json
 
