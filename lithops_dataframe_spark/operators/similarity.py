@@ -216,6 +216,68 @@ def ann_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
+    probe only the ``n_probe`` nearest cells per query, exact re-rank.
+
+    The coarse quantizer here is a FIXED deterministic centroid set (the
+    ``n_cells`` lowest-id corpus vectors) rather than trained k-means —
+    same plan shape (assign: narrow broadcast argmin; probe: equi-join on
+    cell id), deterministic for the differential oracle. At scale, swap
+    the centroid frame for trained centroids; everything else stands.
+    Recall < 1 by design (cell misses), like any IVF index.
+    """
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cent")
+    )
+
+    def nearest_cells(df: DataFrame, idc: str, embc: str, n: int) -> DataFrame:
+        """Attach the n nearest cell ids (by cosine) to each row of df."""
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__csim", cosine(F.col(embc), F.col("cent"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.col("__csim").desc(), F.col("cell_id").asc())
+        return (
+            scored.withColumn("__crk", F.row_number().over(w))
+            .filter(F.col("__crk") <= n)
+            .drop("cent", "__csim", "__crk")
+        )
+
+    c_assigned = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb")),
+        "neighbor_id",
+        "c_emb",
+        1,
+    )
+    q_assigned = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")),
+        "query_id",
+        "q_emb",
+        n_probe,
+    )
+    cand = (
+        c_assigned.join(q_assigned, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("sim", 6).alias("sim"))
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     *,

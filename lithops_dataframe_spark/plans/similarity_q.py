@@ -125,6 +125,43 @@ _NEARDUP_LSH_ORACLE = f"""
     SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {_NEARDUP_T}
 """
 
+_IVF_ORACLE = f"""
+    WITH cents AS (
+        SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 16
+    ),
+    c_sc AS (
+        SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cell_id ASC) AS crk
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    c_asg AS (SELECT neighbor_id, c_emb, cell_id FROM c_sc WHERE crk = 1),
+    q_sc AS (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC, c.cell_id ASC) AS crk
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {_N_QUERIES}
+    ),
+    q_asg AS (SELECT query_id, q_emb, cell_id FROM q_sc WHERE crk <= 2),
+    cand AS (
+        SELECT DISTINCT q.query_id, q.q_emb, c.neighbor_id, c.c_emb
+        FROM c_asg c JOIN q_asg q ON c.cell_id = q.cell_id
+        WHERE c.neighbor_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, {_cos_sql('q_emb', 'c_emb')} AS sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_cos_sql('q_emb', 'c_emb')} DESC, neighbor_id ASC) AS rk
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, rk::INT AS rank, ROUND(sim, 6) AS sim
+    FROM ranked WHERE rk <= {_K}
+"""
+
 _KNN_VOTE_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20
@@ -168,6 +205,12 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return S.ann_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K)
+
+
+@register("sim_cosine_topk_ivf", oracle=_IVF_ORACLE)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, n_cells=16, n_probe=2)
 
 
 @register("sim_cosine_neardup_exact", oracle=_NEARDUP_EXACT_ORACLE)
