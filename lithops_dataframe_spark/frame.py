@@ -152,6 +152,40 @@ class LDFrame:
     def repartition(self, n: int) -> "LDFrame":
         return LDFrame(self._df.repartition(n))
 
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "LDFrame":
+        """Cache the frame across actions (the reference re-reads + re-parses
+        the whole CSV per operator call, core.py:255 ×9 — persist is the
+        Spark answer). Returns self for chaining; pair with unpersist()."""
+        from pyspark import StorageLevel
+
+        self._df.persist(getattr(StorageLevel, storage_level))
+        return self
+
+    def cache(self) -> "LDFrame":
+        return self.persist()
+
+    def unpersist(self) -> "LDFrame":
+        self._df.unpersist()
+        return self
+
+    def value_counts(self, subset: str | Sequence[str]) -> DataFrame:
+        """pandas ``value_counts``: rows per distinct value, descending."""
+        cols = [subset] if isinstance(subset, str) else list(subset)
+        return (
+            self._df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.col("count").desc(), *[F.col(c).asc() for c in cols])
+        )
+
+    def nlargest(self, n: int, columns: str | Sequence[str]) -> "LDFrame":
+        """Top-n rows by columns — plans as TakeOrderedAndProject."""
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return LDFrame(self._df.orderBy(*[F.col(c).desc() for c in cols]).limit(n))
+
+    def nsmallest(self, n: int, columns: str | Sequence[str]) -> "LDFrame":
+        cols = [columns] if isinstance(columns, str) else list(columns)
+        return LDFrame(self._df.orderBy(*[F.col(c).asc() for c in cols]).limit(n))
+
     def to_pandas(self) -> pd.DataFrame:
         return self._df.toPandas()
 

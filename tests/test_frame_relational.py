@@ -85,6 +85,21 @@ def test_fillna_dropna(spark):
     assert f.dropna(how="all").spark.count() == 3
 
 
+def test_value_counts_nlargest(lf):
+    got = lf.value_counts("tag").toPandas()
+    exp = LEFT["tag"].value_counts()
+    assert dict(zip(got["tag"], got["count"])) == exp.to_dict()
+    top = lf.nlargest(2, "v").to_pandas()
+    assert sorted(top["v"].tolist()) == sorted(LEFT.nlargest(2, "v")["v"].tolist())
+    bot = lf.nsmallest(2, "v").to_pandas()
+    assert sorted(bot["v"].tolist()) == sorted(LEFT.nsmallest(2, "v")["v"].tolist())
+
+
+def test_persist_unpersist(lf):
+    assert lf.persist().spark.is_cached
+    assert not lf.unpersist().spark.is_cached
+
+
 def test_merge_semi_anti(lf, rf):
     semi = lf.merge(rf, on="k", how="semi").to_pandas()
     assert sorted(semi["k"].unique()) == [2, 3]
