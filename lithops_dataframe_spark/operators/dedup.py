@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.operators.util import ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
@@ -100,9 +101,9 @@ def minhash_lsh_pairs(
     j≥0.9, ≈0.22 at j=0.5, ≈0.03 at j=0.3 — tuned for the high-similarity
     dedup regime; raise `bands` for lower thresholds.
     """
-    base = with_minhash(df.select(id_col, text_col), text_col, shingle_n=shingle_n).select(
-        F.col(id_col).alias("id"), "__shingles", "__sig"
-    )
+    base = with_minhash(
+        ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n=shingle_n
+    ).select(F.col(id_col).alias("id"), "__shingles", "__sig")
     if reuse_signatures:
         # base feeds three lineages (both join sides + verification);
         # persisting computes shingles+signatures once instead of 3×.
@@ -174,9 +175,13 @@ def simhash_pairs(
     with Hamming distance ≤ 3 agrees exactly on ≥ 1 block (pigeonhole), so
     the 4-way block join has perfect recall for d ≤ 3; XOR+popcount verifies.
     """
-    base = with_simhash(df.select(id_col, text_col), text_col).select(
+    from pyspark import StorageLevel
+
+    base = with_simhash(ensure_parallelism(df.select(id_col, text_col)), text_col).select(
         F.col(id_col).alias("id"), F.col("__simhash").alias("sh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: the 60-bit fingerprint (60 per-bit votes over the token
+    # hashes) feeds both sides of the block self-join — compute it once.
     blocks = base.select(
         "id",
         "sh",
@@ -229,7 +234,13 @@ def ngram_jaccard_pairs(
     stop-shingles (df > cap) exactly like an inverted-index stop list —
     essential at scale, optional here.
     """
-    base = df.select(F.col(id_col).alias("id"), H.word_shingles(F.col(text_col), shingle_n).alias("sh"))
+    from pyspark import StorageLevel
+
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"), H.word_shingles(F.col(text_col), shingle_n).alias("sh")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persisted: shingle arrays feed four lineages (both join sides of the
+    # postings self-join + both size joins)
     sizes = base.select("id", F.size("sh").alias("n_sh"))
     postings = base.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_freq is not None:

@@ -68,8 +68,15 @@ _SIMHASH_ORACLE = f"""
     FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
 """
 
+# Trigram shingles for the exact-Jaccard join: on this fixture's small
+# shared vocabulary, bigram document frequencies are huge (avg df ≈ 275 at
+# sf0.1 → Σdf² ≈ 73M joined postings); trigrams restore the sparse inverted
+# index (avg df ≈ 10) without losing the planted near-dup pairs.
+_NGRAM_N = 3
+_SHINGLES3 = H.word_shingles_sql("text", _NGRAM_N)
+
 _NGRAM_ORACLE = f"""
-    WITH shng AS (SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents)
+    WITH shng AS (SELECT doc_id AS id, {_SHINGLES3} AS sh FROM documents)
     SELECT a.id AS id_a, b.id AS id_b,
            ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
@@ -131,4 +138,4 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=2, threshold=0.3)
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=_NGRAM_N, threshold=0.3)

@@ -101,11 +101,18 @@ _TOPK_LSH_ORACLE = f"""
     FROM ranked WHERE rk <= {_K}
 """
 
+# exact path mirrors the operator's unit-normalize-then-dot formulation
+# (same division operands → bit-identical unit vectors on both engines)
 _NEARDUP_EXACT_ORACLE = f"""
-    WITH pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_cos_sql('a.embedding', 'b.embedding')} AS sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WITH u AS (
+        SELECT vec_id AS id,
+               list_transform(range(1, {S.DIM + 1}),
+                              i -> embedding[i]::DOUBLE / sqrt({_dot_sql('embedding', 'embedding')})) AS unit
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, {_dot_sql('a.unit', 'b.unit')} AS sim
+        FROM u a JOIN u b ON a.id < b.id
     )
     SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM pairs WHERE sim >= {_NEARDUP_T}
 """
