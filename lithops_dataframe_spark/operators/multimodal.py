@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lithops_dataframe_spark.operators.util import ensure_parallelism
+
 try:  # pragma: no cover - decoder libs absent in this environment
     import PIL.Image  # noqa: F401
 
@@ -63,6 +65,7 @@ def media_table(docs: DataFrame) -> DataFrame:
     mt = F.element_at(
         F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
     )
+    docs = ensure_parallelism(docs)  # spread Arrow decode batches across cores
     return docs.select(
         "doc_id",
         F.concat(F.lit("synthetic://docs/"), F.col("doc_id").cast("string")).alias("uri"),

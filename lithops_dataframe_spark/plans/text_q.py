@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import text as T
+from lithops_dataframe_spark.operators.util import ensure_parallelism
 from lithops_dataframe_spark.plans.registry import register
 
 _TOKS = T.ws_tokens_sql("text")
@@ -69,7 +70,9 @@ _TOP_TOKENS_ORACLE = f"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # single-file fixture → repartition so per-doc feature extraction uses
+    # every core (no-op on multi-split inputs)
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
 
 
 @register("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
