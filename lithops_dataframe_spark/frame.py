@@ -408,6 +408,30 @@ class LDFrame:
     def dropna(self, subset: Sequence[str] | None = None, how: str = "any") -> "LDFrame":
         return LDFrame(self._df.dropna(how=how, subset=list(subset) if subset else None))
 
+    def melt(
+        self,
+        id_vars: Sequence[str],
+        value_vars: Sequence[str],
+        var_name: str = "variable",
+        value_name: str = "value",
+    ) -> "LDFrame":
+        """pandas ``melt`` (wide → long) — Spark's native ``unpivot``."""
+        return LDFrame(
+            self._df.unpivot(list(id_vars), list(value_vars), var_name, value_name)
+        )
+
+    def sample(self, fraction: float, seed: int | None = None) -> "LDFrame":
+        """Bernoulli row sample. Deterministic for a fixed seed AND a fixed
+        partitioning of the input (per-partition RNG streams) — at scale,
+        pin the layout (repartition) before sampling when reproducibility
+        matters."""
+        return LDFrame(self._df.sample(fraction=fraction, seed=seed))
+
+    def sample_by(self, col: str, fractions: dict, seed: int | None = None) -> "LDFrame":
+        """Stratified sample: per-key fractions (pandas groupby-sample
+        analog) — one pass, no shuffle."""
+        return LDFrame(self._df.sampleBy(col, fractions, seed=seed))
+
     def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)) -> DataFrame:
         """pandas ``describe``: count/mean/std/min/percentiles/max per
         numeric column, one output row per statistic (``summary`` column).

@@ -99,6 +99,40 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_unpivot_melt",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, kind, ROUND(amount, 2) AS amount
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice AS price, l_discount AS discount, l_tax AS tax
+        FROM lineitem WHERE l_orderkey < 100
+    ) UNPIVOT (amount FOR kind IN (price, discount, tax))
+    """,
+)
+def agg_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long unpivot (pandas melt): one Generate node, no shuffle."""
+    from lithops_dataframe_spark.frame import LDFrame
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    melted = LDFrame(li).melt(
+        ["l_orderkey", "l_linenumber"], ["price", "discount", "tax"], "kind", "amount"
+    )
+    return melted.spark.select(
+        "l_orderkey", "l_linenumber", "kind", F.round("amount", 2).alias("amount")
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,

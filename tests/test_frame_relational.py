@@ -100,6 +100,34 @@ def test_persist_unpersist(lf):
     assert not lf.unpersist().spark.is_cached
 
 
+def test_melt_matches_pandas(lf):
+    got = lf.melt(["k"], ["v"], "var", "val").to_pandas()
+    exp = LEFT.melt(id_vars=["k"], value_vars=["v"], var_name="var", value_name="val")
+    assert sorted(map(tuple, got[["k", "var", "val"]].values.tolist())) == sorted(
+        map(tuple, exp[["k", "var", "val"]].values.tolist())
+    )
+
+
+def test_sample_deterministic_with_seed(lf):
+    pinned = lf.spark.repartition(2)
+    from lithops_dataframe_spark.frame import LDFrame
+
+    a = sorted(r["k"] for r in LDFrame(pinned).sample(0.6, seed=7).spark.collect())
+    b = sorted(r["k"] for r in LDFrame(pinned).sample(0.6, seed=7).spark.collect())
+    assert a == b
+
+
+def test_sample_by_strata(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"g": ["a"] * 100 + ["b"] * 100, "x": range(200)})
+    from lithops_dataframe_spark.frame import LDFrame
+
+    f = LDFrame(spark.createDataFrame(pdf))
+    got = f.sample_by("g", {"a": 1.0, "b": 0.0}, seed=1).to_pandas()
+    assert set(got["g"]) == {"a"} and len(got) == 100
+
+
 def test_merge_semi_anti(lf, rf):
     semi = lf.merge(rf, on="k", how="semi").to_pandas()
     assert sorted(semi["k"].unique()) == [2, 3]
