@@ -37,3 +37,29 @@ def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(*_COLS)
     d = LDFrame(li).describe()
     return d.select("summary", *[F.round(F.col(c), 6).alias(c) for c in _COLS])
+
+
+_PROFILE_ORACLE = """
+    SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS null_custkey,
+           COUNT(DISTINCT o_custkey) AS nd_custkey,
+           COUNT(DISTINCT o_orderstatus) AS nd_status,
+           COUNT(DISTINCT o_orderpriority) AS nd_priority
+    FROM orders
+"""
+
+
+@register("frame_profile", oracle=_PROFILE_ORACLE)
+def frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass: row/null/distinct counts in ONE aggregation
+    (a quality-report primitive for pipeline monitoring). At 100 TB swap
+    count_distinct for approx_count_distinct — one pass either way."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.count_distinct("o_custkey").alias("nd_custkey"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.count_distinct("o_orderpriority").alias("nd_priority"),
+    )

@@ -70,6 +70,29 @@ def test_stream_equals_batch(spark, replay_dir, builder):
     assert _rows(got, expected.columns) == _rows(expected)
 
 
+def test_update_mode_converges_to_batch(spark, replay_dir):
+    """update output mode emits changed window rows per micro-batch; the
+    LAST emission per (window, event_type) key must equal the batch
+    aggregate — the delta-stream view of the same state."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(replay_dir)
+    batch_in = normalize_events_ts(raw)
+    expected = _rows(SE.tumbling_counts(batch_in))
+
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay_dir, raw.schema))
+    emitted = _run_stream_mode(spark, SE.tumbling_counts(stream_in), "update")
+    final = (
+        emitted.groupBy("w_start", "w_end", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("sum_value"),
+        )
+        .select("w_start", "w_end", "event_type", "n_events", "sum_value")
+    )
+    assert _rows(final) == expected
+
+
 def test_stateful_running_totals(spark, replay_dir):
     from pyspark.sql import functions as F
 
