@@ -1,0 +1,65 @@
+"""End-to-end training-corpus cleaning pipeline (the north-star use case):
+the composition a 100 TB pretraining-data job runs, built entirely from
+this engine's operators —
+
+  1. quality gate   — per-doc score (functions/text.py), threshold filter;
+  2. language gate  — allow-list on the lang column;
+  3. exact dedup    — md5 fingerprint, keep smallest doc_id per text;
+  4. near-dup gate  — MinHash-LSH pairs (operators/dedup.py), greedy
+                      keep-smallest-id survivor per pair;
+  5. stats          — tokens + quality carried through for downstream
+                      sampling/curriculum decisions.
+
+Every stage is a narrow map or a hash join on slim keys; the only wide
+payloads move in stage 3's fingerprint groupBy (32-byte keys) and the LSH
+band join (slim postings). All stages are individually oracle-checked
+elsewhere; plans/pipeline_q.py checks the composition end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lithops_dataframe_spark.functions import text as T
+from lithops_dataframe_spark.operators import dedup as D
+
+
+def clean_corpus(
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh"),
+    neardup_threshold: float = 0.6,
+) -> DataFrame:
+    """Returns the cleaned corpus: (doc_id, lang, n_tokens, quality).
+
+    Near-dup removal is greedy keep-smallest-id: a doc is dropped iff it
+    appears as the larger id of a surviving near-dup pair. (Full
+    connected-components clustering is the iterative variant; pairwise
+    greedy is the standard single-pass approximation.)
+    """
+    gated = (
+        docs.withColumn("quality", T.quality_score(F.col("text")))
+        .filter(F.col("quality") >= min_quality)
+        .filter(F.col("lang").isin(*langs))
+    )
+
+    # exact dedup on content fingerprint, deterministic survivor
+    w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
+    exact = gated.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+    # near-dup pairs among the exact-deduped survivors; drop larger ids
+    pairs = D.minhash_lsh_pairs(
+        exact, "text", "doc_id", shingle_n=2, bands=4, threshold=neardup_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    cleaned = exact.join(losers, "doc_id", "left_anti")
+
+    return cleaned.select(
+        "doc_id",
+        "lang",
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.round("quality", 6).alias("quality"),
+    )
