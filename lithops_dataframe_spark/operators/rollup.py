@@ -40,6 +40,24 @@ def materialize_rollup(events: DataFrame, path: str) -> None:
     ).partitionBy("day_part").parquet(path)
 
 
+def refresh_days(events: DataFrame, path: str, days: list[str]) -> None:
+    """Incremental refresh: recompute ONLY the listed days (late-data
+    arrival) and overwrite just those partitions — dynamic partition
+    overwrite, the O(touched days) maintenance path that makes the rollup
+    viable at 100 TB (a full rewrite would scan everything).
+    """
+    spark = events.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        subset = events.filter(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").isin(days))
+        daily_rollup(subset).withColumn(
+            "day_part", F.date_format("day", "yyyy-MM-dd")
+        ).write.mode("overwrite").partitionBy("day_part").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def query_with_tail(
     spark: SparkSession, rollup_path: str, raw_events: DataFrame, cutoff
 ) -> DataFrame:

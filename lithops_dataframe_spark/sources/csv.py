@@ -70,6 +70,7 @@ def read_csv(
     nrows: int | None = None,
     npartitions: int | None = None,
     sample_infer: bool = True,
+    multiline: bool = False,
     **extra_options: str,
 ) -> DataFrame:
     """Load a CSV with pandas-flavored options into a Spark DataFrame.
@@ -95,6 +96,11 @@ def read_csv(
         opts["comment"] = comment
     if encoding:
         opts["encoding"] = encoding
+    if multiline:
+        # quoted embedded newlines: files can no longer be split on line
+        # boundaries, so each file parses as one unit — correctness over
+        # parallelism; keep files small when records span lines
+        opts["multiLine"] = "true"
     if date_format:
         opts["timestampFormat"] = date_format
     if na_values:
