@@ -40,6 +40,63 @@ _FUNNEL_ORACLE = """
 """
 
 
+_GAPFILL_ORACLE = """
+    WITH spine AS (
+        SELECT t.day, et.event_type
+        FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                            TIMESTAMP '2024-01-30',
+                                            INTERVAL '1 day')) AS day) t
+        CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+    ),
+    daily AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS rev
+        FROM events WHERE event_type IN ('purchase', 'signup')
+        GROUP BY 1, 2
+    )
+    SELECT s.day, s.event_type,
+           COALESCE(d.n, 0) AS n_events,
+           COALESCE(d.rev, 0.0) AS revenue,
+           CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS gap_filled
+    FROM spine s LEFT JOIN daily d ON d.day = s.day AND d.event_type = s.event_type
+    WHERE s.event_type IN ('purchase', 'signup')
+"""
+
+
+@register("events_gapfill_daily", oracle=_GAPFILL_ORACLE)
+def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series (time_bucket_gapfill analog): a generated
+    date×type spine left-joins the aggregated series; missing buckets
+    surface as explicit zero rows with a gap flag. The spine is
+    ``sequence()`` + explode — generated, never materialized as input, so
+    the only real-data pass is the daily aggregate."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("rev"))
+
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("2024-01-01")),
+                F.to_timestamp(F.lit("2024-01-30")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    return spine.join(daily, ["day", "event_type"], "left").select(
+        "day",
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+        F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("gap_filled"),
+    )
+
+
 @register("events_funnel", oracle=_FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel via two-phase conditional aggregation: first stage mins per
