@@ -147,6 +147,66 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster the near-dup pair graph: (id, cluster_id) where cluster_id
+    is the minimum id reachable in the undirected pair graph.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, a node takes the min of its own and its neighbors' labels;
+    fixpoint after diameter rounds (checked via a changed-count, driver
+    loop — the canonical iterative-algorithm shape Spark handles with a
+    loop of joins, one shuffle per round). Near-dup components are tiny
+    and shallow in practice, so rounds ≈ 2-4; at web scale swap in the
+    large-star/small-star variant, same per-round plan.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nb_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "cluster")
+
+
 def with_simhash(df: DataFrame, text_col: str, *, shingle_n: int = 2) -> DataFrame:
     """Attach a 60-bit ``__simhash`` fingerprint over word n-gram shingles.
 

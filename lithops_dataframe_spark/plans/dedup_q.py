@@ -86,6 +86,52 @@ _NGRAM_ORACLE = f"""
 """
 
 
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE shng AS (
+        SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+        SELECT id, sh, {H.minhash_signature_sql('sh')} AS sig FROM shng
+    ),
+    bands AS (
+      {_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN shng sa ON sa.id = cand.id_a
+        JOIN shng sb ON sb.id = cand.id_b
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id, MIN(r) AS cluster FROM reach GROUP BY id
+"""
+
+
+@register("dedup_neardup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph (iterative
+    min-label propagation; oracle = recursive transitive closure) —
+    cluster_id is the min doc_id per duplicate component, the survivor
+    key a full-corpus dedup keeps."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", shingle_n=2, bands=4, threshold=0.6)
+    return D.connected_components(pairs)
+
+
 @register(
     "dedup_exact_after_union",
     oracle="""
