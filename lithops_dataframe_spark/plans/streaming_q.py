@@ -106,6 +106,21 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.dedup_events(_events(spark, sf_dir))
 
 
+_CORRELATION_ORACLE = """
+    SELECT v.user_id, COUNT(*) AS n_pairs, ROUND(SUM(c.value), 4) AS clicked_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+    GROUP BY v.user_id
+"""
+
+
+@register("stream_view_click_correlation", oracle=_CORRELATION_ORACLE)
+def stream_view_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.view_click_correlation(_events(spark, sf_dir))
+
+
 @register("stream_daily_type_revenue", oracle=_DAILY_ORACLE)
 def stream_daily_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.daily_type_revenue(_events(spark, sf_dir))

@@ -129,6 +129,40 @@ def dedup_events(events: DataFrame) -> DataFrame:
     )
 
 
+def view_click_pairs(events: DataFrame, *, within: str = "30 minutes") -> DataFrame:
+    """Stream-stream join: each view joined to the SAME user's clicks
+    within `within` afterwards — the attribution-join shape.
+
+    Streaming: both sides carry watermarks and the join condition bounds
+    event-time distance, so state for both sides is evictable (Spark
+    requires exactly this for stream-stream joins: watermark + time-range
+    condition). Inner joins emit matches eagerly (append mode), so an
+    availableNow replay yields every pair. Batch: the identical join.
+    """
+    views = with_watermark(events.filter(F.col("event_type") == "view")).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    clicks = with_watermark(events.filter(F.col("event_type") == "click")).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(F.col("v_user").alias("user_id"), "v_ts", "c_ts", "c_value")
+
+
+def view_click_correlation(events: DataFrame, *, within: str = "30 minutes") -> DataFrame:
+    """Batch rollup of :func:`view_click_pairs` per user (stream-stream
+    joins can't feed an unwindowed aggregate in streaming mode — the
+    streaming contract is tested on the pair stream itself)."""
+    return view_click_pairs(events, within=within).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("c_value"), 4).alias("clicked_value"),
+    )
+
+
 def user_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running (n_events, sum_value)
     via ``applyInPandasWithState`` — the template for operators Spark's

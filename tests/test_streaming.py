@@ -70,6 +70,19 @@ def test_stream_equals_batch(spark, replay_dir, builder):
     assert _rows(got, expected.columns) == _rows(expected)
 
 
+def test_stream_stream_join_equals_batch(spark, replay_dir):
+    """Stream-stream inner join (watermarked, time-bounded) in append mode
+    emits exactly the batch join's pairs — attribution joins hold under
+    micro-batch replay."""
+    raw = spark.read.parquet(replay_dir)
+    batch_in = normalize_events_ts(raw)
+    expected = _rows(SE.view_click_pairs(batch_in))
+
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay_dir, raw.schema))
+    got = _run_stream_mode(spark, SE.view_click_pairs(stream_in), "append")
+    assert _rows(got, ["user_id", "v_ts", "c_ts", "c_value"]) == expected
+
+
 def test_update_mode_converges_to_batch(spark, replay_dir):
     """update output mode emits changed window rows per micro-batch; the
     LAST emission per (window, event_type) key must equal the batch
