@@ -349,6 +349,44 @@ def cosine_near_dup_pairs(
     )
 
 
+def label_centroids(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid vectors: element-wise mean of embeddings.
+
+    posexplode → groupBy(label, pos) partial avg → reassemble via
+    sort_array of (pos, avg) structs — every stage is a standard hash
+    aggregate, so 100 TB of embeddings reduces with map-side combine
+    (the shuffle carries one row per (label, dimension)). This is the
+    k-means/IVF training primitive (assignment join + this = one Lloyd
+    iteration).
+    """
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(emb_col)).alias("pos", "v"),
+    )
+    dims = pos.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos").alias("pos"), F.col("m").alias("m")))
+            ).alias("pm"),
+            F.max("n").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("pm"), lambda s: F.round(s["m"], 6)).alias("centroid"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+        )
+    )
+
+
 def knn_label_vote(
     corpus: DataFrame,
     queries: DataFrame,

@@ -230,6 +230,27 @@ def sim_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_T, use_lsh=True)
 
 
+_CENTROIDS_ORACLE = """
+    SELECT label, (t.i - 1)::INT AS pos,
+           ROUND(AVG(embedding[t.i]::DOUBLE), 6) AS m,
+           COUNT(*) AS n_vectors
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, t.i
+"""
+
+
+@register("sim_label_centroids", oracle=_CENTROIDS_ORACLE)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids, exploded to (label, pos, m) scalar rows for the
+    value-hash gate (the array-valued operator is S.label_centroids)."""
+    emb = _emb(spark, sf_dir)
+    pos = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return pos.groupBy("label", F.col("pos").cast("int").alias("pos")).agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("m"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
 @register("sim_knn_label_vote", oracle=_KNN_VOTE_ORACLE)
 def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)

@@ -100,6 +100,16 @@ def test_write_orc_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
 
 
+def test_read_csv_gzip(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "t.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(CSV_BODY)
+    df = read_csv(spark, str(p))
+    assert df.count() == 3 and df.columns == ["a", "b", "flag", "when"]
+
+
 def test_binary_file_source(spark, tmp_path):
     """binaryFile source — the multimodal ingestion path (SURVEY §2.11):
     opaque bytes + path/length metadata, no decode on read."""
