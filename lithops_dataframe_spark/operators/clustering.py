@@ -1,0 +1,95 @@
+"""K-means (Lloyd's algorithm) in pure DataFrame operations — the trained
+coarse quantizer for IVF similarity search (operators/similarity.py uses a
+fixed quantizer; this trains one).
+
+Iteration structure (the canonical Spark iterative-algorithm shape):
+- centroids live on the DRIVER between iterations (k × dim doubles — tiny
+  by definition), embedded as literals in the next assignment pass:
+  broadcast-state-as-literals, no join needed for assignment;
+- assignment is a narrow map (distance to k literal centroids via ONE
+  `transform` over an array-of-centroids — single lambda, cheap analysis);
+- the update step is a hash aggregate per (cell, dimension) with map-side
+  combine — one shuffle per iteration carrying k × dim rows.
+
+Determinism contract (for the DuckDB oracle): init = the k lowest-id
+vectors; centroids are ROUNDED to 6 decimals after every update, so both
+engines compute distances from bit-identical centroid literals; argmin
+ties break on cell id. Fixed iteration count (no convergence test) keeps
+the plan replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.operators.util import ensure_parallelism
+
+
+def _sq_dists(emb: Column, centroids: list[list[float]]) -> Column:
+    """Array of squared euclidean distances to each literal centroid."""
+    cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
+    return F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(emb, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def assign_cells(df: DataFrame, centroids: list[list[float]], *, emb_col: str = "embedding") -> DataFrame:
+    """Attach `cell` = argmin distance (ties → lowest cell id) and `dist2`."""
+    k = len(centroids)
+    d = df.withColumn("__d", _sq_dists(F.col(emb_col), centroids))
+    best = F.lit(0)
+    best_d = F.element_at(F.col("__d"), 1)
+    for i in range(1, k):
+        di = F.element_at(F.col("__d"), i + 1)
+        cond = di < best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, di).otherwise(best_d)
+    return df.withColumn("__d", _sq_dists(F.col(emb_col), centroids)).select(
+        *df.columns, best.alias("cell"), F.round(best_d, 6).alias("dist2")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """Fixed-iteration Lloyd's k-means; returns (centroids, assignments).
+
+    assignments = (id, cell, dist2). Each iteration collects k×dim rounded
+    means to the driver (legitimately driver-sized state) and re-embeds
+    them as literals — at 100 TB each iteration is one scan + one
+    (cell, dim)-keyed aggregate.
+    """
+    src = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))).persist()
+    init = src.filter(F.col("id") < k).orderBy("id").collect()
+    centroids = [[round(float(v), 6) for v in r["emb"]] for r in init]
+
+    for _ in range(iterations):
+        assigned = assign_cells(src, centroids, emb_col="emb")
+        dims = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # cells that lost all members keep position
+        per_cell: dict[int, dict[int, float]] = {}
+        for r in dims:
+            per_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, mdims in per_cell.items():
+            new_c[cell] = [mdims[p] for p in sorted(mdims)]
+        centroids = new_c
+
+    out = assign_cells(src, centroids, emb_col="emb").select("id", "cell", "dist2")
+    src.unpersist()
+    return centroids, out
