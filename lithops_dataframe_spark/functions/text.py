@@ -200,6 +200,23 @@ def quality_score_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# hashed TF-IDF vectorization (HashingTF + IDF analog)
+# ---------------------------------------------------------------------------
+#: hashing-trick dimensionality for TF vectors.
+TF_BUCKETS = 64
+
+
+def tf_buckets(tokens: Column) -> Column:
+    """Map each token to its hash bucket (token_hash mod TF_BUCKETS) —
+    the hashing trick: fixed dimensionality, no vocabulary state."""
+    return F.transform(tokens, lambda t: H.token_hash(t) % TF_BUCKETS)
+
+
+def tf_buckets_sql(tokens_expr: str) -> str:
+    return f"list_transform({tokens_expr}, t -> {H.token_hash_sql('t')} % {TF_BUCKETS})"
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting (mod-p winnowing over hashed word n-grams)
 # ---------------------------------------------------------------------------
 def winnow_fingerprints(text: Column) -> Column:

@@ -130,6 +130,45 @@ def text_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({T.tf_buckets_sql(_TOKS)}) AS bucket FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, bucket, COUNT(*) AS tf FROM tok GROUP BY doc_id, bucket
+    ),
+    idf AS (
+        SELECT bucket, ln(((SELECT COUNT(*) FROM documents) + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+        FROM tok GROUP BY bucket
+    )
+    SELECT tf.doc_id, tf.bucket::INT AS bucket,
+           tf.tf AS tf,
+           ROUND(tf.tf * idf.idf, 6) AS w
+    FROM tf JOIN idf ON idf.bucket = tf.bucket
+"""
+
+
+@register("text_hashed_tfidf", oracle=_TFIDF_ORACLE)
+def text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF document vectors (HashingTF + smoothed IDF), sparse
+    (doc, bucket, weight) rows. The hashing trick removes vocabulary
+    state: fixed TF_BUCKETS dimensionality, one explode + two hash
+    aggregates, IDF side is TF_BUCKETS rows → broadcast join."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(T.tf_buckets(T.ws_tokens(F.col("text")))).alias("bucket"))
+    tf = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tok.groupBy("bucket").agg(
+        (F.log((F.lit(n_docs) + 1.0) / (F.countDistinct("doc_id") + 1.0)) + 1.0).alias("idf")
+    )
+    return tf.join(F.broadcast(idf), "bucket").select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        "tf",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("w"),
+    )
+
+
 @register("text_top_tokens", oracle=_TOP_TOKENS_ORACLE)
 def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode → partial-agg per partition → shuffle on token → TakeOrdered:
