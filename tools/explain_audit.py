@@ -26,6 +26,9 @@ HEADLINE = [
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
     "q19_brand_quantity_bands",
+    "q02_min_cost_supplier",
+    "q08_market_share",
+    "q21_waiting_suppliers",
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk_lsh",
     "text_quality_by_source",
