@@ -23,6 +23,7 @@ from lithops_dataframe_spark.plans import streaming_q  # noqa: F401
 from lithops_dataframe_spark.plans import udf_q  # noqa: F401
 from lithops_dataframe_spark.plans import tpch_more  # noqa: F401
 from lithops_dataframe_spark.plans import tpch_rest  # noqa: F401
+from lithops_dataframe_spark.plans import traindata_q  # noqa: F401
 from lithops_dataframe_spark.plans import sql_q  # noqa: F401
 from lithops_dataframe_spark.plans import rollup_q  # noqa: F401
 from lithops_dataframe_spark.plans import describe_q  # noqa: F401
