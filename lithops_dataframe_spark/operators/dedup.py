@@ -213,12 +213,14 @@ def with_simhash(df: DataFrame, text_col: str, *, shingle_n: int = 2) -> DataFra
     Shingles (not unigrams) keep word order in the fingerprint — on corpora
     with a small shared vocabulary, unigram-set simhash collapses most
     documents to near-identical fingerprints. Token hashes are materialized
-    once (own projection) before the 60 per-bit votes.
+    once (own projection), the 60-bit vote array is folded in ONE pass over
+    them (own projection), then packed — see hashing.simhash_votes.
     """
     return (
         df.withColumn("__tokhashes", F.transform(H.word_shingles(F.col(text_col), shingle_n), H.token_hash60))
-        .withColumn("__simhash", H.simhash_from_hashes(F.col("__tokhashes")))
-        .drop("__tokhashes")
+        .withColumn("__votes", H.simhash_votes(F.col("__tokhashes")))
+        .withColumn("__simhash", H.simhash_pack(F.col("__votes")))
+        .drop("__tokhashes", "__votes")
     )
 
 
