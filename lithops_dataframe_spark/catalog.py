@@ -56,6 +56,12 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); Spark refuses it unless the
+        # legacy nanos-as-long conf is on. Set it here (runtime-settable SQL
+        # conf) so ANY SparkSession — including the driver's, which doesn't use
+        # our session builder — can read the table.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_events_ts(df)

@@ -135,7 +135,7 @@ def dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact_after_union",
     oracle="""
-    SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_chars FROM (
+    SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM (
         SELECT DISTINCT doc_id, n_chars FROM (
             SELECT doc_id, n_chars FROM documents
             UNION ALL

@@ -49,16 +49,26 @@ def _round_doubles(df: DataFrame, ndigits: int = 2) -> DataFrame:
     )
 
 
-def _oracle_reduce(fn_sql: str, ndigits: int = 2) -> str:
+def _oracle_reduce(fn_sql: str, ndigits: int = 2, int_result: bool = False, cast_int: bool = False) -> str:
+    """Oracle output types MUST match Spark exactly (the driver's value hash
+    distinguishes 3 from 3.0). DuckDB quirks handled here:
+    - SUM(BIGINT) → HUGEINT (rendered as float by the fetch path) →
+      ``cast_int=True`` wraps integer-column aggregates in CAST(.. AS BIGINT).
+    - COUNT is BIGINT on both sides → NEVER wrap it in ROUND (that makes it
+      a DOUBLE while Spark returns LONG); ``int_result=True`` marks such
+      always-integer aggregates.
+    - double-column aggregates are rounded identically on both sides."""
     cols = ", ".join(
-        f"ROUND({fn_sql.format(c=c)}, {ndigits}) AS {c}" if c in LI_DOUBLE or fn_sql.startswith(("AVG", "STDDEV"))
+        f"{fn_sql.format(c=c)} AS {c}" if int_result
+        else f"ROUND({fn_sql.format(c=c)}, {ndigits}) AS {c}" if c in LI_DOUBLE
+        else f"CAST({fn_sql.format(c=c)} AS BIGINT) AS {c}" if cast_int
         else f"{fn_sql.format(c=c)} AS {c}"
         for c in LI_NUM
     )
     return f"SELECT {cols} FROM lineitem"
 
 
-@register("red_sum_axis0", oracle=_oracle_reduce("SUM({c})"))
+@register("red_sum_axis0", oracle=_oracle_reduce("SUM({c})", cast_int=True))
 def red_sum_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(_li(spark, sf_dir).sum())
 
@@ -73,7 +83,7 @@ def red_max_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_doubles(_li(spark, sf_dir).max())
 
 
-@register("red_count_axis0", oracle=_oracle_reduce("COUNT({c})"))
+@register("red_count_axis0", oracle=_oracle_reduce("COUNT({c})", int_result=True))
 def red_count_axis0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _li(spark, sf_dir).count()
 

@@ -78,12 +78,12 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(ABS(l_discount - 0.05), 4)      AS abs_disc,
-           FLOOR(l_quantity / 7)                 AS qty_bucket,
-           CEIL(l_extendedprice / 1000)          AS price_k,
+           CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+           CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
            ROUND(SQRT(l_quantity), 6)            AS qty_sqrt,
            ROUND(POW(1 + l_tax, 2), 6)           AS tax_sq,
            ROUND(LN(l_extendedprice), 6)         AS price_ln,
-           SIGN(l_discount - 0.05)               AS disc_sign
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
     FROM lineitem WHERE l_orderkey <= 1000
     """,
 )
@@ -107,7 +107,7 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, 'k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, 'k') AS INT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, 'k') AS INT)) AS min_k,
            MAX(CAST(json_extract_string(props, 'k') AS INT)) AS max_k
     FROM events GROUP BY event_type

@@ -86,7 +86,7 @@ def udtf_long_token_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
               FROM documents)
     )
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY 1, 2
     """,
 )

@@ -26,12 +26,26 @@ from lithops_dataframe_spark.session import get_spark  # noqa: E402
 
 
 def norm(v) -> str:
+    """Type-strict normalizer: int 3 and float 3.0 MUST differ (the real
+    driver distinguishes them — round-1 lesson: %.9g-collapsing them let
+    four oracle-typing bugs ship 'green'). Decimals are also kept distinct
+    from floats so oracles are forced to CAST to the exact Spark type."""
+    import decimal
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return f"{v:.9g}"
+        return f"f:{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
 
@@ -62,8 +76,13 @@ def main() -> int:
         scols = list(sdf.columns)
         if name in oracles:
             rel = con.sql(oracles[name])
-            drows = rel.fetchall()
-            dcols = [d[0] for d in rel.description]
+            # Fetch through Arrow, not fetchall(): that is how DuckDB's
+            # HUGEINT (SUM over BIGINT) degrades to float64 — the exact
+            # behavior the driver's gate exhibits. fetchall() hides it.
+            tbl = rel.arrow()
+            dcols = list(tbl.column_names)
+            dpy = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+            drows = list(zip(*dpy)) if dpy else []
             ok = (
                 sorted(scols) == sorted(dcols)
                 and len(srows) == len(drows)
