@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lithops_dataframe_spark.plans import QUERIES, ORACLES
+from lithops_dataframe_spark.plans import ORACLES, ordered_queries
 from lithops_dataframe_spark.plans.relational import q05_revenue_by_nation
 
 
@@ -26,8 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    driver's capped sweep (first 50, round-1 evidence) covers one proving
+    query per operator family before any redundant variant."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -19,20 +19,45 @@ import time
 from lithops_dataframe_spark.plans import QUERIES
 from lithops_dataframe_spark.session import get_spark
 
-# Headline set: the flagship star join + representative scan/agg/join/topk
-# queries. Extended operators are appended as they land (dedup, similarity,
-# text) — keep this list in sync with the heaviest things the engine claims.
-HEADLINE = [
+# Headline set: the full 22-shape TPC-H sweep plus the heaviest
+# LLM-pipeline operators — regressions on any expensive operator are
+# visible round-over-round, not just the original 9-query core.
+TPCH = [
     "q01_pricing_summary",
+    "q02_min_cost_supplier",
     "q03_shipping_priority",
+    "q04_priority_with_late_lines",
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q09_product_type_profit",
     "q10_returned_items_topk",
+    "q11_important_parts",
+    "q12_late_line_priorities",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_brand_quantity_bands",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+]
+
+LLM_PIPELINE = [
     "dedup_minhash_lsh_pairs",
     "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
     "text_quality_by_source",
+    "text_hashed_tfidf",
     "stream_session_windows",
+    "pipeline_clean_corpus",
 ]
+
+HEADLINE = TPCH + LLM_PIPELINE
 
 
 def main() -> None:
@@ -64,6 +89,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "tpch22_total": round(sum(timings.get(n, 0.0) for n in TPCH), 4),
+                "llm_pipeline_total": round(
+                    sum(timings.get(n, 0.0) for n in LLM_PIPELINE), 4
+                ),
             }
         )
     )

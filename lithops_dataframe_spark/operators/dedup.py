@@ -177,22 +177,27 @@ def connected_components(
         .withColumn("cluster", F.col("id"))
         .persist()
     )
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nb_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))).alias(
-                    "cluster"
-                ),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))).alias(
+                "cluster"
+            ),
         )
+        if (i + 1) % 3 == 0:
+            # Truncate lineage every few rounds: without this the plan
+            # (and task closure) grows linearly with iterations — fine for
+            # shallow dup graphs, a scheduler bomb for deep ones.
+            # localCheckpoint materializes to executor-local blocks (no
+            # HDFS round trip) and also serves as this round's persist.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

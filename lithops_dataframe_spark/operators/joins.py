@@ -36,10 +36,15 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     allow_exact_matches: bool = True,
+    matched_on: str | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` semantics: for each left row, attach the single
     nearest right row with ``right.on <= left.on`` (backward) or
     ``right.on >= left.on`` (forward), optionally within ``by`` groups.
+
+    ``matched_on``: when given, the output carries the matched right row's
+    ``on`` value under this name (e.g. the click timestamp a purchase was
+    attributed to); when None the bookkeeping column is dropped.
 
     Implementation: tag and union both sides, sort within key partitions by
     the ``on`` column, and carry the last-seen right-side values forward with
@@ -93,6 +98,10 @@ def asof_join(
         F.last(F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True).over(w).alias("__asof_" + on),
     )
     out = carried.filter(F.col("__is_left") == 1).drop("__is_left")
+    if matched_on is not None:
+        out = out.withColumnRenamed("__asof_" + on, matched_on)
+    else:
+        out = out.drop("__asof_" + on)
     return out
 
 

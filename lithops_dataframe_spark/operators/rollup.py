@@ -62,16 +62,23 @@ def query_with_tail(
     spark: SparkSession, rollup_path: str, raw_events: DataFrame, cutoff
 ) -> DataFrame:
     """Answer daily (day, event_type) aggregates over ALL data by merging
-    the materialized rollup (days < cutoff) with a raw scan of the tail
-    (ts >= cutoff). Returns (day, event_type, n_events, sum_value,
-    min_value, max_value, avg_value) identical to a full recompute.
+    the materialized rollup (full days before cutoff) with a raw scan of
+    the tail. Returns (day, event_type, n_events, sum_value, min_value,
+    max_value, avg_value) identical to a full recompute.
+
+    The split point is ``date_trunc('day', cutoff)``: the rollup stores
+    whole-day partials only, so a mid-day cutoff must take history strictly
+    BEFORE the cutoff's day and scan raw events from that day boundary —
+    comparing the rollup against the raw cutoff would keep day(cutoff)'s
+    full partial AND re-aggregate its tail, double-counting the overlap.
     """
+    boundary = F.date_trunc("day", F.lit(cutoff))
     hist = (
         spark.read.parquet(rollup_path)
-        .filter(F.col("day") < F.lit(cutoff))
+        .filter(F.col("day") < boundary)
         .select("day", "event_type", "n_events", "sum_value", "min_value", "max_value")
     )
-    tail = daily_rollup(raw_events.filter(F.col("ts") >= F.lit(cutoff))).select(
+    tail = daily_rollup(raw_events.filter(F.col("ts") >= boundary)).select(
         "day", "event_type", "n_events", "sum_value", "min_value", "max_value"
     )
     merged = (

@@ -6,7 +6,13 @@ SQL-expressible) an equivalent ANSI-SQL oracle string for DuckDB. The
 driver contract in ``__spark_entry__.py`` re-exports this registry.
 """
 
-from lithops_dataframe_spark.plans.registry import QUERIES, ORACLES, register, query_names
+from lithops_dataframe_spark.plans.registry import (
+    QUERIES,
+    ORACLES,
+    register,
+    query_names,
+    ordered_queries,
+)
 
 # Importing the modules populates the registry.
 from lithops_dataframe_spark.plans import relational  # noqa: F401
@@ -30,5 +36,6 @@ from lithops_dataframe_spark.plans import describe_q  # noqa: F401
 from lithops_dataframe_spark.plans import pipeline_q  # noqa: F401
 from lithops_dataframe_spark.plans import funnel_q  # noqa: F401
 from lithops_dataframe_spark.plans import kmeans_q  # noqa: F401
+from lithops_dataframe_spark.plans import io_q  # noqa: F401
 
-__all__ = ["QUERIES", "ORACLES", "register", "query_names"]
+__all__ = ["QUERIES", "ORACLES", "register", "query_names", "ordered_queries"]

@@ -1,0 +1,128 @@
+"""Source/sink round-trip queries (SURVEY §2.1) — prove ``read_csv`` and
+the csv/json/orc/partitioned-parquet writers through the driver gate.
+
+Reference: ``read_csv`` is the reference's ONLY source
+(``/root/reference/dataframe/io.py:13-88``); sinks are absent there but
+required surface. Each query materializes fixture data to a scratch dir in
+the format under test, reads it back through our source implementation, and
+aggregates — the oracle computes the same aggregate straight from the
+parquet views, so any loss/corruption in the round trip (quoting, header
+handling, type mapping, partition layout) breaks the value hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.plans.registry import register
+from lithops_dataframe_spark.sources.csv import read_csv
+from lithops_dataframe_spark.sources.io import read_json, read_orc, read_parquet, write
+
+
+def _scratch(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"lds_{name}_")
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(p_partkey) AS BIGINT) AS key_sum,
+           COUNT(DISTINCT p_brand) AS n_brands,
+           MIN(p_name) AS first_name,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum,
+           ROUND(SUM(p_retailprice), 2) AS price_sum
+    FROM part
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → csv → ``read_csv`` with the pandas option surface
+    (names + header=0 + dtype covering int64/int32/float64/string) →
+    aggregate; any loss in writer quoting, header replacement, or dtype
+    casts breaks the value hash."""
+    out = os.path.join(_scratch("csv"), "part_csv")
+    write(load_table(spark, sf_dir, "part"), out, fmt="csv", header="true")
+    back = read_csv(
+        spark,
+        out,
+        names=["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+        header=0,
+        dtype={
+            "p_partkey": "int64",
+            "p_name": "string",
+            "p_brand": "string",
+            "p_type": "string",
+            "p_size": "int32",
+            "p_retailprice": "float64",
+        },
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("p_partkey").alias("key_sum"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.min("p_name").alias("first_name"),
+        F.sum("p_size").alias("size_sum"),
+        F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+    )
+
+
+@register(
+    "io_sinks_roundtrip",
+    oracle="""
+    SELECT 'json' AS fmt, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS chk
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'orc', COUNT(*), ROUND(SUM(l_quantity), 2)
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT 'parquet_part', COUNT(*), ROUND(SUM(o_totalprice), 2)
+    FROM orders WHERE o_orderkey <= 1000 AND o_orderstatus = 'F'
+    """,
+)
+def io_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json / orc / partitioned-parquet sinks, each written then read back
+    through our sources and reduced to (fmt, n, chk). The parquet leg
+    writes partitionBy(o_orderstatus) and reads back with a partition
+    filter, so directory-partition pruning layout is on the hash path too."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .select("l_orderkey", "l_quantity")
+    )
+    base = _scratch("sinks")
+
+    jpath = os.path.join(base, "orders_json")
+    write(o, jpath, fmt="json")
+    jback = read_json(spark, jpath, "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    jleg = jback.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("chk")
+    ).select(F.lit("json").alias("fmt"), "n", "chk")
+
+    opath = os.path.join(base, "lineitem_orc")
+    write(li, opath, fmt="orc")
+    oleg = (
+        read_orc(spark, opath)
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("chk"))
+        .select(F.lit("orc").alias("fmt"), "n", "chk")
+    )
+
+    ppath = os.path.join(base, "orders_part")
+    write(o, ppath, fmt="parquet", partition_by=["o_orderstatus"])
+    pleg = (
+        read_parquet(spark, ppath)
+        .filter(F.col("o_orderstatus") == "F")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("chk"))
+        .select(F.lit("parquet_part").alias("fmt"), "n", "chk")
+    )
+
+    return jleg.unionByName(oleg).unionByName(pleg)

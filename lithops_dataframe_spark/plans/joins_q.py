@@ -142,7 +142,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.round("value", 4).alias("click_value")
     )
-    return asof_join(purchases, clicks, on="ts", by="user_id").withColumnRenamed("__asof_ts", "click_ts")
+    return asof_join(purchases, clicks, on="ts", by="user_id", matched_on="click_ts")
 
 
 @register(

@@ -139,6 +139,53 @@ def red_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "red_stats_combined",
+    oracle="""
+    SELECT ROUND(MIN(l_quantity), 2)       AS min_qty,
+           ROUND(MAX(l_extendedprice), 2)  AS max_price,
+           ROUND(AVG(l_discount), 4)       AS mean_disc,
+           ROUND(STDDEV_SAMP(l_tax), 4)    AS std_tax,
+           BOOL_AND(l_quantity != 0)       AS all_qty_nonzero,
+           BOOL_OR(l_tax != 0)             AS any_tax_nonzero,
+           (SELECT ROUND(PRODUCT(1 + l_tax), 6) FROM lineitem WHERE l_orderkey <= 8)
+                                           AS prod_tax_factor
+    FROM lineitem
+    """,
+)
+def red_stats_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One driver-checkable row proving the whole reference reduction
+    surface (min/max/mean/std/all/any/prod — reference core.py:264-404)
+    through the LDFrame veneer; one-row crossJoins are literal-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mn = LDFrame(li.select("l_quantity")).min().select(
+        F.round(F.col("l_quantity"), 2).alias("min_qty")
+    )
+    mx = LDFrame(li.select("l_extendedprice")).max().select(
+        F.round(F.col("l_extendedprice"), 2).alias("max_price")
+    )
+    mean = LDFrame(li.select("l_discount")).mean().select(
+        F.round(F.col("l_discount"), 4).alias("mean_disc")
+    )
+    std = LDFrame(li.select("l_tax")).std(ddof=1).select(
+        F.round(F.col("l_tax"), 4).alias("std_tax")
+    )
+    alls = LDFrame(li.select((F.col("l_quantity") != 0).alias("q"))).all().select(
+        F.col("q").alias("all_qty_nonzero")
+    )
+    anys = LDFrame(li.select((F.col("l_tax") != 0).alias("t"))).any().select(
+        F.col("t").alias("any_tax_nonzero")
+    )
+    pr = (
+        LDFrame(
+            li.filter(F.col("l_orderkey") <= 8).select((1 + F.col("l_tax")).alias("p"))
+        )
+        .prod()
+        .select(F.round(F.col("p"), 6).alias("prod_tax_factor"))
+    )
+    return mn.crossJoin(mx).crossJoin(mean).crossJoin(std).crossJoin(alls).crossJoin(anys).crossJoin(pr)
+
+
+@register(
     "red_sum_axis1",
     oracle="""
     SELECT ROUND(l_quantity + l_extendedprice + l_discount + l_tax, 2) AS sum

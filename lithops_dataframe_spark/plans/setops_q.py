@@ -159,6 +159,168 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_combined",
+    oracle="""
+    SELECT 'union_all' AS op, (SELECT COUNT(*) FROM (
+        SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)) AS n
+    UNION ALL
+    SELECT 'intersect', (SELECT COUNT(*) FROM (
+        SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier))
+    UNION ALL
+    SELECT 'except', (SELECT COUNT(*) FROM (
+        SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier))
+    UNION ALL
+    SELECT 'distinct', (SELECT COUNT(*) FROM (
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders))
+    UNION ALL
+    SELECT 'count_distinct', (SELECT COUNT(DISTINCT o_custkey) FROM orders)
+    """,
+)
+def setop_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every §2.7 set operation + count_distinct in one driver-checkable
+    result (one tagged count per operator); each leg is the same plan as
+    its standalone query, the union is 5 one-row frames."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    o = load_table(spark, sf_dir, "orders")
+
+    def tag(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("op"), "n")
+
+    legs = [
+        tag("union_all", c.unionByName(s)),
+        tag("intersect", c.intersect(s)),
+        tag("except", c.subtract(s)),
+        tag("distinct", o.select("o_orderstatus", "o_orderpriority").distinct()),
+        o.agg(F.countDistinct("o_custkey").alias("n")).select(
+            F.lit("count_distinct").alias("op"), "n"
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+@register(
+    "agg_shapes_combined",
+    oracle="""
+    WITH r AS (
+        SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ),
+    c AS (
+        SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ),
+    p AS (
+        SELECT ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+               ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT amount FROM (
+            SELECT l_extendedprice AS price, l_discount AS discount, l_tax AS tax
+            FROM lineitem WHERE l_orderkey < 100
+        ) UNPIVOT (amount FOR kind IN (price, discount, tax))
+    )
+    SELECT 'rollup' AS op, (SELECT COUNT(*) FROM r) AS n_groups,
+           (SELECT ROUND(SUM(total), 2) FROM r) AS chk
+    UNION ALL
+    SELECT 'cube', (SELECT COUNT(*) FROM c), (SELECT ROUND(SUM(qty), 2) FROM c)
+    UNION ALL
+    SELECT 'pivot', (SELECT COUNT(*) FROM p),
+           (SELECT ROUND(SUM(COALESCE(qty_O, 0) + COALESCE(qty_F, 0)), 2) FROM p)
+    UNION ALL
+    SELECT 'melt', (SELECT COUNT(*) FROM m), (SELECT ROUND(SUM(amount), 2) FROM m)
+    """,
+)
+def agg_shapes_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup + cube + pivot + melt (unpivot), each reduced to
+    (op, n_groups, chk) — one slot in the driver sweep proves all four
+    grouping shapes end-to-end."""
+    from lithops_dataframe_spark.frame import LDFrame
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    rollup = (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(F.sum("total"), 2).alias("chk"),
+        )
+        .select(F.lit("rollup").alias("op"), "n_groups", "chk")
+    )
+    cube = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n_groups"), F.round(F.sum("qty"), 2).alias("chk"))
+        .select(F.lit("cube").alias("op"), "n_groups", "chk")
+    )
+    pivot = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(F.sum(F.coalesce("O", F.lit(0.0)) + F.coalesce("F", F.lit(0.0))), 2).alias(
+                "chk"
+            ),
+        )
+        .select(F.lit("pivot").alias("op"), "n_groups", "chk")
+    )
+    melted = LDFrame(
+        li.filter(F.col("l_orderkey") < 100).select(
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    ).melt([], ["price", "discount", "tax"], "kind", "amount")
+    melt = (
+        melted.spark.agg(
+            F.count(F.lit(1)).alias("n_groups"), F.round(F.sum("amount"), 2).alias("chk")
+        )
+        .select(F.lit("melt").alias("op"), "n_groups", "chk")
+    )
+    return rollup.unionByName(cube).unionByName(pivot).unionByName(melt)
+
+
+@register(
+    "agg_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5)  AS p50_qty,
+           quantile_disc(l_discount, 0.9)  AS p90_disc,
+           quantile_disc(l_tax, 0.25)      AS p25_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (mergeable
+    Greenwald-Khanna sketch — single pass, bounded memory per group) in
+    place of exact ``percentile``'s full-multiset buffer.
+
+    Oracle note: the sketch returns an actual data element with rank error
+    ≤ n/accuracy (6 ranks at accuracy=10000, sf0.01). On the grid-valued
+    columns used here (~10-50 distinct values, >1000 rows per value) a
+    6-rank error can never cross a value boundary, so the result equals
+    DuckDB's discrete quantile exactly — verified at the driver's SF.
+    Continuous columns (l_extendedprice) would need a tolerance check;
+    that's what `agg_percentiles` (exact, small-data twin) covers."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_quantity", 0.5, 10000).alias("p50_qty"),
+            F.approx_percentile("l_discount", 0.9, 10000).alias("p90_disc"),
+            F.approx_percentile("l_tax", 0.25, 10000).alias("p25_tax"),
+        )
+    )
+
+
+@register(
     "agg_rollup_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

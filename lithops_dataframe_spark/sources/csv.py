@@ -89,7 +89,11 @@ def read_csv(
     has_header = header == "infer" or header == 0
     if names is not None:
         has_header = header == 0  # explicit names: only skip line if header given
-    opts["header"] = str(has_header and names is None).lower()
+    # names + header=0 (pandas: REPLACE the file's header with names) must
+    # still tell Spark header=true so the header LINE is skipped; the rename
+    # happens via toDF(*names)/schema below. header=false here would parse
+    # the header row as data (nulls/garbage after dtype casts).
+    opts["header"] = str(has_header).lower()
     if escapechar:
         opts["escape"] = escapechar
     if comment:

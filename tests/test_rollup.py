@@ -37,6 +37,26 @@ def test_incremental_refresh_equals_full(spark, tmp_path):
     assert _rows(spark.read.parquet(path).drop("day_part")) == full
 
 
+def test_query_with_tail_midday_cutoff_no_double_count(spark, tmp_path):
+    """A cutoff that is NOT day-aligned must still equal a full recompute:
+    the merge splits at date_trunc('day', cutoff), never keeping a day's
+    materialized partial AND re-aggregating part of that day from raw."""
+    events = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "rollup_mid")
+    R.materialize_rollup(events, path)
+    merged = R.query_with_tail(spark, path, events, "2024-01-25 13:45:00")
+    full = R.daily_rollup(events).select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+        F.round(F.col("sum_value") / F.col("n_events"), 6).alias("avg_value"),
+    )
+    assert _rows(merged) == _rows(full)
+
+
 def test_read_csv_multiline(spark, tmp_path):
     p = tmp_path / "ml.csv"
     p.write_text('id,notes\n1,"line one\nline two"\n2,plain\n')

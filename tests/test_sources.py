@@ -58,6 +58,28 @@ def test_read_csv_names_no_header(spark, tmp_path):
     assert df.columns == ["id", "name"] and df.count() == 2
 
 
+def test_read_csv_names_replace_header(spark, tmp_path):
+    """pandas names + header=0: the file's header LINE is skipped and the
+    columns take the given names — the header row must not surface as data."""
+    p = tmp_path / "wh.csv"
+    p.write_text("x,y\n1,foo\n2,bar\n")
+    df = read_csv(spark, str(p), names=["id", "name"], header=0)
+    assert df.columns == ["id", "name"]
+    assert sorted(map(tuple, df.collect())) == [(1, "foo"), (2, "bar")]
+
+
+def test_read_csv_names_header0_dtype_schema(spark, tmp_path):
+    """names + header=0 + dtype (explicit schema path): header line skipped,
+    schema applied — a parsed header row would cast to nulls and fail."""
+    p = tmp_path / "whs.csv"
+    p.write_text("x,y\n1,1.5\n2,2.5\n")
+    df = read_csv(
+        spark, str(p), names=["id", "val"], header=0, dtype={"id": "int64", "val": "float64"}
+    )
+    assert dict(df.dtypes) == {"id": "bigint", "val": "double"}
+    assert sorted(map(tuple, df.collect())) == [(1, 1.5), (2, 2.5)]
+
+
 def test_read_csv_skiprows_rejected(spark, csv_path):
     with pytest.raises(ValueError, match="skiprows"):
         read_csv(spark, csv_path, skiprows=2)

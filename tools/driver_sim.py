@@ -70,7 +70,9 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     fails = 0
-    for name in sorted(qs):
+    # iterate in queries() dict order — the driver sweeps a PREFIX of this
+    # order (50 entries in round 1), so position matters; print it.
+    for pos, name in enumerate(qs, 1):
         sdf = qs[name](spark, sf)
         srows = [tuple(r) for r in sdf.collect()]
         scols = list(sdf.columns)
@@ -89,7 +91,7 @@ def main() -> int:
                 and value_hash(scols, srows) == value_hash(dcols, drows)
             )
             fails += 0 if ok else 1
-            print(f"{'OK  ' if ok else 'FAIL'} {name}: rows {len(srows)}/{len(drows)}")
+            print(f"{'OK  ' if ok else 'FAIL'} [{pos:3d}] {name}: rows {len(srows)}/{len(drows)}")
             if not ok and len(srows) == len(drows) and sorted(scols) == sorted(dcols):
                 order_s = sorted(range(len(scols)), key=lambda i: scols[i])
                 order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
@@ -100,7 +102,7 @@ def main() -> int:
                         print(f"   spark : {a}\n   duckdb: {b}")
                         break
         else:
-            print(f"ROWS {name}: {len(srows)} rows (no oracle)")
+            print(f"ROWS [{pos:3d}] {name}: {len(srows)} rows (no oracle)")
     print(f"FAILS: {fails}")
     return 1 if fails else 0
 
