@@ -167,3 +167,32 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY o_orderstatus
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/joins.py salted_join): hot keys spread
+    over `salt` reducers, right side replicated salt ways; the result must
+    equal the plain equi-join bit for bit — that equivalence is what the
+    oracle checks."""
+    from lithops_dataframe_spark.operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    return (
+        salted_join(o, c, "o_custkey", salt=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -112,6 +112,43 @@ PRIORITY: tuple[str, ...] = (
     "mm_decode_media",
     "split_train_val_test",
     "pipeline_clean_corpus",
+    # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # new coverage for rows that were pytest-only in round 1
+    "stream_stateful_running_totals",
+    "frame_apply_axis1",
+    "frame_map_partitions",
+    "join_salted_skew",
+    # round-1-green singles displaced by the *_combined consolidations
+    "win_rank_dense_ntile",
+    "join_full_outer_nation_coverage",
+    "join_cross_region_segment",
+    "scalar_date_funcs",
+    "dedup_exact_fingerprint",
+    "agg_percentiles",
+    "agg_count_distinct",
+    "agg_approx_count_distinct",
+    "agg_unpivot_melt",
+    "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "agg_pivot_status_by_flag",
+    "setop_union_all_counts",
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "setop_distinct_order_priorities",
+    "red_min_axis0",
+    "red_max_axis0",
+    "red_mean_axis0",
+    "red_std_axis0",
+    "red_all_any",
+    "red_prod",
+    "red_sum_axis1",
+    "red_max_axis1",
+    "red_mean_axis1",
+    "sql_grouping_sets",
+    "stream_tumbling_counts",
+    "stream_sliding_activity",
+    "stream_dedup_events",
+    "stream_daily_type_revenue",
 )
 
 

@@ -124,3 +124,67 @@ def stream_view_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("stream_daily_type_revenue", oracle=_DAILY_ORACLE)
 def stream_daily_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.daily_type_revenue(_events(spark, sf_dir))
+
+
+_STATEFUL_ORACLE = """
+    SELECT user_id,
+           2 * COUNT(*) AS n_events,
+           ROUND(2 * SUM(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+"""
+
+
+@register("stream_stateful_running_totals", oracle=_STATEFUL_ORACLE)
+def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL structured stream through ``applyInPandasWithState``
+    (streaming/events.py user_running_totals): the events file is staged
+    twice into a replay dir (2 micro-batches via maxFilesPerTrigger=1, so
+    per-user state genuinely carries ACROSS batches), run with an
+    availableNow trigger into a memory sink, then reduced to the final
+    per-user totals (update mode re-emits a user per batch; the row with
+    the max n_events is the last emission — counts only grow).
+
+    The oracle is the batch aggregate over the doubled input — the
+    incremental-stateful result must equal it exactly. This is the one
+    queries() entry that exercises the streaming state store itself, not
+    just the batch twin of a streaming plan.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lithops_dataframe_spark.catalog import normalize_events_ts, table_path
+
+    replay = tempfile.mkdtemp(prefix="lds_stateful_replay_")
+    src = table_path(sf_dir, "events")
+    shutil.copy(src, os.path.join(replay, "part-0000.parquet"))
+    shutil.copy(src, os.path.join(replay, "part-0001.parquet"))
+
+    # batch read only to capture the raw schema for the stream reader
+    # (events carries TIMESTAMP(NANOS) — same session-proofing as load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(replay).schema
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay, raw_schema))
+    totals = SE.user_running_totals(stream_in)
+
+    sink = "lds_stateful_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )

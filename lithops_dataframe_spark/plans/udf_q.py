@@ -124,3 +124,89 @@ def udf_grouped_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInPandas(
         tmean, "l_returnflag string, trimmed_mean double, n_kept long"
     )
+
+
+_APPLY_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CASE WHEN l_discount >= 0.05 THEN 'deep' ELSE 'shallow' END AS disc_band
+    FROM lineitem WHERE l_orderkey <= 200
+"""
+
+
+@register("frame_apply_axis1", oracle=_APPLY_ORACLE)
+def frame_apply_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDFrame.apply(axis=1) — the reference's row-wise pandas UDF path
+    (reference core.py:171-262) as mapInPandas with mandatory meta.
+    Per-row IEEE arithmetic is bit-identical across engines, so the charge
+    column needs no rounding for the value hash."""
+    from lithops_dataframe_spark.frame import LDFrame
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+    )
+
+    def row_fn(row: pd.Series) -> pd.Series:
+        return pd.Series(
+            {
+                "l_orderkey": row["l_orderkey"],
+                "l_linenumber": row["l_linenumber"],
+                "charge": row["l_extendedprice"] * (1 - row["l_discount"]) * (1 + row["l_tax"]),
+                "disc_band": "deep" if row["l_discount"] >= 0.05 else "shallow",
+            }
+        )
+
+    return (
+        LDFrame(li)
+        .apply(
+            row_fn,
+            axis=1,
+            meta="l_orderkey long, l_linenumber int, charge double, disc_band string",
+        )
+        .spark
+    )
+
+
+_MAP_PARTITIONS_ORACLE = """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           LENGTH(text) AS text_len
+    FROM documents WHERE doc_id < 500
+"""
+
+
+@register("frame_map_partitions", oracle=_MAP_PARTITIONS_ORACLE)
+def frame_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LDFrame.map_partitions with partition_info (reference
+    core.py:407-548): per-partition pandas transform, Arrow-batched; the
+    injected partition number is consumed by the function (sanity-checked)
+    but excluded from the output so the result is layout-independent."""
+    from lithops_dataframe_spark.frame import LDFrame
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text")
+    )
+
+    def per_partition(pdf: pd.DataFrame, partition_info=None) -> pd.DataFrame:
+        assert partition_info is None or partition_info.get("number", -1) >= -1
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
+                "text_len": pdf["text"].str.len().astype("int64"),
+            }
+        )
+
+    return (
+        LDFrame(docs)
+        .map_partitions(
+            per_partition,
+            "doc_id long, n_tokens long, text_len long",
+            partition_info=True,
+        )
+        .spark
+    )
