@@ -31,10 +31,11 @@ TABLES = (
     "embeddings",
 )
 
-# Dimensions that are always small relative to the fact tables; the query
-# library broadcasts these explicitly (at 100 TB lineitem/orders are the
-# fact tables, these stay MBs).
-BROADCAST_DIMS = ("region", "nation", "supplier")
+# Dimensions whose row count is CONSTANT in SF — the only tables the query
+# library ever broadcast-hints. supplier/customer/part scale linearly with
+# SF and are deliberately excluded: their joins are AQE-sized (broadcast
+# while they fit the threshold, shuffle at 100 TB).
+BROADCAST_DIMS = ("region", "nation")
 
 
 def table_path(sf_dir: str, name: str) -> str:

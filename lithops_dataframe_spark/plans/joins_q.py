@@ -114,12 +114,13 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Equi-key plus non-equi residual: Catalyst plans a hash join on
     # l_partkey = p_partkey with the theta predicate as post-join filter —
-    # no nested loop. part filtered on size → broadcast-able at any sf.
+    # no nested loop. part scales with SF (the size filter is a constant
+    # fraction), so the join is AQE-sized rather than hint-broadcast.
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 50)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(
-            F.broadcast(part),
+            part,
             (li.l_partkey == part.p_partkey) & (li.l_extendedprice > part.p_retailprice * 20),
         )
         .select("p_partkey", "l_orderkey", "l_linenumber")

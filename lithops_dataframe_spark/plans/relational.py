@@ -10,9 +10,11 @@ this module is the Spark-first realization of its *intended* capability
 surface.
 
 Scale discipline applied throughout:
-- dimension tables (region/nation/supplier, and customer/part when used as
-  pure dimensions) join via ``F.broadcast`` — no shuffle of the fact table
-  for dimension enrichment at any scale;
+- bounded dimension tables (region/nation — constant row counts) join via
+  ``F.broadcast``; SF-scaling sides (customer/supplier/part/orders) carry
+  NO hint — AQE broadcasts them while they fit the threshold and falls
+  back to shuffle joins at 100 TB, where a forced hint would OOM the
+  executors;
 - aggregations are expressed declaratively so Catalyst plans
   partial→exchange→final hash aggregation (map-side combine);
 - top-k is ``orderBy().limit(k)`` which Spark plans as
@@ -79,7 +81,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Q3 — shipping priority (TPC-H Q3 shape): selective join + agg + top-k.
-# customer is a dimension here → broadcast; TakeOrderedAndProject for top-10.
+# customer scales with SF → AQE-sized join (broadcast while it fits);
+# TakeOrderedAndProject for top-10.
 # --------------------------------------------------------------------------
 @register(
     "q03_shipping_priority",
@@ -104,7 +107,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("date"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -116,9 +119,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q5 — revenue by nation (TPC-H Q5 shape) — THE FLAGSHIP (SURVEY §7 M1).
 # Six-table star join: the two fact tables (lineitem⋈orders) shuffle on
-# orderkey; every dimension (customer, supplier, nation, region) joins by
-# broadcast so no additional fact shuffle occurs. Local-join condition
-# c_nationkey = s_nationkey expressed as a post-join filter, as in TPC-H.
+# orderkey; nation and region keep broadcast hints (bounded), while
+# customer and supplier — SF-scaling — are AQE-sized so the same plan
+# broadcasts at bench scale and degrades to shuffle joins at 100 TB.
+# Local-join condition c_nationkey = s_nationkey expressed as a post-join
+# filter, as in TPC-H.
 # --------------------------------------------------------------------------
 @register(
     "q05_revenue_by_nation",
@@ -150,9 +155,9 @@ def q05_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)

@@ -70,8 +70,10 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: correlated MIN subquery matched back to pick the
     cheapest supplier per part. Spark plan: one shuffle builds the
     (part, supplier) offer list; a partition-local window MIN replaces the
-    re-aggregate+rejoin (same orderkey-free shuffle reused). The
-    dimension joins are all broadcast.
+    re-aggregate+rejoin (same orderkey-free shuffle reused). Dimension
+    joins carry no broadcast hints — part/supplier scale with SF, so AQE
+    broadcasts them while they fit and shuffles at 100 TB; nation stays a
+    hinted broadcast (constant 25 rows).
 
     unit_price is deliberately NOT rounded: each engine computes the same
     scalar division l_extendedprice/l_quantity (bit-identical doubles, no
@@ -88,7 +90,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_name")
     # Filter to qualifying parts BEFORE the window: the broadcast semi-join
     # shrinks the windowed input ~12x (only STANDARD small parts rank).
-    offers = offers.join(F.broadcast(p), offers.l_partkey == p.p_partkey)
+    offers = offers.join(p, offers.l_partkey == p.p_partkey)
     w = Window.partitionBy("l_partkey")
     best = offers.withColumn("best_price", F.min("unit_price").over(w)).filter(
         F.col("unit_price") == F.col("best_price")
@@ -96,7 +98,7 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(s, best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("p_partkey", "p_name", "s_name", "n_name", "unit_price")
     )
@@ -124,9 +126,11 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — a CASE-sum ratio over the
-    full 7-table star (both nation lineages + region + part). Every
-    dimension broadcasts; the fact table shuffles exactly once, for the
-    tiny per-year aggregate."""
+    full 7-table star (both nation lineages + region + part). The two
+    nation lineages are hinted broadcasts (bounded); part/orders/customer/
+    supplier scale with SF, so their joins are left to AQE — broadcast
+    while small, shuffle at 100 TB. The final per-year aggregate is one
+    tiny shuffle."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
     )
@@ -141,11 +145,11 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(s, li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
     )
     nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_1", _rev()).otherwise(F.lit(0.0)))
@@ -192,10 +196,10 @@ def q09_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     profit = _rev() - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
     )
     return j.groupBy("nation", F.year("o_orderdate").alias("o_year")).agg(
         F.round(F.sum(profit), 4).alias("profit")
@@ -234,7 +238,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2).select("n_nationkey")
     vals = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
@@ -271,7 +275,7 @@ def q12_late_line_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linestatus", "l_shipdate"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
-    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).filter(
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -311,7 +315,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(best))
         .filter(F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
     )
 
@@ -333,8 +337,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part attribute with
     a NOT-IN exclusion list. The (part, supplier) association comes from
-    distinct lineitem pairs (no partsupp in fixtures); the exclusion is a
-    broadcast anti-join (NOT IN with non-nullable keys ≡ anti-join)."""
+    distinct lineitem pairs (no partsupp in fixtures); the exclusion is an
+    anti-join (NOT IN with non-nullable keys ≡ anti-join), AQE-sized like
+    the part join since both sides scale with SF."""
     pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     p = _t(spark, sf_dir, "part").filter(
@@ -342,8 +347,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -368,7 +373,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and the `<` comparison cannot flip."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select("p_partkey")
-    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branded = li.join(p, li.l_partkey == p.p_partkey)
     w = Window.partitionBy("l_partkey")
     return (
         branded.withColumn("avg_qty", F.avg("l_quantity").over(w))
@@ -401,14 +406,15 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested semi-join chain — suppliers who shipped
     more than a threshold quantity of any name-matched part in a year.
     The inner aggregate shuffles lineitem once on (suppkey, partkey);
-    everything after is broadcast. Integral quantities make the
+    the follow-on joins are AQE-sized (part and supplier scale with SF;
+    nation keeps its broadcast hint). Integral quantities make the
     threshold exact."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     ).select("l_suppkey", "l_partkey", "l_quantity")
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 45)
@@ -448,32 +454,38 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     late supplier in a multi-supplier finished order (lateness = shipped
     >60 days after order date; fixture has no receipt/commit dates).
 
-    Spark plan avoids both correlated self-joins: one shuffle of the
-    order's lines computes per-order supplier stats (distinct suppliers,
-    distinct LATE suppliers) via conditional aggregation, then the
-    late-line stream joins that tiny per-order frame. Semantically equal
+    Spark plan avoids both correlated self-joins: the order⋈lines join is
+    keyed on orderkey, so the per-order supplier stats (distinct
+    suppliers, distinct LATE suppliers) come from window collect_sets over
+    the SAME orderkey partitioning — no second shuffle, no re-scan of the
+    join for the late-line stream, no semi-join back. Semantically equal
     to the EXISTS pair because `exactly one late supplier AND >1 supplier
-    AND this line is late` ⇒ every other supplier is on time."""
+    AND this line is late` ⇒ every other supplier is on time.
+
+    Scale note: orders is a fact table — no broadcast hint; AQE
+    broadcasts the filtered side while it fits and falls back to a
+    shuffle join at 100 TB, where the window then rides the join's
+    orderkey exchange."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    lines = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).withColumn(
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
         "is_late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).cast("int"),
     )
-    per_order = lines.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supps"),
+    w = Window.partitionBy("l_orderkey")
+    sole_late_lines = (
+        lines.withColumn("n_supps", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supps",
+            F.size(F.collect_set(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).over(w)),
+        )
+        .filter((F.col("is_late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     )
-    sole_late = per_order.filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)).select(
-        F.col("l_orderkey").alias("ok")
-    )
-    late_lines = lines.filter(F.col("is_late") == 1)
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        late_lines.join(sole_late, late_lines.l_orderkey == sole_late.ok, "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late_lines.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -7,10 +7,13 @@ Scale notes (100 TB design):
 - AQE on with coalescing + skew-join: at cluster scale the static
   ``shuffle.partitions`` is a ceiling, AQE right-sizes the actual
   post-shuffle partitioning at runtime and splits skewed partitions.
-- ``autoBroadcastJoinThreshold`` left at default (10 MB): the star-schema
-  dimensions (region/nation/supplier/customer/part) stay broadcast-able
-  far beyond sf0.1; explicit ``F.broadcast`` hints are still applied in
-  the query library where the dimension is provably small.
+- ``autoBroadcastJoinThreshold`` left at default (10 MB): at bench SFs
+  every dimension is under it, so plans broadcast without hints; explicit
+  ``F.broadcast`` hints are reserved for frames whose size is bounded by
+  construction (region/nation, one-row scalars, hyperplanes, centroids) —
+  SF-scaling tables are never hinted, because a hint overrides AQE's
+  runtime size check and would force-broadcast a multi-TB customer table
+  at 100 TB.
 - Arrow enabled for every pandas-UDF exchange (the only Python↔JVM
   data path we allow in hot paths).
 - Timezone pinned to UTC so timestamp semantics match the DuckDB oracle.
