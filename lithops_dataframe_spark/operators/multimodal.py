@@ -79,6 +79,45 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
+def write_payload_files(media: DataFrame, out_dir: str) -> int:
+    """Materialize each payload as its own ``<doc_id>.bin`` object under
+    ``out_dir`` — the layout real media lakes use (one object per asset,
+    metadata elsewhere) and the input ``spark.read.format("binaryFile")``
+    expects.
+
+    Writes happen EXECUTOR-side (mapInPandas pass), never through the
+    driver: each task writes its own partition's payloads, so at 100 TB
+    the write is as parallel as the scan (out_dir then being an object
+    store prefix). Deterministic names make the write idempotent.
+    Returns the number of files written (action — forces the write).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+
+        n = 0
+        for pdf in batches:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                with open(os.path.join(out_dir, f"{int(doc_id)}.bin"), "wb") as f:
+                    f.write(bytes(p))
+                n += 1
+        yield pd.DataFrame({"n": [n]})
+
+    counts = media.select("doc_id", "payload").mapInPandas(fn, "n long").collect()
+    return int(sum(r.n for r in counts))
+
+
+def read_binary_files(spark, path: str, *, pattern: str | None = None) -> DataFrame:
+    """``spark.read.format("binaryFile")`` wrapper: one row per object with
+    (path, modificationTime, length, content). The standard Spark source
+    for raw media objects — splits by file, prunes ``content`` when only
+    metadata is selected, and applies ``pathGlobFilter`` push-down."""
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    return reader.load(path)
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake decode: (width, height, duration_ms) from md5.
 

@@ -11,6 +11,7 @@ by value hash, not merely smoke-tested.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators import multimodal as M
@@ -97,3 +98,34 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("mm_frame_sample", oracle=_FRAMES_ORACLE)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample(_media(spark, sf_dir))
+
+
+_BINARYFILE_ORACLE = """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < 300
+"""
+
+
+@register("mm_binaryfile_source", oracle=_BINARYFILE_ORACLE)
+def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real media-lake ingest path: payloads written executor-side as
+    one ``<doc_id>.bin`` object each, read back through
+    ``spark.read.format("binaryFile")`` (path/length/content rows), id
+    recovered from the object path, content integrity proven by md5
+    against the source text (payload bytes are UTF-8 of ASCII text, so
+    DuckDB's VARCHAR md5 is bit-identical)."""
+    import tempfile
+
+    media = M.media_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    )
+    out = tempfile.mkdtemp(prefix="lds_binfiles_")
+    M.write_payload_files(media, out)
+    files = M.read_binary_files(spark, out, pattern="*.bin")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("payload_md5"),
+    )

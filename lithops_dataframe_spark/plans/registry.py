@@ -114,6 +114,8 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_clean_corpus",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
     # new coverage for rows that were pytest-only in round 1
+    "mm_binaryfile_source",
+    "split_stratified_rebalance",
     "stream_stateful_running_totals",
     "frame_apply_axis1",
     "frame_map_partitions",

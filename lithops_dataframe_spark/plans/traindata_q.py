@@ -110,3 +110,64 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+# per-language keep rates (per-mille) for the rebalance: downsample the
+# dominant languages, keep the tail intact — the standard corpus-mixing move.
+_KEEP_PERMILLE = {"en": 300, "de": 600, "fr": 600, "es": 800, "zh": 1000}
+_DEFAULT_PERMILLE = 1000
+
+
+@register(
+    "split_stratified_rebalance",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 AS h
+        FROM documents
+    ),
+    flagged AS (
+        SELECT lang, n_chars,
+               CASE lang
+                   {' '.join(f"WHEN '{lang}' THEN CASE WHEN h < {pm} THEN 1 ELSE 0 END"
+                             for lang, pm in _KEEP_PERMILLE.items())}
+                   ELSE CASE WHEN h < {_DEFAULT_PERMILLE} THEN 1 ELSE 0 END
+               END AS kept
+        FROM hashed
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept * n_chars) AS BIGINT) AS kept_chars
+    FROM flagged GROUP BY lang
+    """,
+)
+def split_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (corpus rebalancing): each
+    language keeps ``_KEEP_PERMILLE[lang]``/1000 of its documents, chosen
+    by key hash (md5(doc_id) mod 1000 < rate), not RNG — so re-runs,
+    repartitioning, and incremental appends keep/drop the SAME documents
+    (the property ``df.sampleBy`` cannot give you), and the audit below is
+    hash-checkable cross-engine.
+
+    Scale shape: one narrow map to flag, one aggregate to audit — the
+    flag column doubles as the filter for the actual write path. Skewed
+    language distribution costs nothing: the hash is uniform within each
+    stratum by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 1000
+    rate = F.lit(_DEFAULT_PERMILLE)
+    for lang, pm in _KEEP_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    kept = F.when(h < rate, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.withColumn("kept", kept)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
+        )
+    )

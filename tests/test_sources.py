@@ -143,6 +143,30 @@ def test_binary_file_source(spark, tmp_path):
     assert rows == {n: (len(d), d) for n, d in payloads.items()}
 
 
+def test_payload_files_roundtrip(spark, tmp_path):
+    """Executor-side per-object payload write + binaryFile read-back:
+    content and doc ids survive bit-exact (the media-lake ingest path)."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators.multimodal import (
+        media_table,
+        read_binary_files,
+        write_payload_files,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 20)
+    media = media_table(docs)
+    n = write_payload_files(media, str(tmp_path))
+    assert n == docs.count() > 0
+    back = read_binary_files(spark, str(tmp_path), pattern="*.bin")
+    got = {
+        int(r["path"].rsplit("/", 1)[-1][: -len(".bin")]): bytes(r["content"])
+        for r in back.collect()
+    }
+    want = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert got == want
+
+
 def test_write_json_roundtrip(spark, tmp_path):
     from lithops_dataframe_spark.sources.io import read_json
 
