@@ -4,54 +4,61 @@ fixed quantizer; this trains one).
 
 Iteration structure (the canonical Spark iterative-algorithm shape):
 - centroids live on the DRIVER between iterations (k × dim doubles — tiny
-  by definition), embedded as literals in the next assignment pass:
-  broadcast-state-as-literals, no join needed for assignment;
-- assignment is a narrow map (distance to k literal centroids via ONE
-  `transform` over an array-of-centroids — single lambda, cheap analysis);
+  by definition) and ride into the assignment pass as a ONE-ROW broadcast
+  frame, not a k×dim literal tree: literals cost ~1s of driver-side
+  Catalyst analysis PER iteration at k=8/dim=64 (same lesson as the LSH
+  hyperplanes — see SCALE.md), while the broadcast frame is a single
+  constant-size build side;
+- assignment is a narrow map (distance to each centroid via ONE
+  `transform` over the array-of-centroids column; argmin =
+  array_position of array_min, which also encodes the lowest-cell-id tie
+  break);
 - the update step is a hash aggregate per (cell, dimension) with map-side
   combine — one shuffle per iteration carrying k × dim rows.
 
 Determinism contract (for the DuckDB oracle): init = the k lowest-id
 vectors; centroids are ROUNDED to 6 decimals after every update, so both
-engines compute distances from bit-identical centroid literals; argmin
+engines compute distances from bit-identical centroid values; argmin
 ties break on cell id. Fixed iteration count (no convergence test) keeps
 the plan replayable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.operators.util import ensure_parallelism
 
 
-def _sq_dists(emb: Column, centroids: list[list[float]]) -> Column:
-    """Array of squared euclidean distances to each literal centroid."""
-    cents = F.array(*[F.array(*[F.lit(v) for v in c]) for c in centroids])
-    return F.transform(
-        cents,
-        lambda c: F.aggregate(
-            F.zip_with(emb, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def assign_cells(df: DataFrame, centroids: list[list[float]], *, emb_col: str = "embedding") -> DataFrame:
+    """Attach `cell` = argmin distance (ties → lowest cell id) and `dist2`.
+
+    The centroid matrix is a one-row broadcast frame; distances fold in a
+    single `transform` lambda; `array_position(d, array_min(d))` returns
+    the FIRST minimal index — exactly the lowest-cell-id tie break.
+    """
+    spark = df.sparkSession
+    cents = F.broadcast(
+        spark.createDataFrame([(centroids,)], "__cents: array<array<double>>")
+    )
+    scored = df.crossJoin(cents).withColumn(
+        "__d",
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col(emb_col), c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
         ),
     )
-
-
-def assign_cells(df: DataFrame, centroids: list[list[float]], *, emb_col: str = "embedding") -> DataFrame:
-    """Attach `cell` = argmin distance (ties → lowest cell id) and `dist2`."""
-    k = len(centroids)
-    d = df.withColumn("__d", _sq_dists(F.col(emb_col), centroids))
-    best = F.lit(0)
-    best_d = F.element_at(F.col("__d"), 1)
-    for i in range(1, k):
-        di = F.element_at(F.col("__d"), i + 1)
-        cond = di < best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, di).otherwise(best_d)
-    return df.withColumn("__d", _sq_dists(F.col(emb_col), centroids)).select(
-        *df.columns, best.alias("cell"), F.round(best_d, 6).alias("dist2")
+    return scored.select(
+        *df.columns,
+        (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1).cast("int").alias("cell"),
+        F.round(F.array_min(F.col("__d")), 6).alias("dist2"),
     )
 
 
@@ -67,8 +74,8 @@ def kmeans_fit(
 
     assignments = (id, cell, dist2). Each iteration collects k×dim rounded
     means to the driver (legitimately driver-sized state) and re-embeds
-    them as literals — at 100 TB each iteration is one scan + one
-    (cell, dim)-keyed aggregate.
+    them through the broadcast frame — at 100 TB each iteration is one
+    scan + one (cell, dim)-keyed aggregate.
     """
     src = ensure_parallelism(df.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))).persist()
     init = src.filter(F.col("id") < k).orderBy("id").collect()

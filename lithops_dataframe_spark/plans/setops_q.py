@@ -89,10 +89,13 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HLL++ sketch: the 100 TB path for cardinality (single pass, fixed
     # memory, mergeable partials) vs the exact shuffle of count(distinct).
+    # Default rsd (0.05): tightening to 0.01 switches HLL++ into a ~10×
+    # slower high-precision register mode (measured 3.5 s vs 0.33 s at
+    # sf0.1) for accuracy the use case doesn't need.
     return (
         load_table(spark, sf_dir, "orders")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+            F.approx_count_distinct("o_custkey").alias("approx_customers"),
             F.count_distinct("o_custkey").alias("exact_customers"),
         )
     )
