@@ -120,6 +120,7 @@ PRIORITY: tuple[str, ...] = (
     "frame_apply_axis1",
     "frame_map_partitions",
     "join_salted_skew",
+    "join_bucketed_colocated",
     # round-1-green singles displaced by the *_combined consolidations
     "win_rank_dense_ntile",
     "join_full_outer_nation_coverage",
