@@ -188,9 +188,15 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity through the driver gate). At 100 TB this is the layout for
     repeated fact⋈fact joins: the shuffle is paid once at write time and
     amortized over every subsequent join on the key."""
+    import uuid
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    lt, ot = "lds_li_bucketed_q", "lds_o_bucketed_q"
+    # unique names per invocation: managed-table LOCATIONS outlive the
+    # in-memory catalog across sessions, so a fixed name + overwrite fails
+    # with LOCATION_ALREADY_EXISTS in any later session
+    suffix = uuid.uuid4().hex[:8]
+    lt, ot = f"lds_li_bucketed_{suffix}", f"lds_o_bucketed_{suffix}"
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
     lb, ob = spark.table(lt), spark.table(ot)

@@ -123,6 +123,7 @@ PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated",
     # round-1-green singles displaced by the *_combined consolidations
     "win_rank_dense_ntile",
+    "win_percent_cume",
     "join_full_outer_nation_coverage",
     "join_cross_region_segment",
     "scalar_date_funcs",

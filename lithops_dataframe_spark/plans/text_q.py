@@ -153,13 +153,22 @@ def text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed TF-IDF document vectors (HashingTF + smoothed IDF), sparse
     (doc, bucket, weight) rows. The hashing trick removes vocabulary
     state: fixed TF_BUCKETS dimensionality, one explode + two hash
-    aggregates, IDF side is TF_BUCKETS rows → broadcast join."""
+    aggregates, IDF side is TF_BUCKETS rows → broadcast join. The corpus
+    size rides in as a one-row broadcast frame rather than a driver-side
+    ``count()`` — one less scan/job, and the whole query stays a single
+    lazy plan (the scale-correct shape: no action before the sink)."""
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs")))
     tok = docs.select("doc_id", F.explode(T.tf_buckets(T.ws_tokens(F.col("text")))).alias("bucket"))
     tf = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    idf = tok.groupBy("bucket").agg(
-        (F.log((F.lit(n_docs) + 1.0) / (F.countDistinct("doc_id") + 1.0)) + 1.0).alias("idf")
+    idf = (
+        tok.groupBy("bucket")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .crossJoin(n_docs)
+        .select(
+            "bucket",
+            (F.log((F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)) + 1.0).alias("idf"),
+        )
     )
     return tf.join(F.broadcast(idf), "bucket").select(
         "doc_id",

@@ -156,3 +156,32 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(wfull).alias("last_event"),
         F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
     ).distinct()
+
+
+@register(
+    "win_percent_cume",
+    oracle="""
+    SELECT s_suppkey,
+           s_nationkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTILE(4) OVER w AS quartile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile in one window pass — the remaining
+    SURVEY §2.5 ranking shapes. One shuffle on the partition key; ties are
+    impossible (s_suppkey in the ORDER BY), so the relative-rank doubles
+    are rank-arithmetic — identical across engines, rounded only for
+    normalizer friendliness."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
