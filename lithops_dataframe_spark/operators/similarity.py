@@ -259,25 +259,53 @@ def ivf_topk(
 
     The coarse quantizer here is a FIXED deterministic centroid set (the
     ``n_cells`` lowest-id corpus vectors) rather than trained k-means —
-    same plan shape (assign: narrow broadcast argmin; probe: equi-join on
-    cell id), deterministic for the differential oracle. At scale, swap
-    the centroid frame for trained centroids; everything else stands.
+    same plan shape, deterministic for the differential oracle. At scale,
+    swap the centroid frame for trained centroids; everything else stands.
     Recall < 1 by design (cell misses), like any IVF index.
+
+    Cell assignment is a NARROW map: the quantizer (n_cells × dim — the
+    same driver-sized state k-means carries) rides in as a one-row
+    broadcast frame, and each row picks its n best cells by sorting a
+    per-row (−sim, cell_id) struct array. The previous formulation
+    exploded every row × n_cells and ranked with a window partitioned by
+    ROW ID — a full-corpus × n_cells shuffle that would dominate at
+    100 TB; this one shuffles nothing before the candidate equi-join.
     """
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cent")
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cent"))
+        .orderBy("cell_id")
+        .collect()
+    )
+    cent_mat = [[float(v) for v in r["cent"]] for r in cent_rows]
+    cell_ids = [int(r["cell_id"]) for r in cent_rows]
+    cframe = F.broadcast(
+        spark.createDataFrame(
+            [(cent_mat, cell_ids)], "__cents: array<array<double>>, __cids: array<int>"
+        )
     )
 
     def nearest_cells(df: DataFrame, idc: str, embc: str, n: int) -> DataFrame:
-        """Attach the n nearest cell ids (by cosine) to each row of df."""
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "__csim", cosine(F.col(embc), F.col("cent"))
+        """Attach the n nearest cell ids (by cosine desc, cell_id asc tie
+        break — encoded as ascending (−sim, cell_id) struct sort)."""
+        ranked = F.slice(
+            F.array_sort(
+                F.zip_with(
+                    F.col("__cents"),
+                    F.col("__cids"),
+                    lambda c, cid: F.struct(
+                        (-cosine(F.col(embc), c)).alias("negsim"), cid.alias("cell_id")
+                    ),
+                )
+            ),
+            1,
+            n,
         )
-        w = Window.partitionBy(idc).orderBy(F.col("__csim").desc(), F.col("cell_id").asc())
         return (
-            scored.withColumn("__crk", F.row_number().over(w))
-            .filter(F.col("__crk") <= n)
-            .drop("cent", "__csim", "__crk")
+            df.crossJoin(cframe)
+            .withColumn("__cell", F.explode(ranked))
+            .select(*df.columns, F.col("__cell.cell_id").alias("cell_id"))
         )
 
     c_assigned = nearest_cells(

@@ -28,36 +28,57 @@ HEADLINE = [
     "q19_brand_quantity_bands",
     "q02_min_cost_supplier",
     "q08_market_share",
+    "q09_product_type_profit",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard_pairs",
     "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
+    "kmeans_cells",
     "text_quality_by_source",
+    "text_hashed_tfidf",
+    "pipeline_clean_corpus",
     "stream_session_windows",
     "rollup_continuous_aggregate",
     "sql_cte_window_topn",
+    "split_stratified_rebalance",
+    "win_percent_cume",
 ]
 
 # brute-force baselines are intentionally quadratic at small input
 ALLOW_NESTED_LOOP = {"sim_cosine_neardup_exact", "sim_cosine_topk_bruteforce", "sim_knn_label_vote"}
 
-# The LSH bucketers attach the hyperplane matrix as a ONE-ROW broadcast
-# frame (operators/similarity.py with_buckets): the resulting
-# BroadcastNestedLoopJoin is 1 row × N — constant-size build side, a
-# linear pass, benign at any scale. Allowed only when the plan's broadcast
-# side is that LocalTableScan single row (checked below).
+# Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
+# construction — a constant frame (LSH hyperplanes, k-means centroids,
+# both driver-local createDataFrame frames) or a global scalar aggregate
+# (compare-to-average/total patterns, corpus-size factor). 1 row × N is a
+# linear pass with a constant build side — benign at any scale. Allowed
+# only when the plan also shows the one-row provenance (checked below).
 ALLOW_ONE_ROW_BROADCAST = {
     "sim_cosine_topk_lsh",
     "sim_cosine_neardup_lsh",
     "sim_cosine_topk_ivf",
+    "kmeans_cells",
+    "text_hashed_tfidf",
+    "pipeline_clean_corpus",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
 }
 
 
 def bnlj_is_one_row_planes(plan: str) -> bool:
-    """True if the plan's BroadcastNestedLoopJoin broadcasts a driver-local
-    constant frame (the 1-row planes): such frames surface as
-    LocalTableScan / Scan ExistingRDD feeding a BroadcastExchange."""
+    """True if the plan's BroadcastNestedLoopJoin broadcasts a one-row
+    frame: a driver-local constant (LocalTableScan / Scan ExistingRDD) or
+    a global aggregate (formatted plans print ``Keys: []`` for the
+    grouping-free HashAggregate feeding the BroadcastExchange)."""
     return plan.count("BroadcastNestedLoopJoin") > 0 and (
-        "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+        "LocalTableScan" in plan or "Scan ExistingRDD" in plan or "Keys: []" in plan
     )
 
 
