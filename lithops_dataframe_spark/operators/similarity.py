@@ -141,30 +141,31 @@ def with_buckets(df: DataFrame, emb_col: str) -> DataFrame:
     spark = df.sparkSession
     flat = [HYPERPLANES[t][p] for t in range(N_TABLES) for p in range(N_PLANES)]
     planes = F.broadcast(spark.createDataFrame([(flat,)], "__planes: array<array<double>>"))
+    # The dot fold and the per-table sign-bit keys are built as ONE SQL
+    # expression string each: the equivalent Column-object formulation is
+    # ~1,000 py4j round-trips (each F.when/element_at/lit is a JVM call),
+    # which costs multiple seconds of pure driver time per query. Same
+    # Catalyst tree, same arithmetic (double dots, int bit sums) — only
+    # the construction path changes.
+    dots_sql = (
+        "transform(__planes, pl -> aggregate("
+        f"zip_with({emb_col}, pl, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, v) -> acc + v))"
+    )
+    posting_sql = (
+        f"explode(transform(sequence(0, {N_TABLES - 1}), t -> named_struct("
+        "'table_idx', CAST(t AS INT), "
+        f"'bucket', CAST(aggregate(sequence(0, {N_PLANES - 1}), 0, (acc, p) -> "
+        f"acc + IF(element_at(__dots, CAST(t AS INT) * {N_PLANES} + p + 1) > 0D, "
+        "shiftleft(1, p), 0)) AS INT))))"
+    )
     dotted = (
         ensure_parallelism(df)
         .crossJoin(planes)
-        .withColumn("__dots", F.transform(F.col("__planes"), lambda pl: dot(F.col(emb_col), pl)))
+        .withColumn("__dots", F.expr(dots_sql))
         .drop("__planes")
     )
-
-    def key(t: int) -> Column:
-        k = F.lit(0)
-        for p in range(N_PLANES):
-            k = k + F.when(
-                F.element_at(F.col("__dots"), t * N_PLANES + p + 1) > 0, F.lit(1 << p)
-            ).otherwise(F.lit(0))
-        return k.cast("int")
-
-    posting = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("table_idx"), key(t).alias("bucket"))
-                for t in range(N_TABLES)
-            ]
-        )
-    ).alias("p")
-    return dotted.select("*", posting).select(
+    return dotted.select("*", F.expr(posting_sql).alias("p")).select(
         *df.columns, F.col("p.table_idx").alias("table_idx"), F.col("p.bucket").alias("bucket")
     )
 

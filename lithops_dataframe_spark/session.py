@@ -51,6 +51,12 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4 captures a user-code stack trace on EVERY DataFrame API
+        # call to decorate error messages; that is one extra py4j round-trip
+        # plus a Python stack walk per call — measured ~0.6 s of pure driver
+        # overhead on expression-heavy plans (LSH bucketing builds hundreds
+        # of Column objects). Error messages stay correct, just un-decorated.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # bucketed-table storage (bucketBy saveAsTable) — out of the repo tree

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 
 import duckdb
@@ -69,6 +70,9 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf, t)}')")
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    only = {n for n in os.environ.get("LDS_ONLY", "").split(",") if n}
+    if only:
+        qs = {n: f for n, f in qs.items() if n in only}
     fails = 0
     # iterate in queries() dict order — the driver sweeps a PREFIX of this
     # order (50 entries in round 1), so position matters; print it.
