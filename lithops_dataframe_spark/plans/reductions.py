@@ -219,3 +219,60 @@ def red_max_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def red_mean_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = LDFrame(load_table(spark, sf_dir, "lineitem").select(*LI_DOUBLE))
     return li.mean(axis=1).select(F.round(F.col("mean"), 4).alias("mean"))
+
+
+@register(
+    "red_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_samp_qty_price,
+           ROUND(covar_pop(l_quantity, l_extendedprice), 4)  AS covar_pop_qty_price,
+           ROUND(var_samp(l_tax), 6)                         AS var_samp_tax,
+           ROUND(var_pop(l_tax), 6)                          AS var_pop_tax,
+           -- DuckDB skewness/kurtosis are the BIAS-CORRECTED sample
+           -- statistics (G1/G2); Spark's are the population moments
+           -- (g1/g2). Convert with the exact factor so both sides round
+           -- to the same 6 decimals: g1 = G1*(n-2)/sqrt(n(n-1)),
+           -- g2 = (G2*(n-2)*(n-3)/(n-1) - 6)/(n+1).
+           ROUND(skewness(l_discount) * (COUNT(*) - 2.0)
+                 / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 6)     AS skew_discount,
+           ROUND((kurtosis(l_discount) * (COUNT(*) - 2.0) * (COUNT(*) - 3.0)
+                  / (COUNT(*) - 1.0) - 6.0) / (COUNT(*) + 1.0), 6) AS kurt_discount,
+           median(l_quantity)                                AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def red_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second/third/fourth-moment statistics per group — corr, covariance,
+    variance, skewness, kurtosis, median.
+
+    All are single-pass mergeable moment aggregates (Catalyst computes
+    partial (n, Σx, Σx², Σx³, Σx⁴, Σxy) per partition and merges), so the
+    plan is partial→exchange-on-l_returnflag→final: the right shape at
+    100 TB. ``median`` is the exact interpolated percentile — fine on
+    grouped data where each group fits an aggregation buffer; the
+    documented whole-column scale path is ``approx_percentile``
+    (see ``agg_percentiles_approx``).
+
+    Reference parity: extends the reference's declared reduction surface
+    (``/root/reference/dataframe/core.py:264-404``, mean/std) to the full
+    moment family a stats-profiling pipeline needs.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qty_price"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qty_price"),
+            F.round(F.var_samp("l_tax"), 6).alias("var_samp_tax"),
+            F.round(F.var_pop("l_tax"), 6).alias("var_pop_tax"),
+            F.round(F.skewness("l_discount"), 6).alias("skew_discount"),
+            F.round(F.kurtosis("l_discount"), 6).alias("kurt_discount"),
+            F.median("l_quantity").alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
