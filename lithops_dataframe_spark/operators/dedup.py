@@ -147,6 +147,71 @@ def minhash_lsh_pairs(
     )
 
 
+def levenshtein_blocked_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    prefix_len: int = 16,
+    max_dist: int = 40,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs with prefix blocking.
+
+    Returns (id_a, id_b, dist) with id_a < id_b and Levenshtein distance
+    ≤ ``max_dist``, comparing only documents that share their first
+    ``prefix_len`` characters.
+
+    Plan shape (scales to 100 TB):
+      1. narrow map: block key = ``substring(text, 1, prefix_len)``;
+      2. self equi-join on the block key — hash shuffle, never all-pairs;
+      3. THRESHOLD-BOUNDED ``levenshtein(a, b, max_dist)`` — Spark's 3-arg
+         form runs the banded O(max_dist·n) DP and returns -1 beyond the
+         bound, vs O(n²) cells for the unbounded distance.
+
+    Work is Σ block-size² over blocks; ``max_block_size`` drops boilerplate
+    hot blocks (every doc starting with the same header) exactly like an
+    inverted-index stop list — essential at corpus scale, optional here.
+    Prefix blocking is exact only for edits past the prefix; pair it with
+    the hash families (minhash/simhash) for head edits — this operator is
+    the cheap high-precision member of the dedup ensemble.
+
+    Reference parity: extends the reference's dedup surface (its live API
+    is pandas ``drop_duplicates`` passthrough; ``/root/reference/dataframe/
+    core.py``) with the edit-distance family a text pipeline needs.
+    """
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("blk"),
+    )
+    if max_block_size is not None:
+        # Stop-block cap: count per block key, keep blocks ≤ cap. The
+        # counts frame is corpus-sized in the worst case, so no broadcast
+        # hint — AQE sizes the join.
+        sizes = base.groupBy("blk").agg(F.count(F.lit(1)).alias("__bn"))
+        base = (
+            base.join(sizes.filter(F.col("__bn") <= max_block_size), "blk", "inner")
+            .select("id", "txt", "blk")
+        )
+
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
+    )
+    dist = F.levenshtein(F.col("a.txt"), F.col("b.txt"), max_dist)
+    return (
+        pairs.withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)  # 3-arg levenshtein → -1 beyond bound
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     *,

@@ -185,3 +185,23 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=_NGRAM_N, threshold=0.3)
+
+
+_LEV_ORACLE = """
+    WITH b AS (SELECT doc_id AS id, text AS txt, substr(text, 1, 16) AS blk
+               FROM documents)
+    SELECT a.id AS id_a, c.id AS id_b,
+           CAST(levenshtein(a.txt, c.txt) AS INT) AS dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+    WHERE levenshtein(a.txt, c.txt) <= 40
+"""
+
+
+@register("dedup_fuzzy_levenshtein_pairs", oracle=_LEV_ORACLE)
+def dedup_fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: prefix-16 blocking + threshold-bounded
+    levenshtein (banded DP via the 3-arg form). The exact-verification
+    member of the dedup ensemble — catches char-level edits that word-
+    shingle Jaccard underweights."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.levenshtein_blocked_pairs(docs, "text", "doc_id", prefix_len=16, max_dist=40)

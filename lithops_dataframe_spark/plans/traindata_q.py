@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.functions import text as T
+from lithops_dataframe_spark.operators.util import ensure_parallelism
 from lithops_dataframe_spark.plans.registry import register
 
 
@@ -170,4 +173,174 @@ def split_stratified_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("kept").alias("n_kept"),
             F.sum(F.col("kept") * F.col("n_chars")).alias("kept_chars"),
         )
+    )
+
+
+# chunking geometry: 32-token windows, stride 24 (8-token overlap) — the
+# tokenize-and-pack shape every pretraining pipeline runs before writing
+# training shards.
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {T.ws_tokens_sql('text')} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, {_CHUNK_STRIDE})) AS strt
+        FROM t
+    )
+    SELECT doc_id,
+           (strt // {_CHUNK_STRIDE})::INT AS chunk_idx,
+           len(list_slice(toks, strt + 1, strt + {_CHUNK_TOKENS}))::BIGINT AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, strt + 1, strt + {_CHUNK_TOKENS}), ' ')) AS chunk_fp
+    FROM s
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``_CHUNK_TOKENS``-token windows advancing by ``_CHUNK_STRIDE`` tokens
+    (trailing chunks may be short), emitting (doc_id, chunk_idx, length,
+    chunk fingerprint) rows — the context-window packing step between
+    cleaning and shard writing.
+
+    Scale shape: pure narrow map — tokenize once, generate the start
+    offsets with ``sequence`` and ``posexplode`` them, slice the token
+    array per chunk. Zero shuffles; output rows ≈ tokens/stride per doc.
+    The md5 chunk fingerprint (32 bytes) stands in for the chunk payload
+    downstream consumers would write, and doubles as the chunk-level
+    exact-dedup key."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.ws_tokens(F.col("text")).alias("toks"))
+    exploded = toks.select(
+        "doc_id",
+        "toks",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_idx", "strt"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("strt") + 1, F.lit(_CHUNK_TOKENS))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
+
+
+# decontamination: trigram-shingle overlap against the held-out subset
+# doc_id % 97 == 0 (stand-in for a benchmark suite); flag train docs whose
+# shingle overlap fraction reaches the threshold.
+_DECON_MOD = 97
+_DECON_MIN_FRAC = 0.05
+_SH3 = H.word_shingles_sql("text", 3)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SH3} AS sh FROM documents),
+    ev AS (
+        SELECT DISTINCT {H.token_hash60_sql('s')} AS hs
+        FROM (SELECT unnest(sh) AS s FROM t WHERE doc_id % {_DECON_MOD} = 0)
+    ),
+    tr AS (
+        SELECT doc_id, {H.token_hash60_sql('s')} AS hs
+        FROM (SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % {_DECON_MOD} != 0)
+    ),
+    hits AS (
+        SELECT tr.doc_id, COUNT(*) AS n_hits
+        FROM tr JOIN ev ON tr.hs = ev.hs GROUP BY tr.doc_id
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n_shingles FROM t WHERE doc_id % {_DECON_MOD} != 0)
+    SELECT sz.doc_id,
+           n_hits,
+           n_shingles::BIGINT AS n_shingles,
+           ROUND(n_hits::DOUBLE / n_shingles, 4) AS overlap_frac
+    FROM hits JOIN sz ON sz.doc_id = hits.doc_id
+    WHERE n_hits::DOUBLE / n_shingles >= {_DECON_MIN_FRAC}
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose trigram
+    shingles overlap a held-out evaluation set (here the deterministic
+    subset doc_id % 97 == 0) above ``_DECON_MIN_FRAC``.
+
+    Scale shape: both sides explode to (doc, shingle-hash) postings and
+    equi-join on the 60-bit token hash — an 8-byte join key instead of the
+    shingle string, so the shuffle carries ids+hashes only. In production
+    the eval side is a FIXED benchmark suite (bounded by construction) and
+    takes a broadcast hint; here it scales with the corpus, so the join is
+    left to AQE. Same hash constants as minhash (functions/hashing.py) →
+    bit-identical DuckDB oracle."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)  # feeds eval + postings + sizes
+    is_eval = F.col("doc_id") % _DECON_MOD == 0
+    ev = (
+        sh.filter(is_eval)
+        .select(F.explode("sh").alias("s"))
+        .select(H.token_hash60(F.col("s")).alias("hs"))
+        .distinct()
+    )
+    train = sh.filter(~is_eval)
+    post = train.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", H.token_hash60(F.col("s")).alias("hs")
+    )
+    hits = post.join(ev, "hs").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    sizes = train.select("doc_id", F.size("sh").cast("long").alias("n_shingles"))
+    frac = F.col("n_hits") / F.col("n_shingles")
+    return (
+        hits.join(sizes, "doc_id")
+        .filter(frac >= _DECON_MIN_FRAC)
+        .select(
+            "doc_id",
+            "n_hits",
+            "n_shingles",
+            F.round(frac, 4).alias("overlap_frac"),
+        )
+    )
+
+
+_SAMPLE_K = 10
+
+
+@register(
+    "sample_k_per_stratum",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, rk::INT AS rk FROM ranked WHERE rk <= {_SAMPLE_K}
+    """,
+)
+def sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of exactly K documents per stratum
+    (language): rank by md5(doc_id) within the stratum, keep the first K —
+    the eval-set / inspection-sample constructor.
+
+    Unlike ``df.sample``/``sampleBy`` (RNG per partition, count only in
+    expectation, unstable under re-runs), hash-ranking gives exactly K
+    rows per stratum and the SAME K on every run and layout. One shuffle
+    on the stratum key; Spark pushes the rank filter into the sort as
+    WindowGroupLimit (top-K per group, never a full sort of the stratum)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
     )

@@ -67,6 +67,50 @@ def test_union_distinct_idempotence(spark):
     assert once == twice
 
 
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_pairs_vs_bruteforce(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in D.levenshtein_blocked_pairs(
+            docs, "text", "doc_id", prefix_len=16, max_dist=40
+        ).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    blocks: dict[str, list] = {}
+    for r in rows:
+        blocks.setdefault(r["text"][:16], []).append((r["doc_id"], r["text"]))
+    exp = {}
+    for members in blocks.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                (ia, ta), (ib, tb) = members[x], members[y]
+                if ia > ib:
+                    ia, ib, ta, tb = ib, ia, tb, ta
+                d = _py_levenshtein(ta, tb)
+                if d <= 40:
+                    exp[(ia, ib)] = d
+    assert got == exp and got, f"{len(got)} vs {len(exp)} pairs"
+
+
+def test_levenshtein_pairs_block_cap(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # cap 1 → every block is singleton-only → no pairs survive
+    capped = D.levenshtein_blocked_pairs(
+        docs, "text", "doc_id", prefix_len=16, max_dist=40, max_block_size=1
+    )
+    assert capped.count() == 0
+
+
 def test_minhash_signature_stability(spark):
     # signatures are pure functions of text: recomputing under a different
     # plan shape yields byte-identical arrays
