@@ -48,6 +48,11 @@ HEADLINE = [
     "sql_cte_window_topn",
     "split_stratified_rebalance",
     "win_percent_cume",
+    "red_stats_moments",
+    "dedup_fuzzy_levenshtein_pairs",
+    "chunk_documents_overlap",
+    "decontaminate_ngram_overlap",
+    "sample_k_per_stratum",
 ]
 
 # brute-force baselines are intentionally quadratic at small input
