@@ -41,8 +41,28 @@ def read_events_stream(spark: SparkSession, events_dir: str, schema) -> DataFram
 
 def with_watermark(events: DataFrame) -> DataFrame:
     """Apply the event-time watermark on streaming inputs; no-op for batch
-    (watermark is legal but ignored in batch mode)."""
+    (watermark is legal but ignored in batch mode).
+
+    The fixture's events.ts is parquet TIMESTAMP_NTZ, but streaming event
+    time must be TIMESTAMP (LTZ) — cast on the streaming path only (session
+    tz is pinned UTC, so wall times are unchanged); batch plans stay NTZ so
+    their output matches the DuckDB oracle's naive timestamps. Builders cast
+    their output time columns back to NTZ (:func:`_ntz`) so stream results
+    stay bit-identical to batch.
+    """
+    from pyspark.sql import types as T
+
+    if events.isStreaming and isinstance(
+        events.schema["ts"].dataType, T.TimestampNTZType
+    ):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events.withWatermark("ts", WATERMARK)
+
+
+def _ntz(col: str, alias: str):
+    """Cast a time column back to TIMESTAMP_NTZ (no-op in batch mode where
+    it already is NTZ; inverse of the streaming-side cast under UTC)."""
+    return F.col(col).cast("timestamp_ntz").alias(alias)
 
 
 def tumbling_counts(events: DataFrame, *, size: str = "1 hour") -> DataFrame:
@@ -61,8 +81,8 @@ def tumbling_counts(events: DataFrame, *, size: str = "1 hour") -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("w_start"),
-            F.col("w.end").alias("w_end"),
+            _ntz("w.start", "w_start"),
+            _ntz("w.end", "w_end"),
             "event_type",
             "n_events",
             "sum_value",
@@ -83,8 +103,8 @@ def sliding_user_activity(events: DataFrame, *, size: str = "1 hour", slide: str
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("w_start"),
-            F.col("w.end").alias("w_end"),
+            _ntz("w.start", "w_start"),
+            _ntz("w.end", "w_end"),
             "n_events",
             "sum_value",
         )
@@ -107,8 +127,8 @@ def session_windows(events: DataFrame, *, gap: str = "10 minutes") -> DataFrame:
         )
         .select(
             "user_id",
-            F.col("sw.start").alias("s_start"),
-            F.col("sw.end").alias("s_end"),
+            _ntz("sw.start", "s_start"),
+            _ntz("sw.end", "s_end"),
             "n_events",
             "sum_value",
         )
@@ -150,7 +170,12 @@ def view_click_pairs(events: DataFrame, *, within: str = "30 minutes") -> DataFr
         (F.col("v_user") == F.col("c_user"))
         & (F.col("c_ts") > F.col("v_ts"))
         & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
-    ).select(F.col("v_user").alias("user_id"), "v_ts", "c_ts", "c_value")
+    ).select(
+        F.col("v_user").alias("user_id"),
+        _ntz("v_ts", "v_ts"),
+        _ntz("c_ts", "c_ts"),
+        "c_value",
+    )
 
 
 def view_click_correlation(events: DataFrame, *, within: str = "30 minutes") -> DataFrame:
@@ -222,5 +247,5 @@ def daily_type_revenue(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
-        .select(F.col("w.start").alias("day_start"), "event_type", "n_events", "sum_value", "avg_value")
+        .select(_ntz("w.start", "day_start"), "event_type", "n_events", "sum_value", "avg_value")
     )
