@@ -71,6 +71,17 @@ def main() -> None:
     # engine, not first-touch setup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+    # JIT warmup at sf0.001 for the expression-heavy operators (hyperplane
+    # folds, minhash signatures): their interpreted higher-order-function
+    # eval paths take several seconds of first-run JVM compilation that
+    # otherwise lands on whichever query touches them first. Tiny inputs
+    # (≤500 rows), results discarded — warms code paths only, reuses no
+    # sf-level data or results.
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_sf):
+        for wname in ("sim_cosine_topk_lsh", "dedup_minhash_lsh_pairs", "text_hashed_tfidf"):
+            if wname in QUERIES:
+                QUERIES[wname](spark, warm_sf).collect()
 
     names = [n for n in HEADLINE if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]

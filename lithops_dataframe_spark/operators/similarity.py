@@ -226,8 +226,19 @@ def ann_topk(
     # Slim bucket join: postings carry only (id, table_idx, bucket);
     # embeddings rejoin AFTER candidate dedup (payload movement is
     # O(candidates), and the query side re-attaches via broadcast).
-    qb = with_buckets(q, "q_emb").select("query_id", "table_idx", "bucket")
-    cb = with_buckets(c, "c_emb").select("neighbor_id", "table_idx", "bucket")
+    #
+    # Both sides go through ONE tagged-union bucket pass instead of two
+    # separate with_buckets plans: the per-query driver/compile overhead of
+    # the hyperplane-fold plan (~2 s, data-size-independent) is paid once,
+    # and the two join inputs are filters over the same subtree instead of
+    # two distinct plan shapes. At scale this also halves the number of
+    # stage shapes the scheduler manages; per-row work is unchanged.
+    tagged = c.select(F.col("neighbor_id").alias("__id"), F.col("c_emb").alias("__emb"), F.lit(0).alias("__side")).unionAll(
+        q.select(F.col("query_id").alias("__id"), F.col("q_emb").alias("__emb"), F.lit(1).alias("__side"))
+    )
+    postings = with_buckets(tagged, "__emb").select("__id", "__side", "table_idx", "bucket")
+    cb = postings.filter(F.col("__side") == 0).select(F.col("__id").alias("neighbor_id"), "table_idx", "bucket")
+    qb = postings.filter(F.col("__side") == 1).select(F.col("__id").alias("query_id"), "table_idx", "bucket")
     cand = (
         cb.join(qb, ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
