@@ -58,6 +58,15 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         # of Column objects). Error messages stay correct, just un-decorated.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Generated-class compile cache: the default 100 entries is smaller
+        # than one pass over the query library (22 TPC-H plans alone evict
+        # everything), so every expression-heavy query recompiled its
+        # operators from scratch — seconds of Janino time per query. Bigger
+        # cache + stable class names (no codegen-stage id in the source
+        # text) let identical operator shapes share one compiled class
+        # across queries.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        .config("spark.sql.codegen.useIdInClassName", "false")
         .config("spark.ui.enabled", "false")
         # bucketed-table storage (bucketBy saveAsTable) — out of the repo tree
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lds_warehouse"))
