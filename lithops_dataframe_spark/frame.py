@@ -432,7 +432,13 @@ class LDFrame:
         analog) — one pass, no shuffle."""
         return LDFrame(self._df.sampleBy(col, fractions, seed=seed))
 
-    def describe(self, percentiles: Sequence[float] = (0.25, 0.5, 0.75)) -> DataFrame:
+    def describe(
+        self,
+        percentiles: Sequence[float] = (0.25, 0.5, 0.75),
+        *,
+        approx: bool = False,
+        accuracy: int = 10000,
+    ) -> DataFrame:
         """pandas ``describe``: count/mean/std/min/percentiles/max per
         numeric column, one output row per statistic (``summary`` column).
 
@@ -441,6 +447,12 @@ class LDFrame:
         cell, then a literal unpivot shapes the rows — no per-statistic
         rescans (unlike Spark's built-in ``describe`` which omits
         percentiles).
+
+        ``approx=True`` is the 100 TB path: ``approx_percentile``
+        (mergeable Greenwald-Khanna sketch, rank error ≤ n/accuracy,
+        bounded memory) instead of exact ``percentile``'s full-column
+        multiset buffer. Exact stays the default for pandas parity on
+        small data.
         """
         cols = _numeric_cols(self._df)
         aggs: list[Column] = []
@@ -456,8 +468,16 @@ class LDFrame:
                 # that state — 3 cols × 3 points = 9 copies; the array form
                 # keeps exactly one buffer per column (measured 14.6 s →
                 # ~5 s on the sf0.1 describe).
-                F.percentile(
-                    F.col(c), F.array(*[F.lit(p) for p in percentiles])
+                (
+                    F.approx_percentile(
+                        F.col(c),
+                        F.array(*[F.lit(p) for p in percentiles]),
+                        F.lit(accuracy),
+                    ).cast("array<double>")
+                    if approx
+                    else F.percentile(
+                        F.col(c), F.array(*[F.lit(p) for p in percentiles])
+                    )
                 ).alias(f"{c}__pcts"),
                 F.max(F.col(c)).cast("double").alias(f"{c}__max"),
             ]

@@ -39,6 +39,43 @@ def frame_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("summary", *[F.round(F.col(c), 6).alias(c) for c in _COLS])
 
 
+_APPROX_COLS = ["l_quantity", "l_discount", "l_tax"]
+
+_APPROX_PIECES = {
+    "count": "COUNT({c})::DOUBLE",
+    "mean": "AVG({c})",
+    "std": "STDDEV_SAMP({c})",
+    "min": "MIN({c})::DOUBLE",
+    "p25": "quantile_disc({c}, 0.25)::DOUBLE",
+    "p50": "quantile_disc({c}, 0.5)::DOUBLE",
+    "p75": "quantile_disc({c}, 0.75)::DOUBLE",
+    "max": "MAX({c})::DOUBLE",
+}
+
+_DESCRIBE_APPROX_ORACLE = "\n    UNION ALL ".join(
+    "SELECT '{s}' AS summary, ".format(s=s)
+    + ", ".join(f"ROUND({tpl.format(c=c)}, 6) AS {c}" for c in _APPROX_COLS)
+    + " FROM lineitem"
+    for s, tpl in _APPROX_PIECES.items()
+)
+
+
+@register("frame_describe_approx", oracle=_DESCRIBE_APPROX_ORACLE)
+def frame_describe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB describe: sketch percentiles (approx_percentile, bounded
+    memory) instead of exact percentile's full-column buffer.
+
+    Oracle note: the sketch returns an actual data element with rank error
+    ≤ n/accuracy; on these grid-valued columns (10-50 distinct values,
+    ≥1000 rows per value at the driver's SF) that error can never cross a
+    value boundary, so the result equals DuckDB's quantile_disc exactly —
+    the same discipline as agg_percentiles_approx. Continuous columns are
+    covered by the exact small-data twin (frame_describe)."""
+    li = load_table(spark, sf_dir, "lineitem").select(*_APPROX_COLS)
+    d = LDFrame(li).describe(approx=True)
+    return d.select("summary", *[F.round(F.col(c), 6).alias(c) for c in _APPROX_COLS])
+
+
 _PROFILE_ORACLE = """
     SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
            COUNT(*) - COUNT(o_custkey) AS null_custkey,
