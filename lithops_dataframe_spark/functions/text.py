@@ -233,3 +233,101 @@ def winnow_fingerprints_sql(expr: str) -> str:
         f"list_distinct(list_filter(list_transform({grams}, "
         f"s -> {H.token_hash_sql('s')}), h -> h % {WINNOW_W} = 0))"
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / diversity filters (the Gopher- and C4-style quality gates)
+# ---------------------------------------------------------------------------
+#: Keep thresholds: a document passes the repetition gate iff its distinct
+#: token ratio is at least REP_MIN_DISTINCT, its most frequent token claims
+#: at most REP_MAX_TOPFRAC of all tokens, and no more than REP_MAX_DUP2 of
+#: its word bigrams are repeats. Constants shared with the SQL twin.
+REP_MIN_DISTINCT = 0.35
+REP_MAX_TOPFRAC = 0.12
+REP_MAX_DUP2 = 0.05
+
+
+def top_token_count(tokens: Column) -> Column:
+    """Count of the most frequent token — O(n log n) per row: sort, then a
+    single fold tracking the current and best run length. (The naive
+    per-distinct-token recount is O(n²) per row — at 100 TB that is the
+    difference between a scan and a stall on long documents.)"""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.sort_array(tokens), init, merge, lambda acc: acc["best"])
+
+
+def top_token_count_sql(tokens_expr: str) -> str:
+    """DuckDB twin (semantic form): max per-token count via a correlated
+    unnest + group-by scalar subquery."""
+    return (
+        f"(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest({tokens_expr}) "
+        "AS u(tok) GROUP BY tok))"
+    )
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams (n ∈ {2, 3}) as space-joined strings, via slice+zip —
+    a narrow per-row expression, no explode/shuffle."""
+    m = F.size(tokens)
+    if n == 2:
+        ln = F.greatest(m - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(tokens, F.lit(1), ln),
+            F.slice(tokens, F.lit(2), ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    if n == 3:
+        ln = F.greatest(m - 2, F.lit(0))
+        ab = F.zip_with(
+            F.slice(tokens, F.lit(1), ln),
+            F.slice(tokens, F.lit(2), ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.zip_with(
+            ab, F.slice(tokens, F.lit(3), ln), lambda x, c: F.concat_ws(" ", x, c)
+        )
+    raise ValueError("ngrams supports n in {2, 3}")
+
+
+def ngrams_sql(tokens_expr: str, n: int) -> str:
+    t = tokens_expr
+    if n == 2:
+        return (
+            f"list_transform(list_zip(({t})[1:len({t})-1], ({t})[2:len({t})]), "
+            "p -> p[1] || ' ' || p[2])"
+        )
+    if n == 3:
+        return (
+            f"list_transform(list_zip(({t})[1:len({t})-2], ({t})[2:len({t})-1], ({t})[3:len({t})]), "
+            "p -> p[1] || ' ' || p[2] || ' ' || p[3])"
+        )
+    raise ValueError("ngrams_sql supports n in {2, 3}")
+
+
+def dup_ngram_frac(tokens: Column, n: int) -> Column:
+    """Fraction of word n-grams that are duplicates of an earlier one
+    (0.0 when the document is too short to have any n-grams)."""
+    g = ngrams(tokens, n)
+    total = F.size(g)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac_sql(tokens_expr: str, n: int) -> str:
+    g = ngrams_sql(tokens_expr, n)
+    return (
+        f"CASE WHEN len({g}) > 0 "
+        f"THEN 1.0 - len(list_distinct({g}))::DOUBLE / len({g}) "
+        "ELSE 0.0 END"
+    )

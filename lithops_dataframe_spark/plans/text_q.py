@@ -189,3 +189,115 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20).select("token", "n")
+
+
+_REP_METRICS_SQL = f"""
+        SELECT source,
+               len({_TOKS}) AS n_tokens,
+               len(list_distinct({_TOKS}))::DOUBLE / len({_TOKS}) AS distinct_ratio,
+               ({T.top_token_count_sql(_TOKS)})::DOUBLE / len({_TOKS}) AS top_token_frac,
+               {T.dup_ngram_frac_sql(_TOKS, 2)} AS dup_2gram_frac,
+               {T.dup_ngram_frac_sql(_TOKS, 3)} AS dup_3gram_frac
+        FROM documents
+"""
+
+_REPETITION_ORACLE = f"""
+    WITH m AS ({_REP_METRICS_SQL}),
+    gated AS (
+        SELECT *,
+               (distinct_ratio >= {T.REP_MIN_DISTINCT}
+                AND top_token_frac <= {T.REP_MAX_TOPFRAC}
+                AND dup_2gram_frac <= {T.REP_MAX_DUP2}) AS keep
+        FROM m
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           ROUND(AVG(distinct_ratio), 6) AS avg_distinct_ratio,
+           ROUND(AVG(top_token_frac), 6) AS avg_top_token_frac,
+           ROUND(AVG(dup_2gram_frac), 6) AS avg_dup_2gram_frac,
+           ROUND(AVG(dup_3gram_frac), 6) AS avg_dup_3gram_frac
+    FROM gated GROUP BY source
+"""
+
+
+@register("text_repetition_filter", oracle=_REPETITION_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition gate: distinct-token ratio, top-token
+    dominance, and duplicate bigram/trigram fractions per document, rolled
+    up per source with the keep-count under the fixed thresholds.
+
+    Scale shape: every metric is a narrow per-row expression (sort+fold for
+    the top-token count — O(n log n) per doc, no explode); the only shuffle
+    is the final tiny per-source rollup. Reference analog: none (the
+    reference has no text surface); this is the corpus-quality gate a
+    100 TB training pipeline runs before dedup."""
+    docs = _docs(spark, sf_dir)
+    toks = T.ws_tokens(F.col("text"))
+    n = F.size(toks)
+    m = docs.select(
+        "source",
+        (F.size(F.array_distinct(toks)).cast("double") / n).alias("distinct_ratio"),
+        (T.top_token_count(toks).cast("double") / n).alias("top_token_frac"),
+        T.dup_ngram_frac(toks, 2).alias("dup_2gram_frac"),
+        T.dup_ngram_frac(toks, 3).alias("dup_3gram_frac"),
+    )
+    keep = (
+        (F.col("distinct_ratio") >= T.REP_MIN_DISTINCT)
+        & (F.col("top_token_frac") <= T.REP_MAX_TOPFRAC)
+        & (F.col("dup_2gram_frac") <= T.REP_MAX_DUP2)
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+        F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
+        F.round(F.avg("dup_2gram_frac"), 6).alias("avg_dup_2gram_frac"),
+        F.round(F.avg("dup_3gram_frac"), 6).alias("avg_dup_3gram_frac"),
+    )
+
+
+_ZIPF_ORACLE = f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT source, token, COUNT(*) AS n FROM toks GROUP BY source, token
+    ),
+    ranked AS (
+        SELECT source, n,
+               row_number() OVER (PARTITION BY source ORDER BY n DESC, token ASC) AS rk
+        FROM counts
+    )
+    SELECT source,
+           COUNT(*) AS n_types,
+           ROUND(regr_slope(ln(n), ln(rk)), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(n), ln(rk)), 6) AS zipf_r2
+    FROM ranked GROUP BY source
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: least-squares slope (and R²) of
+    log(frequency) against log(rank) over the token frequency table — a
+    corpus-health diagnostic (natural text ≈ −1; generated/templated text
+    deviates).
+
+    Scale shape: explode → two-key hash agg (partial map-side combine) →
+    per-source window rank → tiny regression agg. The frequency table is
+    vocabulary-sized, orders of magnitude smaller than the corpus; the
+    explode is the one unavoidable full-data pass."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(T.ws_tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    ln_n, ln_rk = F.log(F.col("n")), F.log(F.col("rk"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope(ln_n, ln_rk), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_rk), 6).alias("zipf_r2"),
+    )
