@@ -344,3 +344,67 @@ def sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _SAMPLE_K)
         .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
     )
+
+
+_PACK_BUDGET = 256  # tokens per training sequence
+_PACK_BUCKETS = 8  # parallel packing streams
+
+
+_PACK_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % {_PACK_BUCKETS} AS bucket,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT bucket, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+        FROM d
+    )
+    SELECT bucket::INT AS bucket,
+           (start_off // {_PACK_BUDGET})::INT AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens)::BIGINT AS pack_tokens,
+           ROUND(SUM(n_tokens)::DOUBLE / {_PACK_BUDGET}, 6) AS fill_ratio
+    FROM placed GROUP BY bucket, pack_id
+"""
+
+
+@register("pack_training_sequences", oracle=_PACK_ORACLE)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: place whole documents into fixed token-budget
+    training examples (budget {B}) by token offset — each doc lands in the
+    pack where its cumulative start offset falls, so examples keep document
+    boundaries (overflow drifts into the next pack, the standard
+    boundary-respecting packing policy before truncation).
+
+    Scale shape: packing is inherently sequential, so it is streamed in
+    {K} deterministic parallel streams (bucket = doc_id mod {K}): one hash
+    shuffle on bucket, a per-bucket window cumsum, and a tiny per-pack
+    rollup. At 100 TB raise the stream count to the write parallelism —
+    pack ids stay deterministic under re-runs (no RNG), so incremental
+    rebuilds are stable.""".format(B=_PACK_BUDGET, K=_PACK_BUCKETS)
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+        F.size(T.ws_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = d.withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            F.col("bucket").cast("int").alias("bucket"),
+            (F.col("start_off") / _PACK_BUDGET).cast("int").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / _PACK_BUDGET, 6).alias("fill_ratio"),
+        )
+    )
