@@ -255,3 +255,71 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return S.knn_label_vote(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+_QUANT_ORACLE = """
+    WITH e AS (
+        SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+        FROM embeddings
+    ),
+    rng AS (
+        SELECT vec_id, emb,
+               list_aggregate(emb, 'min') AS vmin,
+               (list_aggregate(emb, 'max') - list_aggregate(emb, 'min')) / 255.0 AS scale
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, vmin, scale,
+               list_transform(emb, v -> CASE WHEN scale = 0 THEN 0
+                   ELSE least(255, greatest(0, floor((v - vmin) / scale + 0.5)))::BIGINT END) AS codes,
+               emb
+        FROM rng
+    )
+    SELECT vec_id,
+           ROUND(scale, 8) AS scale,
+           list_sum(codes)::BIGINT AS code_sum,
+           ROUND(list_sum(list_transform(list_zip(emb, codes),
+               p -> (p[1] - (vmin + p[2] * scale)) * (p[1] - (vmin + p[2] * scale)))) / len(emb), 6) AS mse
+    FROM q
+"""
+
+
+@register("emb_int8_quantize", oracle=_QUANT_ORACLE)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (min/max affine, 256 levels):
+    the storage form a 100 TB vector corpus actually ships — 4x smaller
+    than float32 — plus the reconstruction MSE as the quality audit.
+
+    Pure narrow map (array fold per row, no shuffle, no UDF); the
+    quantized codes reduce to a checksum here so the gate hashes scalars.
+    Rounding is floor(x + 0.5) on BOTH engines (Spark/DuckDB round()
+    disagree on half-even vs half-up ties)."""
+    emb = _emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("emb"))
+    d = d.withColumn("vmin", F.array_min("emb")).withColumn(
+        "scale", (F.array_max("emb") - F.col("vmin")) / F.lit(255.0)
+    )
+    code = lambda x: (
+        F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.least(
+                F.lit(255.0),
+                F.greatest(F.lit(0.0), F.floor((x - F.col("vmin")) / F.col("scale") + 0.5)),
+            ).cast("long")
+        )
+    )
+    d = d.withColumn("codes", F.transform(F.col("emb"), code))
+    sq_err = F.zip_with(
+        F.col("emb"),
+        F.col("codes"),
+        lambda v_, q_: (v_ - (F.col("vmin") + q_ * F.col("scale")))
+        * (v_ - (F.col("vmin") + q_ * F.col("scale"))),
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, b: a + b).alias("code_sum"),
+        F.round(
+            F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("emb"), 6
+        ).alias("mse"),
+    )
