@@ -53,8 +53,11 @@ LLM_PIPELINE = [
     "sim_cosine_topk_ivf",
     "text_quality_by_source",
     "text_hashed_tfidf",
+    "text_repetition_filter",
     "stream_session_windows",
     "pipeline_clean_corpus",
+    "pack_training_sequences",
+    "emb_int8_quantize",
 ]
 
 HEADLINE = TPCH + LLM_PIPELINE
@@ -79,7 +82,12 @@ def main() -> None:
     # sf-level data or results.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in ("sim_cosine_topk_lsh", "dedup_minhash_lsh_pairs", "text_hashed_tfidf"):
+        for wname in (
+            "sim_cosine_topk_lsh",
+            "dedup_minhash_lsh_pairs",
+            "text_hashed_tfidf",
+            "text_repetition_filter",
+        ):
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 

@@ -53,6 +53,11 @@ HEADLINE = [
     "chunk_documents_overlap",
     "decontaminate_ngram_overlap",
     "sample_k_per_stratum",
+    "text_repetition_filter",
+    "text_zipf_slope",
+    "pack_training_sequences",
+    "emb_int8_quantize",
+    "frame_describe_approx",
 ]
 
 # brute-force baselines are intentionally quadratic at small input
