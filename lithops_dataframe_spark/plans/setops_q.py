@@ -384,3 +384,50 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
     )
     return out.select("l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F"))
+
+
+@register(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH b AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_lo,
+           SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_hi,
+           ROUND(AVG(l_extendedprice), 4) AS mean_raw,
+           ROUND(AVG(least(greatest(l_extendedprice, lo), hi)), 4) AS mean_winsorized
+    FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile outlier clamping): per-group p05/p95
+    bounds, values clamped into them, with clamp counts and the mean
+    before/after — the feature-cleaning pass a training pipeline runs on
+    numeric columns before normalization.
+
+    Scale shape: grouped exact percentiles distribute per-key (each
+    group's multiset buffers independently — this is the per-KEY case
+    where exact stays tractable; the single global-buffer hazard and its
+    sketch swap are covered by agg_percentiles_approx). The bounds frame
+    is groups×2 doubles — broadcast-joined back, so the clamp pass is a
+    narrow map over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0)).alias("n_clamped_lo"),
+        F.sum(F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0)).alias("n_clamped_hi"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+        F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+    )

@@ -408,3 +408,59 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens").cast("double") / _PACK_BUDGET, 6).alias("fill_ratio"),
         )
     )
+
+
+_TEMP_ALPHA = 0.5  # sampling temperature: w_s ∝ n_s^alpha
+_TEMP_BUDGET = 200  # target corpus size in documents
+
+
+_TEMP_ORACLE = f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    wts AS (
+        SELECT source, n_docs,
+               POW(n_docs, {_TEMP_ALPHA}) / SUM(POW(n_docs, {_TEMP_ALPHA})) OVER () AS w
+        FROM counts
+    )
+    SELECT source, n_docs,
+           ROUND(w, 6) AS weight,
+           ROUND({_TEMP_BUDGET} * w, 2) AS expected_docs,
+           ROUND(least(1.0, {_TEMP_BUDGET} * w / n_docs), 6) AS keep_rate
+    FROM wts
+"""
+
+
+@register("sample_temperature_weights", oracle=_TEMP_ORACLE)
+def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source resampling (the multilingual/multi-source
+    mixing rule): per-source weight n^alpha normalized over sources, the
+    expected document count at a fixed budget, and the per-source keep
+    rate — the plan a curriculum/mixture stage feeds into the
+    deterministic hash gate (split_stratified_rebalance applies exactly
+    such per-stratum rates).
+
+    Scale shape: one hash agg to source-level counts (tiny), an
+    unpartitioned window over the per-source rows only (dozens of rows —
+    the empty partitionBy is over an already-aggregated frame, not the
+    corpus), zero extra passes over documents."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w_all = Window.partitionBy()
+    wcol = F.pow("n_docs", F.lit(_TEMP_ALPHA)) / F.sum(
+        F.pow("n_docs", F.lit(_TEMP_ALPHA))
+    ).over(w_all)
+    return counts.select(
+        "source",
+        "n_docs",
+        F.round(wcol, 6).alias("weight"),
+        F.round(F.lit(_TEMP_BUDGET) * wcol, 2).alias("expected_docs"),
+        F.round(F.least(F.lit(1.0), F.lit(_TEMP_BUDGET) * wcol / F.col("n_docs")), 6).alias(
+            "keep_rate"
+        ),
+    )

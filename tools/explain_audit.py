@@ -58,6 +58,8 @@ HEADLINE = [
     "pack_training_sequences",
     "emb_int8_quantize",
     "frame_describe_approx",
+    "agg_winsorized_stats",
+    "sample_temperature_weights",
 ]
 
 # brute-force baselines are intentionally quadratic at small input
