@@ -249,3 +249,87 @@ def frame_sample(media: DataFrame) -> DataFrame:
         .select("doc_id", "payload")
         .mapInPandas(fn, schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection (aHash family)
+# ---------------------------------------------------------------------------
+#: aHash geometry: 64 bits in 4×16-bit blocks; pigeonhole candidate join is
+#: sound for hamming <= PHASH_HAM_T because T < PHASH_BLOCKS guarantees at
+#: least one block matches exactly.
+PHASH_BITS = 64
+PHASH_BLOCKS = 4
+PHASH_BLOCK_BITS = 16
+PHASH_HAM_T = 3
+
+
+def with_phash(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach ``phash_blocks`` (array of PHASH_BLOCKS 16-bit ints): the
+    average-hash (aHash) of the payload byte stream — sample 64 evenly
+    spaced hex digits, threshold each against their mean, pack sign bits.
+
+    This IS the real aHash algorithm; in a real-decoder deployment the
+    input stream is the decoded/downscaled pixel grid instead of raw
+    payload hex — only the sampled stream changes, the plan (narrow map,
+    no UDF, no shuffle) stands. Kept as a JVM-side expression so the
+    DuckDB oracle replays it bit-for-bit.
+    """
+    bits = PHASH_BITS
+    v_sql = (
+        f"transform(sequence(0, {bits - 1}), i -> "
+        f"CAST(conv(substring(__hx, 1 + ((i * length(__hx)) div {bits}), 1), 16, 10) AS INT))"
+    )
+    blocks_sql = (
+        f"transform(sequence(0, {PHASH_BLOCKS - 1}), k -> "
+        f"aggregate(sequence(0, {PHASH_BLOCK_BITS - 1}), 0, (acc, j) -> "
+        f"acc + IF(element_at(__v, k * {PHASH_BLOCK_BITS} + j + 1) > __mean, shiftleft(1, j), 0)))"
+    )
+    return (
+        df.withColumn("__hx", F.upper(F.hex(F.col(payload_col))))
+        .withColumn("__v", F.expr(v_sql))
+        .withColumn("__mean", F.expr(f"aggregate(__v, 0, (a, b) -> a + b) / {float(bits)}"))
+        .withColumn("phash_blocks", F.expr(blocks_sql))
+        .drop("__hx", "__v", "__mean")
+    )
+
+
+def phash_neardup_pairs(media: DataFrame, *, max_hamming: int = PHASH_HAM_T) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance:
+    (id_a, id_b, hamming) for image rows with distance <= max_hamming.
+
+    Scale shape (same discipline as SimHash text dedup): each image posts
+    PHASH_BLOCKS (block_idx, block_value) keys; candidates come from an
+    equi-join on those compact int keys (pigeonhole-sound for
+    max_hamming < PHASH_BLOCKS); exact hamming re-ranks candidates only.
+    No all-pairs work at any scale.
+    """
+    if max_hamming >= PHASH_BLOCKS:
+        raise ValueError("pigeonhole candidate join requires max_hamming < PHASH_BLOCKS")
+    imgs = with_phash(media.filter(F.col("media_type") == "image")).select(
+        "doc_id", "phash_blocks"
+    )
+    post = imgs.select(
+        "doc_id",
+        F.posexplode("phash_blocks").alias("k", "blk"),
+    )
+    a, c = post.alias("a"), post.alias("c")
+    cand = (
+        a.join(c, (F.col("a.k") == F.col("c.k")) & (F.col("a.blk") == F.col("c.blk")))
+        .filter(F.col("a.doc_id") < F.col("c.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ba = imgs.select(F.col("doc_id").alias("id_a"), F.col("phash_blocks").alias("blocks_a"))
+    bb = imgs.select(F.col("doc_id").alias("id_b"), F.col("phash_blocks").alias("blocks_b"))
+    ham = F.aggregate(
+        F.zip_with(F.col("blocks_a"), F.col("blocks_b"), lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        cand.join(ba, "id_a")
+        .join(bb, "id_b")
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -129,3 +129,51 @@ def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("payload_md5"),
     )
+
+
+_PHASH_ORACLE = f"""
+    WITH img AS (
+        SELECT doc_id, upper(hex(encode(text))) AS hx
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    v AS (
+        SELECT doc_id,
+               list_transform(range(0, {M.PHASH_BITS}),
+                   i -> ('0x' || substr(hx, (1 + ((i * len(hx)) // {M.PHASH_BITS}))::INT, 1))::INT) AS vs
+        FROM img
+    ),
+    m AS (SELECT doc_id, vs, list_sum(vs) / {float(M.PHASH_BITS)} AS mean FROM v),
+    b AS (
+        SELECT doc_id,
+               list_transform(range(0, {M.PHASH_BLOCKS}),
+                   k -> list_sum(list_transform(range(0, {M.PHASH_BLOCK_BITS}),
+                       j -> CASE WHEN vs[(k * {M.PHASH_BLOCK_BITS} + j + 1)::INT] > mean
+                                 THEN (1 << j) ELSE 0 END))::INT) AS blocks
+        FROM m
+    ),
+    post AS (
+        SELECT doc_id, t.k, blocks[(t.k + 1)::INT] AS blk
+        FROM b, unnest(range(0, {M.PHASH_BLOCKS})) AS t(k)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM post a JOIN post c ON a.k = c.k AND a.blk = c.blk AND a.doc_id < c.doc_id
+    ),
+    h AS (
+        SELECT id_a, id_b,
+               list_sum(list_transform(range(0, {M.PHASH_BLOCKS}),
+                   k -> bit_count(xor(ba.blocks[(k + 1)::INT]::BIGINT,
+                                      bb.blocks[(k + 1)::INT]::BIGINT)))) AS ham
+        FROM cand JOIN b ba ON ba.doc_id = cand.id_a JOIN b bb ON bb.doc_id = cand.id_b
+    )
+    SELECT id_a, id_b, ham::INT AS hamming FROM h WHERE ham <= {M.PHASH_HAM_T}
+"""
+
+
+@register("mm_phash_neardup", oracle=_PHASH_ORACLE)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash (aHash, 64-bit, pigeonhole
+    block join + exact hamming re-rank) — the image-side analog of SimHash
+    text dedup; swap the sampled stream for decoded pixels in a
+    real-decoder deployment."""
+    return M.phash_neardup_pairs(_media(spark, sf_dir))

@@ -54,3 +54,28 @@ def test_ivf_results_subset_of_corpus(spark, emb):
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert all(r["neighbor_id"] in ids and r["rank"] <= 5 for r in out)
     assert all(-1.0 <= r["sim"] <= 1.0 for r in out)
+
+
+def test_phash_neardup_finds_constructed_pairs(spark):
+    """The fixture corpus has no byte-level near-identical payloads (its
+    near-dup structure is shingle overlap, covered by minhash/simhash), so
+    mm_phash_neardup legitimately returns 0 rows there. Prove the operator
+    itself on constructed payloads: identical byte streams pair at
+    hamming 0; a tail-corrupted copy stays within the pigeonhole bound; an
+    unrelated stream does not pair."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators import multimodal as M
+
+    base = ("the quick brown fox jumps over the lazy dog " * 8).encode()
+    near = base[:-6] + b"dogggg"  # differs only in the final bytes
+    other = bytes(range(32, 127)) * 6
+    rows = [(0, "image", bytearray(base)), (3, "image", bytearray(base)),
+            (6, "image", bytearray(near)), (9, "image", bytearray(other)),
+            (1, "audio", bytearray(base))]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming for r in M.phash_neardup_pairs(media).collect()}
+    assert pairs.get((0, 3)) == 0  # identical payloads
+    assert (0, 6) in pairs and pairs[(0, 6)] <= M.PHASH_HAM_T  # near-identical
+    assert all(9 not in p for p in pairs)  # unrelated never pairs
+    assert all(1 not in p for p in pairs)  # non-image rows excluded

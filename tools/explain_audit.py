@@ -60,6 +60,7 @@ HEADLINE = [
     "frame_describe_approx",
     "agg_winsorized_stats",
     "sample_temperature_weights",
+    "mm_phash_neardup",
 ]
 
 # brute-force baselines are intentionally quadratic at small input
