@@ -126,3 +126,49 @@ def io_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return jleg.unionByName(oleg).unionByName(pleg)
+
+
+@register(
+    "io_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_price,
+           ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS price_sum
+    FROM (
+        SELECT o_orderstatus, NULL::DOUBLE AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY o_orderstatus
+    """,
+)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet generations — v1 without
+    ``o_totalprice``, v2 with it — land in one directory tree and are read
+    back via ``mergeSchema``; v1 rows surface the added column as NULL.
+    The lake-ingest reality check: producers add columns over time, and
+    the scan must union schemas without rewriting old files.
+
+    Scale shape: mergeSchema reconciles footers at planning time (one
+    footer read per file — at 100 TB keep a table-level schema in a
+    catalog instead of footer-merging millions of files; the read path is
+    identical). Column pruning and predicate pushdown still apply to the
+    merged scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    root = _scratch("evolve")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderstatus", "o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "gen=1"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen=1"), os.path.join(root, "gen=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("n_missing_price"),
+        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("price_sum"),
+    )
