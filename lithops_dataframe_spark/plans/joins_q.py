@@ -237,3 +237,108 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "join_types_combined",
+    oracle="""
+    SELECT 'semi' AS kind, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS checksum
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    UNION ALL
+    SELECT 'anti', COUNT(*), CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT)
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'left_outer', COUNT(*), CAST(SUM(n_orders) AS BIGINT)
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey)
+    UNION ALL
+    SELECT 'full_outer', COUNT(*), CAST(SUM(n_cust + n_supp) AS BIGINT)
+    FROM (WITH cn AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+               sn AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+          SELECT COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+          FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey)
+    UNION ALL
+    SELECT 'cross', COUNT(*), CAST(SUM(length(r_name) + length(c_mktsegment)) AS BIGINT)
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    UNION ALL
+    SELECT 'theta', COUNT(*), CAST(SUM(l_orderkey) AS BIGINT)
+    FROM part JOIN lineitem ON l_partkey = p_partkey AND l_extendedprice > p_retailprice * 20
+    WHERE p_size = 50
+    """,
+)
+def join_types_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every non-temporal §2.3 join flavor in ONE driver-gate slot — semi,
+    anti, left outer, full outer, cross, and theta (equi + non-equi
+    residual) each run as a REAL join of that type and reduce to
+    (kind, n, checksum) rows, so a capped correctness sweep still verifies
+    the whole family (the per-flavor queries remain registered as
+    fine-grained twins). Temporal joins (as-of, range) keep their own
+    slots."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+
+    def one(kind: str, df: DataFrame, n: F.Column, checksum: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(kind).alias("kind"),
+            n.alias("n"),
+            checksum.cast("long").alias("checksum"),
+        )
+
+    semi = one(
+        "semi",
+        cust.join(
+            orders.filter(F.col("o_totalprice") > 100000),
+            cust.c_custkey == orders.o_custkey,
+            "left_semi",
+        ),
+        F.count(F.lit(1)),
+        F.sum("c_custkey"),
+    )
+    anti = one(
+        "anti",
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti"),
+        F.count(F.lit(1)),
+        F.coalesce(F.sum("c_custkey"), F.lit(0)),
+    )
+    left = one(
+        "left_outer",
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders")),
+        F.count(F.lit(1)),
+        F.sum("n_orders"),
+    )
+    cn = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_supp"))
+    full = one(
+        "full_outer",
+        cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full").select(
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        ),
+        F.count(F.lit(1)),
+        F.sum(F.col("n_cust") + F.col("n_supp")),
+    )
+    cross = one(
+        "cross",
+        _t(spark, sf_dir, "region").select("r_name").crossJoin(
+            cust.select("c_mktsegment").distinct()
+        ),
+        F.count(F.lit(1)),
+        F.sum(F.length("r_name") + F.length("c_mktsegment")),
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 50)
+    li = _t(spark, sf_dir, "lineitem")
+    theta = one(
+        "theta",
+        li.join(
+            part,
+            (li.l_partkey == part.p_partkey) & (li.l_extendedprice > part.p_retailprice * 20),
+        ),
+        F.count(F.lit(1)),
+        F.sum("l_orderkey"),
+    )
+    out = semi
+    for piece in (anti, left, full, cross, theta):
+        out = out.unionByName(piece)
+    return out

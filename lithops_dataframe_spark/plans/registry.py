@@ -65,32 +65,28 @@ PRIORITY: tuple[str, ...] = (
     "red_sum_axis0",
     "red_count_axis0",
     "red_stats_combined",
-    # joins: every §2.3 type
+    # joins: every §2.3 type (semi/anti/left/full/cross/theta prove
+    # together in one slot; temporal joins keep their own)
     "join_asof_purchase_last_click",
     "join_range_value_bands",
-    "join_semi_customers_with_orders",
-    "join_anti_customers_without_orders",
-    "join_left_outer_order_counts",
-    "join_theta_price_band",
-    # windows: every §2.5 frame shape
+    "join_types_combined",
+    # windows: every §2.5 shape (ranking/lag/cumsum combined; the
+    # rowsBetween / rangeBetween frame variants keep events-table slots)
     "win_rolling_avg_user_value",
     "win_first_last_range",
-    "win_top3_orders_per_customer",
-    "win_cumsum_per_supplier",
-    "win_lag_lead_daily_revenue",
+    "win_ranking_combined",
     # set ops + grouping shapes + percentile scale path
     "setop_combined",
     "agg_shapes_combined",
     "agg_percentiles_approx",
-    # scalar function families (§2.8)
-    "scalar_math_funcs",
-    "scalar_json_events",
-    "scalar_map_funcs",
-    "scalar_string_funcs",
-    "scalar_array_funcs",
-    # sources/sinks (§2.1)
+    # scalar function families (§2.8): string/date/math/array in one slot,
+    # json+map on events (the round-1 FAIL-env canary) in another
+    "scalar_funcs_combined",
+    "scalar_json_map_events",
+    # sources/sinks (§2.1) + schema evolution
     "csv_roundtrip",
     "io_sinks_roundtrip",
+    "io_schema_evolution",
     # pandas UDF / UDTF surface (§2.9)
     "udf_grouped_zscore",
     "udf_grouped_agg_weighted_avg",
@@ -109,10 +105,30 @@ PRIORITY: tuple[str, ...] = (
     "kmeans_cells",
     "text_quality_by_source",
     "text_hashed_tfidf",
+    "text_repetition_filter",
     "mm_decode_media",
+    "mm_phash_neardup",
     "split_train_val_test",
     "pipeline_clean_corpus",
+    "pack_training_sequences",
+    "emb_int8_quantize",
+    "agg_winsorized_stats",
+    "sample_temperature_weights",
+    "text_zipf_slope",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # fine-grained twins of the *_combined slots
+    "join_semi_customers_with_orders",
+    "join_anti_customers_without_orders",
+    "join_left_outer_order_counts",
+    "join_theta_price_band",
+    "win_top3_orders_per_customer",
+    "win_cumsum_per_supplier",
+    "win_lag_lead_daily_revenue",
+    "scalar_math_funcs",
+    "scalar_json_events",
+    "scalar_map_funcs",
+    "scalar_string_funcs",
+    "scalar_array_funcs",
     # new coverage for rows that were pytest-only in round 1
     "mm_binaryfile_source",
     "split_stratified_rebalance",

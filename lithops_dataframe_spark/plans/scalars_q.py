@@ -173,3 +173,145 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("first3"),
     )
+
+
+@register(
+    "scalar_funcs_combined",
+    oracle="""
+    SELECT 'string' AS family, p_partkey AS key,
+           CONCAT(UPPER(p_brand), '|', LOWER(p_type), '|', SUBSTRING(p_name, 1, 5), '|',
+                  CONCAT(p_brand, ':', p_type), '|', REPLACE(p_brand, 'Brand#', 'B'), '|',
+                  REGEXP_EXTRACT(p_brand, '([0-9]+)', 1), '|', SPLIT_PART(p_type, ' ', 1)) AS val_str,
+           LENGTH(p_name)::DOUBLE AS val_num
+    FROM part WHERE p_partkey <= 1000
+    UNION ALL
+    SELECT 'date', o_orderkey,
+           CONCAT(CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR), '|',
+                  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR)),
+           (EXTRACT(year FROM o_orderdate) * 10000 + EXTRACT(month FROM o_orderdate) * 100
+            + EXTRACT(day FROM o_orderdate)
+            + DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)))::DOUBLE
+    FROM orders WHERE o_orderkey <= 1000
+    UNION ALL
+    SELECT 'math', l_orderkey * 10 + l_linenumber, NULL,
+           ROUND(ROUND(ABS(l_discount - 0.05), 4) + FLOOR(l_quantity / 7) + CEIL(l_extendedprice / 1000)
+                 + ROUND(SQRT(l_quantity), 6) + ROUND(POW(1 + l_tax, 2), 6)
+                 + ROUND(LN(l_extendedprice), 6) + SIGN(l_discount - 0.05), 6)
+    FROM lineitem WHERE l_orderkey <= 500
+    UNION ALL
+    SELECT 'array', doc_id,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ','),
+           (len(string_split(text, ' ')) * 1000 + len(list_distinct(string_split(text, ' '))))::DOUBLE
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def scalar_funcs_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date + math + array function families (§2.8) in ONE
+    driver-gate slot: each family runs over its own table slice and melts
+    to (family, key, val_str, val_num) so a capped correctness sweep
+    verifies all four; JSON + map keep an events-table slot
+    (scalar_json_map_events) and the per-family queries remain as
+    fine-grained twins."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    strings = p.select(
+        F.lit("string").alias("family"),
+        F.col("p_partkey").cast("long").alias("key"),
+        F.concat_ws(
+            "|",
+            F.upper("p_brand"),
+            F.lower("p_type"),
+            F.substring("p_name", 1, 5),
+            F.concat_ws(":", "p_brand", "p_type"),
+            F.regexp_replace("p_brand", "Brand#", "B"),
+            F.regexp_extract("p_brand", "([0-9]+)", 1),
+            F.split_part("p_type", F.lit(" "), F.lit(1)),
+        ).alias("val_str"),
+        F.length("p_name").cast("double").alias("val_num"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    dates = o.select(
+        F.lit("date").alias("family"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.concat_ws(
+            "|",
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string"),
+            (F.col("o_orderdate").cast("date") + F.expr("INTERVAL 30 DAYS")).cast("string"),
+        ).alias("val_str"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+            + F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        )
+        .cast("double")
+        .alias("val_num"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    maths = li.select(
+        F.lit("math").alias("family"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("key"),
+        F.lit(None).cast("string").alias("val_str"),
+        F.round(
+            F.round(F.abs(F.col("l_discount") - 0.05), 4)
+            + F.floor(F.col("l_quantity") / 7)
+            + F.ceil(F.col("l_extendedprice") / 1000)
+            + F.round(F.sqrt("l_quantity"), 6)
+            + F.round(F.pow(1 + F.col("l_tax"), 2), 6)
+            + F.round(F.log("l_extendedprice"), 6)
+            + F.signum(F.col("l_discount") - 0.05),
+            6,
+        ).alias("val_num"),
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.split("text", " ")
+    arrays = docs.select(
+        F.lit("array").alias("family"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("val_str"),
+        (F.size(toks) * 1000 + F.size(F.array_distinct(toks))).cast("double").alias("val_num"),
+    )
+    return strings.unionByName(dates).unionByName(maths).unionByName(arrays)
+
+
+@register(
+    "scalar_json_map_events",
+    oracle="""
+    WITH parsed AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, 'k') AS INT) AS k,
+               MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)} AS m
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MIN(k) AS min_k, MAX(k) AS max_k,
+           MAX(map_extract(m, 't')[1]) AS t_max,
+           CAST(SUM(cardinality(m)) AS BIGINT) AS total_keys,
+           MAX(array_to_string(list_sort(map_keys(m)), ',')) AS keys_sorted
+    FROM parsed GROUP BY event_type
+    """,
+)
+def scalar_json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing (from_json with explicit schema) + map construction/
+    extraction (§2.8 json + map families) in ONE events-table slot — also
+    the canary for events-parquet session-proofing (the round-1 FAIL-env
+    class)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("t"), F.col("event_type"), F.lit("u"), F.col("user_id").cast("string")
+    )
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+        m.alias("m"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.max(F.element_at("m", "t")).alias("t_max"),
+        F.sum(F.size("m")).cast("long").alias("total_keys"),
+        F.max(F.array_join(F.array_sort(F.map_keys("m")), ",")).alias("keys_sorted"),
+    )

@@ -185,3 +185,50 @@ def win_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "win_ranking_combined",
+    oracle="""
+    WITH w AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w2 AS rn,
+               rank()       OVER w1 AS rnk,
+               dense_rank() OVER w1 AS drnk,
+               ntile(4)     OVER w2 AS nt,
+               ROUND(lag(o_totalprice)  OVER w2, 2) AS prev_price,
+               ROUND(lead(o_totalprice) OVER w2, 2) AS next_price,
+               ROUND(SUM(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spent
+        FROM orders
+        WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_orderpriority),
+               w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, rn, rnk, drnk, nt, prev_price, next_price, cum_spent
+    FROM w WHERE rn <= 3
+    """,
+)
+def win_ranking_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ranking/analytic §2.5 shape in ONE driver-gate slot:
+    row_number, rank + dense_rank (value-ties window), ntile, lag/lead,
+    and running sum — two window specs, one shuffle on o_custkey (all
+    specs share the partition key, so Catalyst plans a single exchange).
+    The per-shape queries remain registered as fine-grained twins; the
+    rowsBetween/rangeBetween frame variants keep their own events-table
+    slots."""
+    o = load_table(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2cum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w2).alias("rn"),
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w1).alias("drnk"),
+        F.ntile(4).over(w2).alias("nt"),
+        F.round(F.lag("o_totalprice").over(w2), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w2), 2).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(w2cum), 2).alias("cum_spent"),
+    )
+    return out.filter(F.col("rn") <= 3)

@@ -61,10 +61,22 @@ HEADLINE = [
     "agg_winsorized_stats",
     "sample_temperature_weights",
     "mm_phash_neardup",
+    "join_types_combined",
+    "win_ranking_combined",
+    "scalar_funcs_combined",
+    "io_schema_evolution",
 ]
 
-# brute-force baselines are intentionally quadratic at small input
-ALLOW_NESTED_LOOP = {"sim_cosine_neardup_exact", "sim_cosine_topk_bruteforce", "sim_knn_label_vote"}
+# brute-force baselines are intentionally quadratic at small input;
+# join_types_combined's cross piece is region (constant 5 rows) ×
+# DISTINCT(c_mktsegment) (enum-bounded ≤5 rows) — a cross join of two
+# frames bounded by construction, the one legitimate cross-join shape.
+ALLOW_NESTED_LOOP = {
+    "sim_cosine_neardup_exact",
+    "sim_cosine_topk_bruteforce",
+    "sim_knn_label_vote",
+    "join_types_combined",
+}
 
 # Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
 # construction — a constant frame (LSH hyperplanes, k-means centroids,
