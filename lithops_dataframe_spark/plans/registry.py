@@ -116,6 +116,15 @@ PRIORITY: tuple[str, ...] = (
     "sample_temperature_weights",
     "text_zipf_slope",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # remaining LLM-pipeline operators first
+    "dedup_fuzzy_levenshtein_pairs",
+    "sim_cosine_neardup_lsh",
+    "chunk_documents_overlap",
+    "decontaminate_ngram_overlap",
+    "sample_k_per_stratum",
+    "frame_describe_approx",
+    "sim_knn_label_vote",
+    "sim_label_centroids",
     # fine-grained twins of the *_combined slots
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
