@@ -125,6 +125,7 @@ PRIORITY: tuple[str, ...] = (
     "frame_describe_approx",
     "sim_knn_label_vote",
     "sim_label_centroids",
+    "udf_map_in_arrow",
     # fine-grained twins of the *_combined slots
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
