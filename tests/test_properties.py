@@ -122,3 +122,49 @@ def test_minhash_signature_stability(spark):
         for r in sig.repartition(13).collect()
     }
     assert a == b
+
+
+def test_pack_sequences_conservation_and_stability(spark):
+    """Packing invariants: every document lands in exactly one pack, pack
+    token totals conserve the corpus total, and assignments are identical
+    under repartitioning (deterministic streams, no RNG)."""
+    from lithops_dataframe_spark.plans.traindata_q import pack_training_sequences
+
+    packs = pack_training_sequences(spark, SF_SMOKE)
+    rows = packs.collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    total_docs = docs.count()
+    total_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r.n_docs for r in rows) == total_docs
+    assert sum(r.pack_tokens for r in rows) == total_tokens
+    again = sorted(tuple(r) for r in pack_training_sequences(spark, SF_SMOKE).collect())
+    assert sorted(tuple(r) for r in rows) == again
+
+
+def test_repetition_metrics_bounded(spark):
+    """Every repetition metric is a fraction in [0, 1] and n_kept <= n_docs."""
+    from lithops_dataframe_spark.plans.text_q import text_repetition_filter
+
+    for r in text_repetition_filter(spark, SF_SMOKE).collect():
+        assert 0 <= r.n_kept <= r.n_docs
+        for c in ("avg_distinct_ratio", "avg_top_token_frac", "avg_dup_2gram_frac", "avg_dup_3gram_frac"):
+            assert 0.0 <= r[c] <= 1.0, (c, r[c])
+
+
+def test_int8_quantize_error_bound(spark):
+    """Scalar quantization error bound: MSE <= (scale/2)^2 per element
+    (round-to-nearest within a 256-level grid can miss by at most scale/2,
+    so mean squared error is bounded by scale^2/4)."""
+    from lithops_dataframe_spark.plans.similarity_q import emb_int8_quantize
+
+    for r in emb_int8_quantize(spark, SF_SMOKE).collect():
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-9, (r.vec_id, r.mse, r.scale)
+
+
+def test_temperature_weights_normalize(spark):
+    """Source weights sum to 1 and keep_rate never exceeds 1."""
+    from lithops_dataframe_spark.plans.traindata_q import sample_temperature_weights
+
+    rows = sample_temperature_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
+    assert all(0.0 < r.keep_rate <= 1.0 for r in rows)
