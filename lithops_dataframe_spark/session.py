@@ -71,8 +71,9 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         # bucketed-table storage (bucketBy saveAsTable) — out of the repo tree
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lds_warehouse"))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Fixture events.parquet stores TIMESTAMP(NANOS); Spark has no ns
-        # timestamp type — read as long and normalize in the catalog.
+        # Events fixtures have carried TIMESTAMP(NANOS) in some generations
+        # (current ones are micros NTZ); keep the legacy conf so either
+        # vintage reads — the catalog normalizes both (normalize_events_ts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # ANSI off: pandas/duckdb-style permissive casts & null-on-error.
         .config("spark.sql.ansi.enabled", "false")
