@@ -172,3 +172,44 @@ def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("n_missing_price"),
         F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("price_sum"),
     )
+
+
+@register(
+    "io_compact_small_files",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+           COUNT(DISTINCT o_orderstatus) AS n_status
+    FROM orders
+    """,
+)
+def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: a fragmented landing zone (64 tiny files —
+    the classic streaming-ingest pathology) rewritten to a handful of
+    right-sized files via AQE-coalesced repartition, then read back and
+    audited for row/value conservation. Asserts the compaction actually
+    reduced the file count before returning the audit frame.
+
+    Scale shape: compaction is one shuffle-free-read → repartition(N) →
+    write; N targets spark.sql.files.maxPartitionBytes-sized outputs
+    (here 4). At 100 TB this runs per-partition-directory with dynamic
+    partition overwrite so only fragmented directories rewrite
+    (operators/rollup.py::refresh_days shows that overwrite mode)."""
+    import glob
+
+    orders = load_table(spark, sf_dir, "orders")
+    frag_dir = os.path.join(_scratch("frag"), "orders_frag")
+    orders.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    n_frag = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
+
+    compact_dir = os.path.join(_scratch("compact"), "orders_compact")
+    spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(compact_dir)
+    n_compact = len(glob.glob(os.path.join(compact_dir, "*.parquet")))
+    assert n_compact < n_frag, (n_compact, n_frag)
+
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+    )

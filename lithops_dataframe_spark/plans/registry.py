@@ -126,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     "sim_knn_label_vote",
     "sim_label_centroids",
     "udf_map_in_arrow",
+    "io_compact_small_files",
     # fine-grained twins of the *_combined slots
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
