@@ -178,10 +178,19 @@ def quality_score(text: Column) -> Column:
     uniq = F.size(F.array_distinct(toks)) / n_toks
     stop = F.least(stopword_hits(toks, all_stop) / n_toks * F.lit(4.0), F.lit(1.0))
     alpha = alpha_chars(text) / n_chars
-    return F.round(
-        F.lit(QW_TOK) * tok_per_char + F.lit(QW_UNIQ) * uniq + F.lit(QW_STOP) * stop + F.lit(QW_ALPHA) * alpha,
-        6,
+    raw = (
+        F.lit(QW_TOK) * tok_per_char
+        + F.lit(QW_UNIQ) * uniq
+        + F.lit(QW_STOP) * stop
+        + F.lit(QW_ALPHA) * alpha
     )
+    # floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): Spark rounds through a
+    # decimal string (BigDecimal HALF_UP) while DuckDB scales and rounds
+    # in binary — at tie-adjacent doubles they disagree by one last digit
+    # (caught at sf0.1: 0.599062 vs 0.599063 on one doc). The scaled-floor
+    # form is the same double ops on both engines, so identical raw values
+    # give identical output (same discipline as the quantize/phash codes).
+    return F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def quality_score_sql(expr: str) -> str:
@@ -194,8 +203,8 @@ def quality_score_sql(expr: str) -> str:
     stop = f"least({stopword_hits_sql(toks, all_stop)}::DOUBLE / {n_toks} * 4.0, 1.0)"
     alpha = f"({alpha_chars_sql(expr)}::DOUBLE / {n_chars})"
     return (
-        f"ROUND({QW_TOK} * {tok_per_char} + {QW_UNIQ} * {uniq} "
-        f"+ {QW_STOP} * {stop} + {QW_ALPHA} * {alpha}, 6)"
+        f"(floor(({QW_TOK} * {tok_per_char} + {QW_UNIQ} * {uniq} "
+        f"+ {QW_STOP} * {stop} + {QW_ALPHA} * {alpha}) * 1000000.0 + 0.5) / 1000000.0)"
     )
 
 

@@ -315,11 +315,17 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda v_, q_: (v_ - (F.col("vmin") + q_ * F.col("scale")))
         * (v_ - (F.col("vmin") + q_ * F.col("scale"))),
     )
-    return d.select(
+    # Round `scale` in a SECOND select: aliasing round(scale) back to the
+    # name "scale" in the same projection makes Catalyst's collapse resolve
+    # the mse/codes subexpressions against the ROUNDED scale — a tiny but
+    # real divergence from the oracle's raw-scale arithmetic (caught at
+    # sf0.1 where one vector's mse crossed the round-6 boundary).
+    out = d.select(
         "vec_id",
-        F.round("scale", 8).alias("scale"),
+        F.col("scale"),
         F.aggregate(F.col("codes"), F.lit(0).cast("long"), lambda a, b: a + b).alias("code_sum"),
         F.round(
             F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("emb"), 6
         ).alias("mse"),
     )
+    return out.select("vec_id", F.round("scale", 8).alias("scale"), "code_sum", "mse")
