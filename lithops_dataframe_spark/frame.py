@@ -125,6 +125,32 @@ class LDGroupBy:
         """Grouped-map escape hatch (pandas ``groupby().apply`` analog)."""
         return LDFrame(self._df.groupBy(*self._keys).applyInPandas(fn, schema))
 
+    def describe(self, cols: Sequence[str] | None = None) -> "LDFrame":
+        """pandas ``groupby().describe()`` (flat columns): per-group
+        count/mean/std/min/median/max per numeric column. The median is the
+        ``approx_percentile`` sketch — per-KEY exact percentiles stay
+        tractable at scale, but the sketch keeps describe single-pass and
+        mergeable regardless of group sizes; columns named
+        ``{col}_{stat}`` pandas-flat style."""
+        num = cols or [
+            f.name
+            for f in self._df.schema.fields
+            if isinstance(f.dataType, NUMERIC_TYPES) and f.name not in self._keys
+        ]
+        aggs: list[Column] = []
+        for c in num:
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}_count"),
+                F.avg(F.col(c)).alias(f"{c}_mean"),
+                F.stddev_samp(F.col(c)).alias(f"{c}_std"),
+                F.min(F.col(c)).cast("double").alias(f"{c}_min"),
+                F.approx_percentile(F.col(c), F.lit(0.5), F.lit(10000))
+                .cast("double")
+                .alias(f"{c}_p50"),
+                F.max(F.col(c)).cast("double").alias(f"{c}_max"),
+            ]
+        return LDFrame(self._df.groupBy(*self._keys).agg(*aggs))
+
 
 class LDFrame:
     """A thin, lazy pandas-semantics layer; every method returns a new

@@ -107,3 +107,35 @@ def frame_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderstatus").alias("nd_status"),
         F.count_distinct("o_orderpriority").alias("nd_priority"),
     )
+
+
+_GROUP_DESC_ORACLE = """
+    SELECT l_returnflag,
+           COUNT(l_quantity) AS l_quantity_count,
+           ROUND(AVG(l_quantity), 6) AS l_quantity_mean,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS l_quantity_std,
+           MIN(l_quantity)::DOUBLE AS l_quantity_min,
+           quantile_disc(l_quantity, 0.5)::DOUBLE AS l_quantity_p50,
+           MAX(l_quantity)::DOUBLE AS l_quantity_max,
+           COUNT(l_tax) AS l_tax_count,
+           ROUND(AVG(l_tax), 6) AS l_tax_mean,
+           ROUND(STDDEV_SAMP(l_tax), 6) AS l_tax_std,
+           MIN(l_tax)::DOUBLE AS l_tax_min,
+           quantile_disc(l_tax, 0.5)::DOUBLE AS l_tax_p50,
+           MAX(l_tax)::DOUBLE AS l_tax_max
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("frame_describe_by_group", oracle=_GROUP_DESC_ORACLE)
+def frame_describe_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas ``groupby().describe()`` parity: per-group summary stats in
+    one aggregation pass (sketch median — per-key grid columns, same
+    oracle discipline as frame_describe_approx)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity", "l_tax")
+    d = LDFrame(li).groupby("l_returnflag").describe(["l_quantity", "l_tax"]).spark
+    rounded = [
+        F.round(F.col(c), 6).alias(c) if c.endswith(("_mean", "_std")) else F.col(c)
+        for c in d.columns
+    ]
+    return d.select(*rounded)
