@@ -137,3 +137,30 @@ def test_generic_reduction(ldf):
         chunk_meta="s long, n long",
     ).collect()
     assert out[0]["total"] == int(EDGE["c"].sum()) and out[0]["rows"] == len(EDGE)
+
+
+def test_groupby_describe_matches_pandas(spark):
+    """groupby().describe() (flat columns) matches the pandas equivalent on
+    the smoke fixture for count/mean/std/min/max; the sketch median is
+    checked within its rank-error bound instead of exactly."""
+    import pandas as pd
+
+    from lithops_dataframe_spark.catalog import load_table
+    from lithops_dataframe_spark.frame import LDFrame
+
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_returnflag", "l_quantity")
+    got = (
+        LDFrame(li).groupby("l_returnflag").describe(["l_quantity"]).spark.toPandas()
+        .set_index("l_returnflag").sort_index()
+    )
+    pdf = li.toPandas()
+    exp = pdf.groupby("l_returnflag")["l_quantity"].agg(["count", "mean", "std", "min", "median", "max"]).sort_index()
+    assert (got["l_quantity_count"] == exp["count"]).all()
+    assert (got["l_quantity_mean"] - exp["mean"]).abs().max() < 1e-9
+    assert (got["l_quantity_std"] - exp["std"]).abs().max() < 1e-9
+    assert (got["l_quantity_min"] == exp["min"]).all()
+    assert (got["l_quantity_max"] == exp["max"]).all()
+    # sketch median: within one grid step of the exact median
+    assert (got["l_quantity_p50"] - exp["median"]).abs().max() <= 1.0
