@@ -162,3 +162,61 @@ def test_transform_with_state_running_totals(spark, replay_dir):
         F.max_by("sum_value", "n_events").alias("sum_value"),
     )
     assert _rows(final, ["user_id", "n_events", "sum_value"]) == expected
+
+
+def test_watermark_finalizes_and_drops_late_data(spark, tmp_path):
+    """The watermark state-eviction contract (append mode): once the
+    watermark passes a window's end, the window is emitted EXACTLY ONCE
+    with only its pre-watermark contents, its state is evicted, and a
+    later arrival for it is dropped — never re-emitted or re-counted.
+
+    (Empirically, Spark 4.1's update-mode aggregation does NOT eagerly
+    drop late input whose window state still fits the store — dropping is
+    only guaranteed once state is evicted, which is exactly what this
+    staging exercises: create window → advance watermark past it →
+    deliver a late row for it.)"""
+    import datetime as dt
+    import time
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    early = dt.datetime(2025, 6, 1, 12, 0, 0)
+    recent = dt.datetime(2025, 6, 30, 12, 0, 0)
+    later = dt.datetime(2025, 6, 30, 14, 0, 0)
+    d = tmp_path / "late_replay"
+    d.mkdir()
+    batches = [
+        [(1, early, 10, "view", 1.0, "{}")],  # creates the June-1 window
+        [(2, recent, 11, "view", 2.0, "{}")],  # advances watermark past it
+        [(3, later, 11, "view", 3.0, "{}")],  # watermark keeps moving; window finalizes
+        [(4, early, 12, "view", 4.0, "{}")],  # LATE: state evicted, must be dropped
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(d / f"b{i}"))
+        time.sleep(1.2)  # distinct mod times → deterministic file order
+
+    stream_in = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d) + "/b*")
+    )
+    got = _run_stream_mode(spark, SE.tumbling_counts(stream_in, size="1 hour"), "append")
+    early_rows = [r for r in got.collect() if r.w_start == early.replace(minute=0)]
+    assert len(early_rows) == 1  # emitted exactly once, never re-emitted
+    assert early_rows[0].n_events == 1  # late arrival (event 4) was dropped
+    assert early_rows[0].sum_value == 1.0
