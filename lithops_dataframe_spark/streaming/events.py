@@ -16,6 +16,13 @@ Watermarks bound state at scale: with a 1-day watermark over a 30-day
 replay, completed windows are evicted instead of accumulating; the file
 replay delivers data roughly in ts order so nothing is dropped and the
 batch equivalence holds exactly.
+
+Late-data semantics (measured, Spark 4.1): update-mode aggregation does
+NOT eagerly drop a late row while its window's state still exists in the
+store — the drop guarantee attaches to EVICTION: once the watermark
+passes a window's end (append finalizes + emits it exactly once), later
+arrivals for it are discarded (tests/test_streaming.py::
+test_watermark_finalizes_and_drops_late_data).
 """
 
 from __future__ import annotations
