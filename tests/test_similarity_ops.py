@@ -79,3 +79,23 @@ def test_phash_neardup_finds_constructed_pairs(spark):
     assert (0, 6) in pairs and pairs[(0, 6)] <= M.PHASH_HAM_T  # near-identical
     assert all(9 not in p for p in pairs)  # unrelated never pairs
     assert all(1 not in p for p in pairs)  # non-image rows excluded
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Empty frames must flow through the heavy operators without errors
+    or spurious rows: dedup, ANN, and text metrics on 0-row inputs."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.catalog import load_table
+    from lithops_dataframe_spark.operators import dedup as D
+    from lithops_dataframe_spark.operators import similarity as S
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.lit(False))
+    emb = load_table(spark, SF_SMOKE, "embeddings").filter(F.lit(False))
+
+    assert D.minhash_lsh_pairs(docs, "text", "doc_id", shingle_n=2, bands=4, threshold=0.5).count() == 0
+    assert D.exact_dedup(docs.select("doc_id", "text")).count() == 0
+    assert S.ann_topk(emb, emb, k=3).count() == 0
+    assert S.brute_force_topk(emb, emb, k=3).count() == 0
