@@ -1,0 +1,57 @@
+"""Registry-order invariants: the driver's correctness sweep checks a
+PREFIX of queries() order (50 entries in round 1), so the first 50 slots
+must keep covering every operator family — this locks that contract
+against accidental reorders."""
+
+from __future__ import annotations
+
+from lithops_dataframe_spark.plans import ORACLES, QUERIES, ordered_queries
+from lithops_dataframe_spark.plans.registry import PRIORITY
+
+
+def test_priority_names_all_registered():
+    assert set(PRIORITY) <= set(QUERIES)
+
+
+def test_ordered_prefix_is_priority():
+    names = list(ordered_queries())
+    assert names[: len(PRIORITY)] == list(PRIORITY)
+
+
+def test_top50_covers_every_family():
+    top = set(list(ordered_queries())[:50])
+    # one representative per SURVEY §2 family / LLM-pipeline capability
+    required = {
+        "q01_pricing_summary",  # scan/filter/agg
+        "join_types_combined",  # §2.3 non-temporal joins
+        "join_asof_purchase_last_click",  # temporal join
+        "win_ranking_combined",  # §2.5 ranking/analytic
+        "win_rolling_avg_user_value",  # rowsBetween frame
+        "setop_combined",  # §2.7
+        "agg_shapes_combined",  # cube/rollup/pivot
+        "agg_percentiles_approx",  # sketch scale path
+        "scalar_funcs_combined",  # §2.8 string/date/math/array
+        "scalar_json_map_events",  # §2.8 json/map + events canary
+        "csv_roundtrip",  # §2.1 sources
+        "io_sinks_roundtrip",  # §2.1 sinks
+        "udf_grouped_zscore",  # §2.9
+        "udtf_long_token_index",  # §2.9 UDTF
+        "stream_session_windows",  # §2.10
+        "dedup_minhash_lsh_pairs",  # LLM dedup
+        "sim_cosine_topk_lsh",  # LLM ANN
+        "text_quality_by_source",  # LLM text
+        "text_repetition_filter",  # LLM repetition gate
+        "mm_decode_media",  # multimodal
+        "mm_phash_neardup",  # multimodal near-dup
+        "split_train_val_test",  # train-data split
+        "pack_training_sequences",  # sequence packing
+        "emb_int8_quantize",  # embedding quantization
+        "pipeline_clean_corpus",  # end-to-end composition
+    }
+    missing = required - top
+    assert not missing, f"top-50 no longer covers: {sorted(missing)}"
+
+
+def test_every_query_has_oracle_except_sketch():
+    no_oracle = set(QUERIES) - set(ORACLES)
+    assert no_oracle <= {"agg_approx_count_distinct"}, no_oracle
