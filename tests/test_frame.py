@@ -164,3 +164,30 @@ def test_groupby_describe_matches_pandas(spark):
     assert (got["l_quantity_max"] == exp["max"]).all()
     # sketch median: within one grid step of the exact median
     assert (got["l_quantity_p50"] - exp["median"]).abs().max() <= 1.0
+
+
+def test_observe_metrics_ride_the_query(spark):
+    """``df.observe`` attaches monitoring aggregates that compute during
+    the SAME action as the query (no second scan) — the pipeline-health
+    counters a production corpus job exports per run."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.catalog import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    obs = Observation("corpus_health")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_texts"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+    out = observed.groupBy("lang").count().collect()
+    m = obs.get
+    assert m["n_rows"] == docs.count()
+    assert m["null_texts"] == 0
+    assert m["avg_chars"] > 0
+    assert sum(r["count"] for r in out) == m["n_rows"]
