@@ -308,17 +308,22 @@ def ngrams(tokens: Column, n: int) -> Column:
 
 
 def ngrams_sql(tokens_expr: str, n: int) -> str:
+    # DuckDB's negative slice bounds wrap (t[1:-1] on a 1-token list returns
+    # the whole list), so guard short documents explicitly to mirror the
+    # Spark side's greatest(m - (n-1), 0) slice length.
     t = tokens_expr
     if n == 2:
-        return (
+        body = (
             f"list_transform(list_zip(({t})[1:len({t})-1], ({t})[2:len({t})]), "
             "p -> p[1] || ' ' || p[2])"
         )
+        return f"CASE WHEN len({t}) >= 2 THEN {body} ELSE []::VARCHAR[] END"
     if n == 3:
-        return (
+        body = (
             f"list_transform(list_zip(({t})[1:len({t})-2], ({t})[2:len({t})-1], ({t})[3:len({t})]), "
             "p -> p[1] || ' ' || p[2] || ' ' || p[3])"
         )
+        return f"CASE WHEN len({t}) >= 3 THEN {body} ELSE []::VARCHAR[] END"
     raise ValueError("ngrams_sql supports n in {2, 3}")
 
 

@@ -205,7 +205,10 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_dir = os.path.join(_scratch("compact"), "orders_compact")
     spark.read.parquet(frag_dir).repartition(4).write.mode("overwrite").parquet(compact_dir)
     n_compact = len(glob.glob(os.path.join(compact_dir, "*.parquet")))
-    assert n_compact < n_frag, (n_compact, n_frag)
+    if n_compact >= n_frag:
+        raise RuntimeError(
+            f"compaction did not reduce file count: {n_frag} -> {n_compact}"
+        )
 
     back = spark.read.parquet(compact_dir)
     return back.agg(

@@ -374,17 +374,17 @@ _PACK_ORACLE = f"""
 @register("pack_training_sequences", oracle=_PACK_ORACLE)
 def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: place whole documents into fixed token-budget
-    training examples (budget {B}) by token offset — each doc lands in the
-    pack where its cumulative start offset falls, so examples keep document
-    boundaries (overflow drifts into the next pack, the standard
-    boundary-respecting packing policy before truncation).
+    training examples (budget _PACK_BUDGET = 256) by token offset — each
+    doc lands in the pack where its cumulative start offset falls, so
+    examples keep document boundaries (overflow drifts into the next pack,
+    the standard boundary-respecting packing policy before truncation).
 
     Scale shape: packing is inherently sequential, so it is streamed in
-    {K} deterministic parallel streams (bucket = doc_id mod {K}): one hash
-    shuffle on bucket, a per-bucket window cumsum, and a tiny per-pack
-    rollup. At 100 TB raise the stream count to the write parallelism —
-    pack ids stay deterministic under re-runs (no RNG), so incremental
-    rebuilds are stable.""".format(B=_PACK_BUDGET, K=_PACK_BUCKETS)
+    _PACK_BUCKETS = 8 deterministic parallel streams (bucket = doc_id mod
+    streams): one hash shuffle on bucket, a per-bucket window cumsum, and a
+    tiny per-pack rollup. At 100 TB raise the stream count to the write
+    parallelism — pack ids stay deterministic under re-runs (no RNG), so
+    incremental rebuilds are stable."""
     from pyspark.sql.window import Window
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
