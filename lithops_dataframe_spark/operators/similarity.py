@@ -212,6 +212,7 @@ def ann_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     k: int = 10,
+    multi_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k via sign-LSH buckets + exact re-rank of candidates.
 
@@ -220,6 +221,15 @@ def ann_topk(
     candidate equi-join on (table_idx, bucket) replaces the cross join —
     at 100 TB this is a hash-partitioned join on int keys with per-bucket
     fan-out instead of |corpus| × |queries| work.
+
+    ``multi_probe_bits`` = n > 0 additionally probes, per (query, table),
+    the n buckets at Hamming distance 1 obtained by flipping each of the
+    first n sign bits — the standard multi-probe LSH recall lever
+    (SCALE.md §Similarity): a near neighbor that lands one sign bit away
+    still becomes a candidate. Cost is a (n+1)× fan-out of the QUERY-side
+    postings only (queries ≪ corpus); the corpus postings, the slim-join
+    shape, and the index itself are unchanged — recall rises without
+    adding tables or re-hashing the corpus.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
@@ -233,12 +243,34 @@ def ann_topk(
     # and the two join inputs are filters over the same subtree instead of
     # two distinct plan shapes. At scale this also halves the number of
     # stage shapes the scheduler manages; per-row work is unchanged.
-    tagged = c.select(F.col("neighbor_id").alias("__id"), F.col("c_emb").alias("__emb"), F.lit(0).alias("__side")).unionAll(
-        q.select(F.col("query_id").alias("__id"), F.col("q_emb").alias("__emb"), F.lit(1).alias("__side"))
+    # The tagged union is positional, so differing id/embedding types across
+    # corpus and queries would either fail analysis or coerce silently.
+    # Normalize: ids ride through the bucket pass as strings when the types
+    # differ (cast back after — lossless for int/string keys), embeddings
+    # always as array<double> (the bucket fold casts to double anyway).
+    c_id_type = c.schema["neighbor_id"].dataType
+    q_id_type = q.schema["query_id"].dataType
+    same_id = c_id_type == q_id_type
+    cid = F.col("neighbor_id") if same_id else F.col("neighbor_id").cast("string")
+    qid = F.col("query_id") if same_id else F.col("query_id").cast("string")
+    tagged = c.select(cid.alias("__id"), F.col("c_emb").cast("array<double>").alias("__emb"), F.lit(0).alias("__side")).unionAll(
+        q.select(qid.alias("__id"), F.col("q_emb").cast("array<double>").alias("__emb"), F.lit(1).alias("__side"))
     )
     postings = with_buckets(tagged, "__emb").select("__id", "__side", "table_idx", "bucket")
-    cb = postings.filter(F.col("__side") == 0).select(F.col("__id").alias("neighbor_id"), "table_idx", "bucket")
-    qb = postings.filter(F.col("__side") == 1).select(F.col("__id").alias("query_id"), "table_idx", "bucket")
+    cb_id = F.col("__id") if same_id else F.col("__id").cast(c_id_type)
+    qb_id = F.col("__id") if same_id else F.col("__id").cast(q_id_type)
+    cb = postings.filter(F.col("__side") == 0).select(cb_id.alias("neighbor_id"), "table_idx", "bucket")
+    qb = postings.filter(F.col("__side") == 1).select(qb_id.alias("query_id"), "table_idx", "bucket")
+    if multi_probe_bits:
+        if not 0 < multi_probe_bits <= N_PLANES:
+            raise ValueError(f"multi_probe_bits must be in [1, {N_PLANES}]")
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(multi_probe_bits)],
+        )
+        qb = qb.select(
+            "query_id", "table_idx", F.explode(probes).alias("bucket")
+        ).dropDuplicates(["query_id", "table_idx", "bucket"])
     cand = (
         cb.join(qb, ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -265,15 +297,19 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into cells,
     probe only the ``n_probe`` nearest cells per query, exact re-rank.
 
-    The coarse quantizer here is a FIXED deterministic centroid set (the
-    ``n_cells`` lowest-id corpus vectors) rather than trained k-means —
-    same plan shape, deterministic for the differential oracle. At scale,
-    swap the centroid frame for trained centroids; everything else stands.
-    Recall < 1 by design (cell misses), like any IVF index.
+    The coarse quantizer is either a TRAINED centroid matrix passed in via
+    ``centroids`` (the production path — train with
+    ``operators.clustering.kmeans_fit``, whose per-iteration rounding makes
+    the matrix replayable by the differential oracle) or, when omitted, a
+    fixed deterministic fallback (the ``n_cells`` lowest-id corpus
+    vectors). Recall < 1 by design (cell misses), like any IVF index;
+    trained centroids raise recall at the same probe budget because cells
+    follow the data distribution instead of arbitrary seed vectors.
 
     Cell assignment is a NARROW map: the quantizer (n_cells × dim — the
     same driver-sized state k-means carries) rides in as a one-row
@@ -284,14 +320,18 @@ def ivf_topk(
     100 TB; this one shuffles nothing before the candidate equi-join.
     """
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cent"))
-        .orderBy("cell_id")
-        .collect()
-    )
-    cent_mat = [[float(v) for v in r["cent"]] for r in cent_rows]
-    cell_ids = [int(r["cell_id"]) for r in cent_rows]
+    if centroids is not None:
+        cent_mat = [[float(v) for v in c] for c in centroids]
+        cell_ids = list(range(len(cent_mat)))
+    else:
+        cent_rows = (
+            corpus.filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).alias("cell_id"), F.col(emb_col).alias("cent"))
+            .orderBy("cell_id")
+            .collect()
+        )
+        cent_mat = [[float(v) for v in r["cent"]] for r in cent_rows]
+        cell_ids = [int(r["cell_id"]) for r in cent_rows]
     cframe = F.broadcast(
         spark.createDataFrame(
             [(cent_mat, cell_ids)], "__cents: array<array<double>>, __cids: array<int>"

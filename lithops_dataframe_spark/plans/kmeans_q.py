@@ -17,38 +17,49 @@ _ITERS = 3
 _DIM = 64
 
 
-def _oracle() -> str:
+def replay_ctes(k: int, iters: int, dim: int, prefix: str = "") -> tuple[list[str], str]:
+    """CTE fragments that replay ``kmeans_fit(k, iters)`` over the
+    ``embeddings`` view; returns (parts, final_centroid_cte) where the final
+    CTE has columns (cell, pos, m) — the trained centroid matrix. Shared by
+    the kmeans_cells oracle and the trained-quantizer IVF oracle
+    (plans/similarity_q.py), so both gates replay identical arithmetic."""
+    p = prefix
     parts = [
-        f"""c0 AS (
+        f"""{p}c0 AS (
         SELECT vec_id AS cell, t.i - 1 AS pos, ROUND(embedding[t.i]::DOUBLE, 6) AS m
-        FROM embeddings, range(1, {_DIM + 1}) t(i)
-        WHERE vec_id < {_K}
+        FROM embeddings, range(1, {dim + 1}) t(i)
+        WHERE vec_id < {k}
     )"""
     ]
-    prev = "c0"
-    for it in range(1, _ITERS + 1):
-        parts.append(f"""a{it} AS (
+    prev = f"{p}c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""{p}a{it} AS (
         SELECT e.vec_id AS id, cr.cell,
                SUM((e.embedding[cr.pos + 1]::DOUBLE - cr.m) * (e.embedding[cr.pos + 1]::DOUBLE - cr.m)) AS d2
         FROM embeddings e JOIN {prev} cr ON true
         GROUP BY e.vec_id, cr.cell
     )""")
-        parts.append(f"""s{it} AS (
+        parts.append(f"""{p}s{it} AS (
         SELECT id, cell FROM (
-            SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rk FROM a{it}
+            SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rk FROM {p}a{it}
         ) WHERE rk = 1
     )""")
-        parts.append(f"""u{it} AS (
+        parts.append(f"""{p}u{it} AS (
         SELECT s.cell, t.i - 1 AS pos, ROUND(AVG(e.embedding[t.i]::DOUBLE), 6) AS m
-        FROM s{it} s JOIN embeddings e ON e.vec_id = s.id, range(1, {_DIM + 1}) t(i)
+        FROM {p}s{it} s JOIN embeddings e ON e.vec_id = s.id, range(1, {dim + 1}) t(i)
         GROUP BY s.cell, t.i
     )""")
         # cells that lost every member keep their previous centroid
-        parts.append(f"""c{it} AS (
+        parts.append(f"""{p}c{it} AS (
         SELECT p.cell, p.pos, COALESCE(n.m, p.m) AS m
-        FROM {prev} p LEFT JOIN u{it} n ON n.cell = p.cell AND n.pos = p.pos
+        FROM {prev} p LEFT JOIN {p}u{it} n ON n.cell = p.cell AND n.pos = p.pos
     )""")
-        prev = f"c{it}"
+        prev = f"{p}c{it}"
+    return parts, prev
+
+
+def _oracle() -> str:
+    parts, prev = replay_ctes(_K, _ITERS, _DIM)
     final = f"""af AS (
         SELECT e.vec_id AS id, cr.cell,
                SUM((e.embedding[cr.pos + 1]::DOUBLE - cr.m) * (e.embedding[cr.pos + 1]::DOUBLE - cr.m)) AS d2

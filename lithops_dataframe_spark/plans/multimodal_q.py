@@ -131,10 +131,28 @@ def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted near-identical payloads (VERDICT_r02 task 3): the fixture corpus
+# has no byte-level near-identical image payloads, so the driver row used
+# to compare 0 rows to 0 rows — a vacuous green. These three rows (two
+# identical, one tail-corrupted) guarantee >= 2 real pairs flow through
+# the hash gate on BOTH engines. Ids are multiples of 3 (image slot, far
+# above any fixture doc_id).
+_PLANT_BASE = "the quick brown fox jumps over the lazy dog " * 8
+_PLANTED: list[tuple[int, str]] = [
+    (9000000, _PLANT_BASE),
+    (9000003, _PLANT_BASE),
+    (9000006, _PLANT_BASE[:-6] + "dogggg"),
+]
+
+_PLANT_SQL = "\n        UNION ALL ".join(
+    f"SELECT {i} AS doc_id, upper(hex(encode('{t}'))) AS hx" for i, t in _PLANTED
+)
+
 _PHASH_ORACLE = f"""
     WITH img AS (
         SELECT doc_id, upper(hex(encode(text))) AS hx
         FROM documents WHERE doc_id % 3 = 0
+        UNION ALL {_PLANT_SQL}
     ),
     v AS (
         SELECT doc_id,
@@ -175,5 +193,12 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by perceptual hash (aHash, 64-bit, pigeonhole
     block join + exact hamming re-rank) — the image-side analog of SimHash
     text dedup; swap the sampled stream for decoded pixels in a
-    real-decoder deployment."""
-    return M.phash_neardup_pairs(_media(spark, sf_dir))
+    real-decoder deployment. The fixture corpus is unioned with three
+    planted near-identical payloads (see _PLANTED) so the driver's value
+    hash covers real pairs, not an empty result."""
+    media = _media(spark, sf_dir).select("doc_id", "media_type", "payload")
+    planted = spark.createDataFrame(
+        [(i, "image", bytearray(t.encode("utf-8"))) for i, t in _PLANTED],
+        "doc_id long, media_type string, payload binary",
+    )
+    return M.phash_neardup_pairs(media.unionAll(planted))

@@ -45,115 +45,116 @@ def query_names() -> list[str]:
 
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries()
-# in dict order (round-1 evidence: CORRECTNESS_r01.json is exactly registry
-# positions 1-50). This list pins the first 50 slots to one proving query
-# per SURVEY §2 operator family and per LLM-pipeline operator, so the hard
-# gate covers every family; redundant variants (axis-1 reduction twins,
-# TPC-H shapes sharing a plan shape, per-operator singles subsumed by the
-# *_combined queries) follow after.
+# in dict order (round-1/2 evidence: CORRECTNESS_r0{1,2}.json are exactly
+# registry positions 1-50). Round-3 rotation (VERDICT_r02 task 1): slots
+# 1-20 keep one proven combined family-proof per SURVEY §2 family — plus
+# every query whose implementation CHANGES this round (csv_roundtrip,
+# sim_cosine_topk_lsh/ivf, mm_phash_neardup, frame_describe_approx), which
+# must re-prove under the hard gate — and slots 21-50 promote 30 queries
+# that have never had a driver row (previously verified only by the local
+# tools/driver_sim.py battery). Displaced r02-green queries move to 51+;
+# they remain covered by the local full-battery run.
 PRIORITY: tuple[str, ...] = (
-    # core TPC-H shapes (scan/filter/project, star join, agg, top-k)
+    # --- kept family anchors (r02 driver-green; zero-regression set) ---
+    "q03_shipping_priority",  # core relational: scan/filter/join/agg/top-k
+    "red_stats_combined",  # §2.4 reductions
+    "join_types_combined",  # §2.3 left/right/full/semi/anti/cross/theta
+    "join_asof_purchase_last_click",  # §2.3 temporal (as-of)
+    "win_ranking_combined",  # §2.5 ranking family
+    "setop_combined",  # §2.7 union/intersect/except/distinct
+    "agg_shapes_combined",  # §2.4 cube/rollup/pivot/melt
+    "agg_percentiles_approx",  # §2.4 percentile scale path
+    "scalar_funcs_combined",  # §2.8 string/date/math/array
+    "scalar_json_map_events",  # §2.8 json+map (round-1 FAIL-env canary)
+    "csv_roundtrip",  # §2.1 sources — MODIFIED r3 (kwarg tail)
+    "udtf_long_token_index",  # §2.9 UDTF
+    "stream_session_windows",  # §2.10 streaming
+    "dedup_minhash_lsh_pairs",  # LLM dedup flagship
+    "sim_cosine_topk_lsh",  # ANN — MODIFIED r3 (multi-probe)
+    "sim_cosine_topk_ivf",  # ANN — MODIFIED r3 (trained centroids)
+    "kmeans_cells",  # clustering (IVF trainer)
+    "text_hashed_tfidf",  # text flagship
+    "mm_phash_neardup",  # multimodal — MODIFIED r3 (non-vacuous pairs)
+    "pipeline_clean_corpus",  # end-to-end composition
+    # --- 30 promotions: first-ever driver rows (r02 pass(L) only) ---
+    "red_stats_moments",  # grouped corr/covar/var/skew/kurt/median
+    "red_sum_axis1",  # axis-1 narrow reduction family
+    "dedup_fuzzy_levenshtein_pairs",
+    "chunk_documents_overlap",
+    "decontaminate_ngram_overlap",
+    "sample_k_per_stratum",
+    "stream_stateful_running_totals",  # real readStream + applyInPandasWithState
+    "mm_binaryfile_source",
+    "udf_map_in_arrow",
+    "sql_grouping_sets",
+    "sql_correlated_subquery",
+    "sql_cte_window_topn",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "join_left_outer_order_counts",
+    "join_full_outer_nation_coverage",
+    "join_theta_price_band",
+    "win_lag_lead_daily_revenue",
+    "win_cumsum_per_supplier",
+    "frame_apply_axis1",
+    "frame_map_partitions",
+    "frame_describe_approx",  # MODIFIED r3 (rank-tolerance oracle)
+    "io_compact_small_files",
+    "events_gapfill_daily",
+    "events_funnel",
+    "rollup_continuous_aggregate",
+    "q02_min_cost_supplier",  # most complex never-gated TPC-H shape
+    "q18_large_volume_customers",
+    # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
-    "q03_shipping_priority",
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
     "q07_nation_volume",
     "q09_product_type_profit",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
-    # reductions (sum/count singly — round-1 red rows — rest combined)
     "red_sum_axis0",
     "red_count_axis0",
-    "red_stats_combined",
-    # joins: every §2.3 type (semi/anti/left/full/cross/theta prove
-    # together in one slot; temporal joins keep their own)
-    "join_asof_purchase_last_click",
     "join_range_value_bands",
-    "join_types_combined",
-    # windows: every §2.5 shape (ranking/lag/cumsum combined; the
-    # rowsBetween / rangeBetween frame variants keep events-table slots)
     "win_rolling_avg_user_value",
     "win_first_last_range",
-    "win_ranking_combined",
-    # set ops + grouping shapes + percentile scale path
-    "setop_combined",
-    "agg_shapes_combined",
-    "agg_percentiles_approx",
-    # scalar function families (§2.8): string/date/math/array in one slot,
-    # json+map on events (the round-1 FAIL-env canary) in another
-    "scalar_funcs_combined",
-    "scalar_json_map_events",
-    # sources/sinks (§2.1) + schema evolution
-    "csv_roundtrip",
     "io_sinks_roundtrip",
     "io_schema_evolution",
-    # pandas UDF / UDTF surface (§2.9)
     "udf_grouped_zscore",
     "udf_grouped_agg_weighted_avg",
-    "udtf_long_token_index",
-    # streaming semantics (§2.10, batch-equivalence form)
-    "stream_session_windows",
     "stream_view_click_correlation",
-    # LLM-data-pipeline operators
     "dedup_exact_after_union",
-    "dedup_minhash_lsh_pairs",
     "dedup_neardup_clusters",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard_pairs",
-    "sim_cosine_topk_lsh",
-    "sim_cosine_topk_ivf",
-    "kmeans_cells",
     "text_quality_by_source",
-    "text_hashed_tfidf",
     "text_repetition_filter",
     "mm_decode_media",
-    "mm_phash_neardup",
     "split_train_val_test",
-    "pipeline_clean_corpus",
     "pack_training_sequences",
     "emb_int8_quantize",
     "agg_winsorized_stats",
     "sample_temperature_weights",
     "text_zipf_slope",
-    # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # remaining LLM-pipeline operators first
-    "dedup_fuzzy_levenshtein_pairs",
+    # remaining local-only queries
     "sim_cosine_neardup_lsh",
-    "chunk_documents_overlap",
-    "decontaminate_ngram_overlap",
-    "sample_k_per_stratum",
-    "frame_describe_approx",
     "sim_knn_label_vote",
     "sim_label_centroids",
-    "udf_map_in_arrow",
-    "io_compact_small_files",
-    # fine-grained twins of the *_combined slots
+    "frame_describe",
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
-    "join_left_outer_order_counts",
-    "join_theta_price_band",
     "win_top3_orders_per_customer",
-    "win_cumsum_per_supplier",
-    "win_lag_lead_daily_revenue",
-    "scalar_math_funcs",
     "scalar_json_events",
     "scalar_map_funcs",
-    "scalar_string_funcs",
-    "scalar_array_funcs",
-    # new coverage for rows that were pytest-only in round 1
-    "mm_binaryfile_source",
     "split_stratified_rebalance",
-    "stream_stateful_running_totals",
-    "frame_apply_axis1",
-    "frame_map_partitions",
     "join_salted_skew",
     "join_bucketed_colocated",
-    # round-1-green singles displaced by the *_combined consolidations
     "win_rank_dense_ntile",
     "win_percent_cume",
-    "join_full_outer_nation_coverage",
     "join_cross_region_segment",
-    "scalar_date_funcs",
     "dedup_exact_fingerprint",
     "agg_percentiles",
     "agg_count_distinct",
@@ -172,10 +173,8 @@ PRIORITY: tuple[str, ...] = (
     "red_std_axis0",
     "red_all_any",
     "red_prod",
-    "red_sum_axis1",
     "red_max_axis1",
     "red_mean_axis1",
-    "sql_grouping_sets",
     "stream_tumbling_counts",
     "stream_sliding_activity",
     "stream_dedup_events",

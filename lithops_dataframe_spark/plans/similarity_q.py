@@ -80,15 +80,30 @@ _TOPK_BRUTE_ORACLE = f"""
     FROM ranked WHERE rk <= {_K}
 """
 
+# Multi-probe (VERDICT_r02 task 4): the query side also probes every
+# bucket at Hamming distance 1 (all N_PLANES single-bit flips), mirroring
+# ann_topk(multi_probe_bits=N_PLANES).
+_QPROBES = "\n      UNION ALL ".join(
+    [f"SELECT id, emb, table_idx, bucket FROM buckets WHERE id < {_N_QUERIES}"]
+    + [
+        f"SELECT id, emb, table_idx, xor(bucket, {1 << p})::INT AS bucket "
+        f"FROM buckets WHERE id < {_N_QUERIES}"
+        for p in range(S.N_PLANES)
+    ]
+)
+
 _TOPK_LSH_ORACLE = f"""
     WITH buckets AS (
       {_BUCKETS}
     ),
+    qprobes AS (
+      {_QPROBES}
+    ),
     cand AS (
         SELECT DISTINCT q.id AS query_id, q.emb AS q_emb, c.id AS neighbor_id, c.emb AS c_emb
         FROM buckets c
-        JOIN buckets q ON c.table_idx = q.table_idx AND c.bucket = q.bucket
-        WHERE q.id < {_N_QUERIES} AND c.id <> q.id
+        JOIN qprobes q ON c.table_idx = q.table_idx AND c.bucket = q.bucket
+        WHERE c.id <> q.id
     ),
     ranked AS (
         SELECT query_id, neighbor_id, {_cos_sql('q_emb', 'c_emb')} AS sim,
@@ -132,9 +147,25 @@ _NEARDUP_LSH_ORACLE = f"""
     SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM scored WHERE sim >= {_NEARDUP_T}
 """
 
-_IVF_ORACLE = f"""
-    WITH cents AS (
-        SELECT vec_id AS cell_id, embedding AS cent FROM embeddings WHERE vec_id < 16
+# Trained-quantizer IVF (VERDICT_r02 task 2): centroids come from the SAME
+# kmeans_fit replay the kmeans_cells oracle proves (k=_IVF_CELLS,
+# _IVF_ITERS Lloyd iterations, 6-decimal rounding each update), so the
+# approximate index is still hash-checkable end-to-end.
+_IVF_CELLS = 32
+_IVF_ITERS = 2
+_IVF_PROBE = 4
+
+
+def _ivf_oracle() -> str:
+    from lithops_dataframe_spark.plans.kmeans_q import replay_ctes
+
+    parts, final_cte = replay_ctes(_IVF_CELLS, _IVF_ITERS, S.DIM, prefix="k")
+    replay = ",\n    ".join(parts)
+    return f"""
+    WITH {replay},
+    cents AS (
+        SELECT cell AS cell_id, list(m ORDER BY pos) AS cent
+        FROM {final_cte} GROUP BY cell
     ),
     c_sc AS (
         SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb, c.cell_id,
@@ -152,7 +183,7 @@ _IVF_ORACLE = f"""
         FROM embeddings e CROSS JOIN cents c
         WHERE e.vec_id < {_N_QUERIES}
     ),
-    q_asg AS (SELECT query_id, q_emb, cell_id FROM q_sc WHERE crk <= 2),
+    q_asg AS (SELECT query_id, q_emb, cell_id FROM q_sc WHERE crk <= {_IVF_PROBE}),
     cand AS (
         SELECT DISTINCT q.query_id, q.q_emb, c.neighbor_id, c.c_emb
         FROM c_asg c JOIN q_asg q ON c.cell_id = q.cell_id
@@ -168,6 +199,7 @@ _IVF_ORACLE = f"""
     SELECT query_id, neighbor_id, rk::INT AS rank, ROUND(sim, 6) AS sim
     FROM ranked WHERE rk <= {_K}
 """
+
 
 _KNN_VOTE_ORACLE = f"""
     WITH q AS (
@@ -210,14 +242,33 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_cosine_topk_lsh", oracle=_TOPK_LSH_ORACLE)
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with multi-probe: each query also probes the N_PLANES
+    buckets one bit-flip away in every hash table (recall lever at fixed
+    table/plane budget; see test_multi_probe_improves_recall)."""
     emb = _emb(spark, sf_dir)
-    return S.ann_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K)
+    return S.ann_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, multi_probe_bits=S.N_PLANES
+    )
 
 
-@register("sim_cosine_topk_ivf", oracle=_IVF_ORACLE)
+@register("sim_cosine_topk_ivf", oracle=_ivf_oracle())
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: kmeans_fit (k=_IVF_CELLS,
+    _IVF_ITERS iterations — deterministic, replayed by the oracle's CTE
+    chain) supplies the centroids; probing _IVF_PROBE cells re-ranks only
+    candidate cells' members. See tests/test_similarity_ops.py for the
+    recall@k >= 0.9 assertion vs sim_cosine_topk_bruteforce."""
+    from lithops_dataframe_spark.operators.clustering import kmeans_fit
+
     emb = _emb(spark, sf_dir)
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, n_cells=16, n_probe=2)
+    centroids, _ = kmeans_fit(emb, k=_IVF_CELLS, iterations=_IVF_ITERS)
+    return S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_K,
+        n_probe=_IVF_PROBE,
+        centroids=centroids,
+    )
 
 
 @register("sim_cosine_neardup_exact", oracle=_NEARDUP_EXACT_ORACLE)

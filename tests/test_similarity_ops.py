@@ -49,11 +49,67 @@ def test_ann_recall_vs_bruteforce(spark, emb):
     assert approx_pairs, "ANN returned nothing"
 
 
+def test_multi_probe_improves_recall(spark, emb):
+    """Multi-probe LSH (all 1-bit flips, query side only) must strictly
+    widen the candidate set and not lower recall vs the same index without
+    probing; on this corpus the lift is large (every near-miss bucket one
+    sign bit away becomes reachable)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(emb, queries, k=5).collect()}
+    base = {(r.query_id, r.neighbor_id) for r in S.ann_topk(emb, queries, k=5).collect()}
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_topk(emb, queries, k=5, multi_probe_bits=S.N_PLANES).collect()
+    }
+    r_base = len(exact & base) / len(exact)
+    r_probed = len(exact & probed) / len(exact)
+    assert r_probed > r_base, f"multi-probe did not improve recall: {r_base} -> {r_probed}"
+
+
 def test_ivf_results_subset_of_corpus(spark, emb):
     out = S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).collect()
     ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
     assert all(r["neighbor_id"] in ids and r["rank"] <= 5 for r in out)
     assert all(-1.0 <= r["sim"] <= 1.0 for r in out)
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Trained-quantizer IVF recall proof (VERDICT_r02 task 2).
+
+    The parquet fixture's embeddings are near-random (no cluster
+    structure), where ANY coarse quantizer's recall degenerates to the
+    fraction of cells probed — so, like the phash constructed-payload
+    test, build a corpus with real cluster structure: 20 tight Gaussian
+    clusters. kmeans_fit centroids must then put a query's true neighbors
+    in its probed cells: recall@10 >= 0.9 at probe 2/20, and at least as
+    good as the untrained lowest-id quantizer at the same probe budget."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, S.DIM))
+    vecs = []
+    for i in range(400):
+        c = centers[i % 20]
+        vecs.append((i, [float(x) for x in c + rng.normal(scale=0.05, size=S.DIM)]))
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 10)
+
+    exact = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(corpus, queries, k=10).collect()}
+    from lithops_dataframe_spark.operators.clustering import kmeans_fit
+
+    cents, _ = kmeans_fit(corpus, k=20, iterations=3)
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(corpus, queries, k=10, n_probe=2, centroids=cents).collect()
+    }
+    fixed = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(corpus, queries, k=10, n_cells=20, n_probe=2).collect()
+    }
+    recall_trained = len(exact & trained) / len(exact)
+    recall_fixed = len(exact & fixed) / len(exact)
+    assert recall_trained >= 0.9, f"trained IVF recall@10 = {recall_trained}"
+    assert recall_trained >= recall_fixed, (recall_trained, recall_fixed)
 
 
 def test_phash_neardup_finds_constructed_pairs(spark):
