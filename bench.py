@@ -62,6 +62,80 @@ LLM_PIPELINE = [
 
 HEADLINE = TPCH + LLM_PIPELINE
 
+# Scale-curve subset (VERDICT_r02 task 8): representative query per family,
+# timed at the base SF and at a key-shifted 10x fixture; the exponent
+# log10(t_10x / t_base) flags any family whose runtime grows faster than
+# ~n log n (threshold 1.15). Cross-row pair-finding ops (minhash/simhash/
+# near-dup) are excluded by design: the 10x fixture carries 10 identical
+# copies of every document, so their OUTPUT grows ~45x for data reasons,
+# which would measure the fixture, not the plan.
+SCALE_FAMILIES: dict[str, list[str]] = {
+    "scan_agg": ["q01_pricing_summary", "q06_forecast_revenue"],
+    "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers"],
+    "window": ["q02_min_cost_supplier", "pack_training_sequences"],
+    "text": ["text_quality_by_source", "text_hashed_tfidf"],
+    "streaming": ["stream_session_windows"],
+    "ann": ["sim_cosine_topk_lsh"],
+    "narrow": ["emb_int8_quantize"],
+}
+SCALE_EXP_FLAG = 1.15
+SCALE_COPIES = 10
+
+
+def scale_curve(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
+    import math
+    import tempfile
+
+    from lithops_dataframe_spark.plans import QUERIES as _Q
+    from tools.scale_fixture import build
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(tempfile.gettempdir(), f"lds_scale{SCALE_COPIES}_{tag}")
+    build(spark, sf_dir, out_dir, copies=SCALE_COPIES)
+
+    names = [n for fam in SCALE_FAMILIES.values() for n in fam if n in _Q]
+    t10: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        _Q[name](spark, out_dir).collect()
+        t10[name] = round(time.perf_counter() - start, 4)
+
+    per_q: dict[str, dict] = {}
+    for name in names:
+        t1 = base_timings.get(name)
+        exp = (
+            round(math.log10(t10[name] / t1) / math.log10(SCALE_COPIES), 3)
+            if t1 and t1 > 0.05
+            else None
+        )
+        per_q[name] = {"t_base": t1, "t_10x": t10[name], "exponent": exp}
+    # a lone timing is exposed to the host's rare multi-second freezes:
+    # re-time anything flagged and keep the min before judging it
+    for name, d in per_q.items():
+        if d["exponent"] is not None and d["exponent"] > SCALE_EXP_FLAG and d["t_10x"] > 1.0:
+            start = time.perf_counter()
+            _Q[name](spark, out_dir).collect()
+            d["t_10x"] = round(min(d["t_10x"], time.perf_counter() - start), 4)
+            d["exponent"] = round(
+                math.log10(d["t_10x"] / d["t_base"]) / math.log10(SCALE_COPIES), 3
+            )
+    families = {}
+    for fam, qs in SCALE_FAMILIES.items():
+        exps = [per_q[n]["exponent"] for n in qs if n in per_q and per_q[n]["exponent"] is not None]
+        families[fam] = round(sum(exps) / len(exps), 3) if exps else None
+    flagged = [
+        n
+        for n, d in per_q.items()
+        if d["exponent"] is not None and d["exponent"] > SCALE_EXP_FLAG and d["t_10x"] > 1.0
+    ]
+    return {
+        "copies": SCALE_COPIES,
+        "queries": per_q,
+        "families": families,
+        "flagged_superlinear": flagged,
+        "excluded_pair_ops": ["dedup_minhash_lsh_pairs", "sim_cosine_topk_ivf (trains on 10x identical copies)"],
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,21 +180,20 @@ def main() -> None:
             timings[name] = round(min(timings.get(name, float("inf")), took), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "tpch22_total": round(sum(timings.get(n, 0.0) for n in TPCH), 4),
-                "llm_pipeline_total": round(
-                    sum(timings.get(n, 0.0) for n in LLM_PIPELINE), 4
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "tpch22_total": round(sum(timings.get(n, 0.0) for n in TPCH), 4),
+        "llm_pipeline_total": round(
+            sum(timings.get(n, 0.0) for n in LLM_PIPELINE), 4
+        ),
+    }
+    if not os.environ.get("LDS_BENCH_NO_SCALE"):
+        out["scale_curve"] = scale_curve(spark, sf_dir, timings)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,21 +36,70 @@ def _scratch(name: str) -> str:
            COUNT(DISTINCT p_brand) AS n_brands,
            MIN(p_name) AS first_name,
            CAST(SUM(p_size) AS BIGINT) AS size_sum,
-           ROUND(SUM(p_retailprice), 2) AS price_sum
+           ROUND(SUM(p_retailprice), 2) AS price_sum,
+           CAST(SUM(CASE WHEN p_size % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_na_cats,
+           CAST(SUM(CASE WHEN p_size % 4 NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cats,
+           CAST(SUM(p_size * 1000) AS BIGINT) AS msize_sum,
+           ROUND(SUM(p_retailprice), 2) AS eu_price_sum,
+           COUNT(DISTINCT lower(p_type)) AS n_type_lower
     FROM part
     """,
 )
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parquet → csv → ``read_csv`` with the pandas option surface
-    (names + header=0 + dtype covering int64/int32/float64/string) →
+    """parquet → csv → ``read_csv`` with the pandas option surface →
     aggregate; any loss in writer quoting, header replacement, or dtype
-    casts breaks the value hash."""
+    casts breaks the value hash. Exercises (VERDICT_r02 task 5) the kwarg
+    tail on columns derived from the fixture so the oracle reproduces them
+    from parquet: multi-token ``na_values`` ('SM CASE' and 'SM BOX' both
+    null out of the synthetic p_cat), ``thousands='.'`` (p_msize = p_size
+    × 1000 serialized as '12.000'-style grouped digits), ``decimal=','``
+    (p_euprice = p_retailprice with ',' as decimal mark — the fixture's
+    prices are exact 2-decimal values, so the text round-trip is
+    lossless), and ``converters`` (str.lower over an uppercased p_type)."""
+    src = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        "p_size",
+        # thousands/decimal are FILE-WIDE conventions (pandas applies them
+        # to every numeric column), so every float serializes EU-style
+        F.translate(F.format_number(F.col("p_retailprice"), 2), ".,", ",.").alias(
+            "p_retailprice"
+        ),
+        F.element_at(
+            F.array(F.lit("SM CASE"), F.lit("SM BOX"), F.lit("LG BOX"), F.lit("MED DRUM")),
+            (F.col("p_size") % 4 + 1).cast("int"),
+        ).alias("p_cat"),
+        F.upper("p_type").alias("p_type_up"),
+        # '12.000'-style grouped integer: insert '.' every 3 digits from
+        # the right (fixture sizes are 1..50 → at most 5 digits here)
+        F.regexp_replace(
+            (F.col("p_size") * 1000).cast("string"), r"(\d)(?=(\d{3})+$)", "$1."
+        ).alias("p_msize"),
+        # '1.234,56'-style float: format_number gives '1,234.56'; swap
+        # the two separator chars
+        F.translate(F.format_number(F.col("p_retailprice"), 2), ".,", ",.").alias("p_euprice"),
+    )
     out = os.path.join(_scratch("csv"), "part_csv")
-    write(load_table(spark, sf_dir, "part"), out, fmt="csv", header="true")
+    write(src, out, fmt="csv", header="true")
     back = read_csv(
         spark,
         out,
-        names=["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+        names=[
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            "p_retailprice",
+            "p_cat",
+            "p_type_up",
+            "p_msize",
+            "p_euprice",
+        ],
         header=0,
         dtype={
             "p_partkey": "int64",
@@ -59,7 +108,13 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type": "string",
             "p_size": "int32",
             "p_retailprice": "float64",
+            "p_msize": "int64",
+            "p_euprice": "float64",
         },
+        na_values=["SM CASE", "SM BOX"],
+        thousands=".",
+        decimal=",",
+        converters={"p_type_up": str.lower},
     )
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -68,6 +123,11 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_name").alias("first_name"),
         F.sum("p_size").alias("size_sum"),
         F.round(F.sum("p_retailprice"), 2).alias("price_sum"),
+        F.sum(F.when(F.col("p_cat").isNull(), 1).otherwise(0)).alias("n_na_cats"),
+        F.sum(F.when(F.col("p_cat").isNotNull(), 1).otherwise(0)).alias("n_cats"),
+        F.sum("p_msize").alias("msize_sum"),
+        F.round(F.sum("p_euprice"), 2).alias("eu_price_sum"),
+        F.countDistinct("p_type_up").alias("n_type_lower"),
     )
 
 

@@ -16,10 +16,14 @@ silently diverging.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+import re
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+_NUMERIC_DTYPES = {"int8", "int16", "int32", "int64", "float32", "float64"}
+_FLOAT_DTYPES = {"float32", "float64"}
 
 #: pandas kwarg → Spark CSV option, when the mapping is 1:1.
 _DIRECT_OPTIONS = {
@@ -71,6 +75,9 @@ def read_csv(
     npartitions: int | None = None,
     sample_infer: bool = True,
     multiline: bool = False,
+    thousands: str | None = None,
+    decimal: str = ".",
+    converters: dict[str, Callable] | None = None,
     **extra_options: str,
 ) -> DataFrame:
     """Load a CSV with pandas-flavored options into a Spark DataFrame.
@@ -79,6 +86,15 @@ def read_csv(
     *minimum* split hint; by default Spark sizes partitions by bytes
     (``spark.sql.files.maxPartitionBytes``), which is the correct policy at
     100 TB — a fixed small npartitions would serialize the scan.
+
+    pandas-parity tail (reference forwards these at ``io.py:13-74``):
+    multi-token ``na_values`` (first token via the reader, the rest nulled
+    post-read), ``thousands``/``decimal`` separators (stripped via
+    regexp_replace before the numeric cast — affected columns read as raw
+    strings), and ``converters`` (one Arrow-batched mapInPandas pass over
+    raw tokens; results re-stringified, combine with ``dtype`` to type
+    them). ``skiprows`` still raises: a parallel scan has no stable row
+    order to skip from.
     """
     reader = spark.read
     opts: dict[str, str] = {
@@ -110,23 +126,44 @@ def read_csv(
     if na_values:
         if isinstance(na_values, str):
             na_values = [na_values]
-        opts["nullValue"] = na_values[0]  # Spark supports a single nullValue token
+        # Spark's reader takes ONE nullValue token; the remaining tokens
+        # are mapped to null post-read on string-typed columns below.
+        opts["nullValue"] = na_values[0]
     opts.update(extra_options)
 
     schema: T.StructType | None = None
+    deferred: set[str] = set()  # columns read as string for post-processing
     if names is not None and dtype is not None:
         fields = []
         for n in names:
-            dt = _PANDAS_TO_SPARK_DTYPE.get(str(dtype.get(n, "string")).lower(), T.StringType())
+            dname = str(dtype.get(n, "string")).lower()
+            dt = _PANDAS_TO_SPARK_DTYPE.get(dname, T.StringType())
             if parse_dates and n in parse_dates:
                 dt = T.TimestampType()
+            if converters and n in converters:
+                # pandas: a converter sees the RAW string token (overrides
+                # dtype for that column); cast happens after it runs
+                dt = T.StringType()
+                deferred.add(n)
+            elif dname in _NUMERIC_DTYPES and (
+                thousands is not None or (decimal != "." and dname in _FLOAT_DTYPES)
+            ):
+                # separator-laden numerics ("1,234.5" / "1.234,5") parse as
+                # null under a typed reader schema; read the raw token and
+                # strip/cast post-read instead
+                dt = T.StringType()
+                deferred.add(n)
             fields.append(T.StructField(n, dt, True))
         schema = T.StructType(fields)
 
     if schema is not None:
         reader = reader.schema(schema)
     else:
-        opts["inferSchema"] = str(sample_infer).lower()
+        # separators and converters need the RAW string tokens: schema
+        # inference would pre-parse "1.234" as the double 1.234 and lose
+        # the text the post-read strip/converter operates on
+        raw_needed = bool(converters) or thousands is not None or decimal != "."
+        opts["inferSchema"] = str(sample_infer and not raw_needed).lower()
 
     df = reader.options(**opts).csv(filepath)
 
@@ -134,6 +171,41 @@ def read_csv(
         if len(names) != len(df.columns):
             raise ValueError(f"names has {len(names)} entries but CSV has {len(df.columns)} columns")
         df = df.toDF(*names)
+    if converters:
+        # pandas converters: arbitrary Python callables over raw string
+        # tokens. This is the one genuinely Python-bound option, so it runs
+        # as ONE Arrow-batched mapInPandas pass (never row-at-a-time);
+        # results are re-stringified so the batch schema stays stable —
+        # combine with dtype={col: ...} for a typed result column.
+        import pandas as pd  # noqa: F401
+
+        conv = dict(converters)
+        out_schema = T.StructType(
+            [
+                T.StructField(f.name, T.StringType(), True) if f.name in conv else f
+                for f in df.schema.fields
+            ]
+        )
+
+        def _apply_converters(batches):
+            for pdf in batches:
+                for c, fn in conv.items():
+                    pdf[c] = pdf[c].map(lambda v: None if v is None else str(fn(v)))
+                yield pdf
+
+        df = df.mapInPandas(_apply_converters, out_schema)
+    if na_values and len(na_values) > 1:
+        # remaining na tokens (reader handled na_values[0]): null them out
+        # on every string-typed column before any cast sees them
+        from pyspark.sql import functions as F
+
+        rest = [str(v) for v in na_values]
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StringType):
+                df = df.withColumn(
+                    f.name,
+                    F.when(F.col(f.name).isin(rest), F.lit(None)).otherwise(F.col(f.name)),
+                )
     if true_values or false_values:
         # pandas true_values/false_values: map the tokens to canonical
         # 'true'/'false' strings BEFORE any dtype cast, so a subsequent
@@ -151,12 +223,22 @@ def read_csv(
                     .when(df[f.name].isin(fv), F.lit("false"))
                     .otherwise(df[f.name]),
                 )
-    if dtype is not None and schema is None:
+    if dtype is not None:
+        from pyspark.sql import functions as F
+
         for c, dt in dtype.items():
-            spark_dt = _PANDAS_TO_SPARK_DTYPE.get(str(dt).lower())
+            dname = str(dt).lower()
+            spark_dt = _PANDAS_TO_SPARK_DTYPE.get(dname)
             if spark_dt is None:
                 raise ValueError(f"unsupported dtype for column {c}: {dt}")
-            df = df.withColumn(c, df[c].cast(spark_dt))
+            if schema is not None and c not in deferred:
+                continue  # already typed by the reader schema
+            expr = df[c]
+            if dname in _NUMERIC_DTYPES and thousands is not None:
+                expr = F.regexp_replace(expr.cast("string"), re.escape(thousands), "")
+            if dname in _FLOAT_DTYPES and decimal != ".":
+                expr = F.regexp_replace(expr.cast("string"), re.escape(decimal), ".")
+            df = df.withColumn(c, expr.cast(spark_dt))
     if parse_dates and schema is None:
         for c in parse_dates:
             df = df.withColumn(c, df[c].cast("timestamp"))

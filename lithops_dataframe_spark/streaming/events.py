@@ -258,63 +258,3 @@ def daily_type_revenue(events: DataFrame) -> DataFrame:
     )
 
 
-def user_running_totals_tws(events: DataFrame) -> DataFrame:
-    """Per-user running totals via ``transformWithStateInPandas`` — the
-    Spark 4 arbitrary-stateful API (StatefulProcessor + typed ValueState)
-    that supersedes ``applyInPandasWithState`` (kept above as the classic
-    twin). State is one (n, sum) pair per user in the state store; emits
-    one row per user per micro-batch, so batch equivalence is the same
-    max-per-user reduction the classic test applies.
-
-    Env note: the TWS state-server protocol requires ``google.protobuf``
-    at runtime (absent in this container — the equivalence test skips
-    there); the operator builds and plans regardless, and
-    ``user_running_totals`` is the driver-gated stateful path.
-    """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("n_events", LongType()),
-            StructField("sum_value", DoubleType()),
-        ]
-    )
-    state_schema = StructType(
-        [StructField("n", LongType()), StructField("s", DoubleType())]
-    )
-
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", state_schema)
-
-        def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
-
-            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
-            for pdf in rows:
-                n += len(pdf)
-                s += float(pdf["value"].sum())
-            self._totals.update((n, s))
-            yield pd.DataFrame(
-                {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
-            )
-
-        def close(self) -> None:
-            pass
-
-    return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=RunningTotals(),
-        outputStructType=out_schema,
-        outputMode="Update",
-        timeMode="None",
-    )

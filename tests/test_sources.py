@@ -175,3 +175,62 @@ def test_write_json_roundtrip(spark, tmp_path):
     write(src, out, fmt="json")
     back = read_json(spark, out).select("r_regionkey", "r_name")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_read_csv_multi_na_values(spark, tmp_path):
+    p = tmp_path / "na.csv"
+    p.write_text("c1,c2\nNA,1\nn/a,2\n-,3\nok,4\n")
+    df = read_csv(spark, str(p), na_values=["NA", "n/a", "-"])
+    rows = {r["c2"]: r["c1"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: None, 4: "ok"}
+
+
+def test_read_csv_thousands_decimal(spark, tmp_path):
+    p = tmp_path / "eu.csv"
+    p.write_text('n,price\n"1.234","1.234,56"\n"12","7,5"\n')
+    df = read_csv(
+        spark,
+        str(p),
+        dtype={"n": "int64", "price": "float64"},
+        thousands=".",
+        decimal=",",
+    )
+    got = sorted(map(tuple, df.select("n", "price").collect()))
+    assert got == [(12, 7.5), (1234, 1234.56)]
+
+
+def test_read_csv_thousands_decimal_with_names_schema(spark, tmp_path):
+    """names + dtype normally produce a typed reader schema; separator
+    columns must still defer to post-read string parsing."""
+    p = tmp_path / "eu2.csv"
+    p.write_text('"1.000","2,5",x\n"2.000","3,5",y\n')
+    df = read_csv(
+        spark,
+        str(p),
+        header=None,
+        names=["n", "price", "tag"],
+        dtype={"n": "int64", "price": "float64", "tag": "string"},
+        thousands=".",
+        decimal=",",
+    )
+    got = sorted(map(tuple, df.collect()))
+    assert got == [(1000, 2.5, "x"), (2000, 3.5, "y")]
+
+
+def test_read_csv_converters(spark, tmp_path):
+    p = tmp_path / "conv.csv"
+    p.write_text("name,v\nAlpha,1\nBETA,2\n")
+    df = read_csv(spark, str(p), converters={"name": str.lower}, dtype={"v": "int64"})
+    got = sorted(map(tuple, df.collect()))
+    assert got == [("alpha", 1), ("beta", 2)]
+
+
+def test_read_csv_converter_then_dtype(spark, tmp_path):
+    """converters run on raw tokens; dtype casts their (re-stringified)
+    output — pandas' converters-override-then-cast composition."""
+    p = tmp_path / "conv2.csv"
+    p.write_text("v\n10\n20\n")
+    df = read_csv(
+        spark, str(p), converters={"v": lambda s: int(s) * 3}, dtype={"v": "int64"}
+    )
+    assert sorted(r["v"] for r in df.collect()) == [30, 60]

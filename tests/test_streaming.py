@@ -135,35 +135,6 @@ def test_stateful_running_totals(spark, replay_dir):
     assert got == expected
 
 
-def test_transform_with_state_running_totals(spark, replay_dir):
-    """transformWithStateInPandas twin of test_stateful_running_totals:
-    the Spark 4 StatefulProcessor API must converge to the same final
-    per-user totals as the batch aggregate.
-
-    The TWS state-server protocol needs google.protobuf, which this
-    environment lacks — skip (not fail) there; the operator itself is
-    importable and plan-buildable regardless."""
-    pytest.importorskip("google.protobuf.descriptor")
-    from pyspark.sql import functions as F
-
-    raw = spark.read.parquet(replay_dir)
-    batch_in = normalize_events_ts(raw)
-    expected = _rows(
-        batch_in.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-        )
-    )
-
-    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay_dir, raw.schema))
-    emitted = _run_stream_mode(spark, SE.user_running_totals_tws(stream_in), "update")
-    final = emitted.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
-        F.max_by("sum_value", "n_events").alias("sum_value"),
-    )
-    assert _rows(final, ["user_id", "n_events", "sum_value"]) == expected
-
-
 def test_watermark_finalizes_and_drops_late_data(spark, tmp_path):
     """The watermark state-eviction contract (append mode): once the
     watermark passes a window's end, the window is emitted EXACTLY ONCE
