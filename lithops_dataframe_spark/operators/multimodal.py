@@ -7,13 +7,20 @@ Arrow-batched Pandas UDFs over ``mapInPandas`` — the shape a 100 TB
 image/audio pipeline needs: payloads never transit the driver, each task
 decodes its own Arrow batches, and outputs carry an explicit schema.
 
-Decode stubs: the real decoders (PIL / torchaudio / av) are not available
-in this environment. ``REAL_DECODE`` gates them behind an import-try; the
-fallback is a **deterministic fake decode** derived from ``md5(payload)``
-— clearly marked, stable across engines, and therefore *oracle-checkable*:
-the DuckDB twin SQL (plans/multimodal_q.py) reproduces every fake-decoded
-value from the same bytes, so the whole Arrow/mapInPandas plumbing is
-verified end-to-end by the correctness gate, not just smoke-tested.
+Decoding is a two-tier design:
+
+1. **Real codecs** (functions/codecs.py, pure stdlib/numpy): payloads whose
+   magic identifies a supported container (PNG/BMP/GIF/JPEG/PPM/PGM/WAV)
+   are probed — and for PNG/BMP/PPM/PGM/WAV fully decoded — for real.
+   See plans/codecs_q.py for the oracle-gated queries that prove the
+   decoded values (pixel sums, resampled grids, PCM stats) byte-for-byte.
+2. **Deterministic fake fallback** for unrecognized payloads, derived from
+   ``md5(payload)`` — clearly marked, stable across engines, and therefore
+   *oracle-checkable*: the DuckDB twin SQL (plans/multimodal_q.py)
+   reproduces every fake-decoded value from the same bytes, so the whole
+   Arrow/mapInPandas plumbing is verified end-to-end by the correctness
+   gate even for payload types (e.g. JPEG pixels, video codecs) whose real
+   decoder needs entropy-coding libraries this environment lacks.
 
 Operators:
 - :func:`media_table` — synthesize a media table from `documents`
@@ -40,12 +47,14 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.operators.util import ensure_parallelism
 
-try:  # pragma: no cover - decoder libs absent in this environment
+from lithops_dataframe_spark.functions import codecs
+
+try:  # pragma: no cover - optional richer decoders (JPEG pixels, video)
     import PIL.Image  # noqa: F401
 
-    REAL_DECODE = True
+    HAVE_PIL = True
 except ImportError:
-    REAL_DECODE = False
+    HAVE_PIL = False
 
 #: chars per sampled video frame (fake-decode path).
 FRAME_CHARS = 256
@@ -139,16 +148,25 @@ _DECODE_SCHEMA = (
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode payloads to typed metadata via Arrow-batched ``mapInPandas``.
 
+    Recognized containers (codecs.probe_media magic sniff) yield REAL
+    header metadata; opaque payloads fall back to the deterministic fake.
     image → (width, height, null); audio → (null, null, duration);
-    video → (width, height, duration). Batch-at-a-time, schema-declared —
-    swap ``_fake_dims`` for a real decoder without touching the plan.
+    video → (width, height, duration). Batch-at-a-time, schema-declared.
     """
-    if REAL_DECODE:  # pragma: no cover
-        raise NotImplementedError("real decoders are stubbed out in this environment")
+
+    def _dims(b: bytes) -> tuple[int, int, int]:
+        info = codecs.probe_media(b)
+        if info is None:
+            return _fake_dims(b)
+        return (
+            info["width"] or 0,
+            info["height"] or 0,
+            info["duration_ms"] if info["duration_ms"] is not None else 0,
+        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_dims(bytes(p)) for p in pdf["payload"]]
+            dims = [_dims(bytes(p)) for p in pdf["payload"]]
             mt = pdf["media_type"]
             yield pd.DataFrame(
                 {
@@ -193,12 +211,10 @@ def media_features(media: DataFrame) -> DataFrame:
 def resize_images(media: DataFrame, *, max_side: int = 128) -> DataFrame:
     """'Resize' image rows: halve dimensions until both fit max_side.
 
-    Fake path transforms metadata only (payload untouched) — the real
-    implementation would re-encode bytes in the same mapInPandas pass.
+    Fake path transforms metadata only (payload untouched); the REAL
+    pixel-resampling path for decodable payloads is
+    :func:`resize_decoded_images` (oracle-gated in plans/codecs_q.py).
     """
-    if REAL_DECODE:  # pragma: no cover
-        raise NotImplementedError("real resize is stubbed out in this environment")
-
     schema = "doc_id long, width int, height int, out_width int, out_height int"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -224,11 +240,9 @@ def frame_sample(media: DataFrame) -> DataFrame:
 
     Fake path: consecutive FRAME_CHARS-char slices of the payload text,
     each fingerprinted with md5. A real implementation would emit decoded
-    keyframes; the explosion/batching/schema shape is identical.
+    keyframes (needs a video codec this environment lacks); the
+    explosion/batching/schema shape is identical.
     """
-    if REAL_DECODE:  # pragma: no cover
-        raise NotImplementedError("real frame decode is stubbed out in this environment")
-
     schema = "doc_id long, frame_idx int, frame_chars int, frame_md5 string"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -248,6 +262,234 @@ def frame_sample(media: DataFrame) -> DataFrame:
         media.filter(F.col("media_type") == "video")
         .select("doc_id", "payload")
         .mapInPandas(fn, schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL codec path (functions/codecs.py): payload synthesis + probe/decode
+# ---------------------------------------------------------------------------
+# Deterministic construction formulas, shared verbatim with the DuckDB
+# oracles in plans/codecs_q.py. Everything below is a pure function of
+# doc_id, so the oracle can recompute every decoded value arithmetically
+# while the engine path goes the long way: build real container bytes →
+# parse them back with the real decoder.
+CODEC_FORMATS = ["png", "bmp", "ppm", "gif", "jpeg", "wav"]
+#: decodable-image dims: small enough that the oracle's per-pixel replay
+#: stays cheap at sf0.1 (≤ 20×18 px/doc)
+IMG_W = "8 + doc_id % 13"
+IMG_H = "8 + (doc_id * 7) % 11"
+#: header-only (gif/jpeg) dims: realistic magnitudes, probe never decodes
+HDR_W = "64 + doc_id % 512"
+HDR_H = "64 + (doc_id * 3) % 512"
+#: gradient pixel value at (y, x)
+PIX = "(x * 7 + y * 13 + doc_id) % 251"
+#: WAV: mono PCM-16 at 8 kHz; sample i value and sample count
+WAV_RATE = 8000
+WAV_N = "160 + (doc_id % 50) * 4"
+WAV_S = "(doc_id * 31 + i * 17) % 4096 - 2048"
+
+
+def _codec_pixels(doc_id: int) -> "np.ndarray":
+    import numpy as np
+
+    w = 8 + doc_id % 13
+    h = 8 + (doc_id * 7) % 11
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x * 7 + y * 13 + doc_id) % 251).astype(np.uint8)
+
+
+def _codec_payload(doc_id: int) -> bytes:
+    """Real container bytes for doc_id per the shared formulas."""
+    import numpy as np
+
+    fmt = CODEC_FORMATS[doc_id % 6]
+    if fmt in ("png", "bmp", "ppm"):
+        g = _codec_pixels(doc_id)
+        if fmt == "png":
+            return codecs.encode_png(g)
+        if fmt == "bmp":
+            return codecs.encode_bmp(g)  # gray replicated to RGB
+        return codecs.encode_ppm(g)
+    if fmt == "gif":
+        return codecs.encode_gif_header(64 + doc_id % 512, 64 + (doc_id * 3) % 512)
+    if fmt == "jpeg":
+        return codecs.encode_jpeg_header(64 + doc_id % 512, 64 + (doc_id * 3) % 512)
+    n = 160 + (doc_id % 50) * 4
+    i = np.arange(n, dtype=np.int64)
+    samples = ((doc_id * 31 + i * 17) % 4096 - 2048).astype(np.int16)
+    return codecs.encode_wav(samples, WAV_RATE)
+
+
+def synthesize_codec_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, fmt, payload): one REAL media container per document —
+    format cycles png/bmp/ppm/gif/jpeg/wav by doc_id, content derived from
+    doc_id by the shared formulas. Built executor-side in Arrow batches;
+    payload bytes never transit the driver."""
+    docs = ensure_parallelism(docs)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fmt": [CODEC_FORMATS[d % 6] for d in ids],
+                    "payload": [_codec_payload(d) for d in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(fn, "doc_id long, fmt string, payload binary")
+
+
+def probe_payloads(media: DataFrame) -> DataFrame:
+    """Real header probe over binary payloads (the fast metadata pass every
+    media lake runs before full decode): (doc_id, fmt, width, height,
+    channels, sample_rate, duration_ms). Unrecognized payloads yield a NULL
+    fmt row rather than an error — probe is a total function at 100 TB."""
+    schema = (
+        "doc_id long, fmt string, width int, height int, channels int, "
+        "sample_rate int, duration_ms int"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                info = codecs.probe_media(bytes(p)) or {}
+                rows.append(
+                    (
+                        int(doc_id),
+                        info.get("format"),
+                        info.get("width"),
+                        info.get("height"),
+                        info.get("channels"),
+                        info.get("sample_rate"),
+                        info.get("duration_ms"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "fmt", "width", "height", "channels", "sample_rate", "duration_ms",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(fn, schema)
+
+
+def decoded_pixel_stats(media: DataFrame) -> DataFrame:
+    """FULL image decode (PNG inflate+unfilter / BMP / PPM) → per-image
+    pixel statistics over the grayscale plane: (doc_id, fmt, width, height,
+    px_sum, px_mean). Proves the real decoders end-to-end — a single wrong
+    byte anywhere in inflate/unfilter/stride/channel handling moves px_sum."""
+    schema = "doc_id long, fmt string, width int, height int, px_sum long, px_mean double"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, p in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+                arr = codecs.decode_image(bytes(p))
+                if arr.ndim == 3:  # replicated-gray RGB → exact gray plane
+                    arr = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+                h, w = arr.shape
+                s = int(arr.astype(np.int64).sum())
+                # single IEEE division of exact ints — bit-identical to the
+                # oracle's px_sum::DOUBLE / (w*h); no rounding needed
+                rows.append((int(doc_id), fmt, w, h, s, s / (w * h)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "fmt", "width", "height", "px_sum", "px_mean"]
+            )
+
+    return (
+        media.filter(F.col("fmt").isin("png", "bmp", "ppm"))
+        .select("doc_id", "fmt", "payload")
+        .mapInPandas(fn, schema)
+    )
+
+
+def resize_decoded_images(media: DataFrame, *, grid: int = 8) -> DataFrame:
+    """REAL pixel resampling: decode → nearest-neighbor resize to
+    ``grid×grid`` → emit the resampled mean and corner values. The
+    deterministic index map (out[y,x] = in[y*h//grid, x*w//grid]) keeps the
+    resampled grid exactly SQL-replayable."""
+    schema = (
+        "doc_id long, fmt string, width int, height int, "
+        "r_mean double, r_topleft int, r_bottomright int"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, p in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+                arr = codecs.decode_image(bytes(p))
+                if arr.ndim == 3:
+                    arr = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+                h, w = arr.shape
+                small = codecs.resize_nearest(arr.astype(np.int64), grid, grid)
+                rows.append(
+                    (
+                        int(doc_id),
+                        fmt,
+                        w,
+                        h,
+                        int(small.sum()) / (grid * grid),
+                        int(small[0, 0]),
+                        int(small[grid - 1, grid - 1]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "r_mean", "r_topleft", "r_bottomright"],
+            )
+
+    return (
+        media.filter(F.col("fmt").isin("png", "bmp", "ppm"))
+        .select("doc_id", "fmt", "payload")
+        .mapInPandas(fn, schema)
+    )
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse RIFF chunks, reinterpret PCM-16 frames →
+    (doc_id, sample_rate, n_samples, duration_ms, amp_mean, amp_rms).
+    Integer sums are exact; the single double division/sqrt at the end is
+    IEEE-identical across engines, so the values hash-match the oracle."""
+    schema = (
+        "doc_id long, sample_rate int, n_samples long, duration_ms int, "
+        "amp_mean double, amp_rms double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames, rate = codecs.decode_wav(bytes(p))
+                mono = frames[:, 0].astype("int64")
+                n = len(mono)
+                s, sq = int(mono.sum()), int((mono * mono).sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        n,
+                        n * 1000 // rate,
+                        s / n,
+                        math.sqrt(sq / n),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "duration_ms", "amp_mean", "amp_rms"],
+            )
+
+    return (
+        media.filter(F.col("fmt") == "wav").select("doc_id", "payload").mapInPandas(fn, schema)
     )
 
 

@@ -1,0 +1,152 @@
+"""Real-codec queries — the pure-stdlib media decoders (functions/codecs.py)
+proven end-to-end under the value-hash gate.
+
+Shape of the proof: the engine path builds REAL container bytes (PNG with
+zlib-compressed filtered scanlines, padded bottom-up BMP, binary PPM, GIF /
+JPEG headers, RIFF/PCM-16 WAV) from a pure function of ``doc_id``, then
+parses them back with the real decoders inside Arrow-batched ``mapInPandas``
+tasks. The DuckDB oracle never sees the bytes — it recomputes every decoded
+value (probed dimensions, per-pixel sums through inflate+unfilter, nearest-
+neighbor resampled grids, PCM amplitude stats) arithmetically from the same
+``doc_id`` formulas (operators/multimodal.py CODEC_* constants). Any wrong
+byte in encode OR decode shifts a sum and fails the hash.
+
+Float discipline: the emitted doubles are single IEEE divisions (and one
+sqrt) of exactly-representable integer sums — bit-identical across engines,
+so no rounding is needed on either side.
+
+Scale posture: payload synthesis and decode are narrow per-row Arrow-batch
+work (zero shuffle); stats are per-payload (no aggregation). At 100 TB the
+same operators run over ``binaryFile``-sourced payloads instead of
+synthesized ones — see mm_binaryfile_source for that ingest path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators import multimodal as M
+from lithops_dataframe_spark.plans.registry import register
+
+_FMT = (
+    "CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' "
+    "WHEN 3 THEN 'gif' WHEN 4 THEN 'jpeg' ELSE 'wav' END"
+)
+# dims per the shared formulas (operators/multimodal.py IMG_*/HDR_*)
+_W = f"CASE WHEN doc_id % 6 < 3 THEN {M.IMG_W} WHEN doc_id % 6 < 5 THEN {M.HDR_W} END"
+_H = f"CASE WHEN doc_id % 6 < 3 THEN {M.IMG_H} WHEN doc_id % 6 < 5 THEN {M.HDR_H} END"
+_WAV_N = M.WAV_N
+
+_PROBE_ORACLE = f"""
+    SELECT doc_id,
+           {_FMT} AS fmt,
+           ({_W})::INT AS width,
+           ({_H})::INT AS height,
+           (CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
+                            WHEN 3 THEN 3 WHEN 4 THEN 1 ELSE 1 END)::INT AS channels,
+           (CASE WHEN doc_id % 6 = 5 THEN {M.WAV_RATE} END)::INT AS sample_rate,
+           (CASE WHEN doc_id % 6 = 5 THEN (({_WAV_N}) * 1000) // {M.WAV_RATE} END)::INT
+               AS duration_ms
+    FROM documents
+"""
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.synthesize_codec_payloads(load_table(spark, sf_dir, "documents"))
+
+
+@register("mm_codec_probe", oracle=_PROBE_ORACLE)
+def mm_codec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header probe across all six container formats: PNG IHDR, BMP DIB,
+    GIF logical screen, JPEG SOF marker walk, PPM header, WAV fmt/data
+    chunk walk — dimensions/channels/rate/duration parsed from real bytes."""
+    return M.probe_payloads(_payloads(spark, sf_dir))
+
+
+_PIX_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               {M.IMG_W} AS w, {M.IMG_H} AS h
+        FROM documents WHERE doc_id % 6 < 3
+    ),
+    s AS (
+        SELECT doc_id, fmt, w, h,
+               list_sum(flatten(list_transform(range(h), y ->
+                   list_transform(range(w), x -> {M.PIX})))) AS px_sum
+        FROM d
+    )
+    SELECT doc_id, fmt, w::INT AS width, h::INT AS height,
+           px_sum::BIGINT AS px_sum,
+           px_sum::DOUBLE / (w * h) AS px_mean
+    FROM s
+"""
+
+
+@register("mm_codec_pixel_stats", oracle=_PIX_ORACLE)
+def mm_codec_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL image decode proven by value: PNG payloads go through zlib
+    inflate + scanline unfilter, BMP through stride/padding/BGR/bottom-up
+    handling, PPM through header+raster parse — and the per-pixel sums must
+    equal the oracle's arithmetic replay of the gradient formula."""
+    return M.decoded_pixel_stats(_payloads(spark, sf_dir))
+
+
+_RESIZE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               {M.IMG_W} AS w, {M.IMG_H} AS h
+        FROM documents WHERE doc_id % 6 < 3
+    ),
+    s AS (
+        SELECT doc_id, fmt, w, h,
+               list_sum(flatten(list_transform(range(8), yy ->
+                   list_transform(range(8), xx ->
+                       (((xx * w) // 8) * 7 + ((yy * h) // 8) * 13 + doc_id) % 251)))) AS r_sum
+        FROM d
+    )
+    SELECT doc_id, fmt, w::INT AS width, h::INT AS height,
+           r_sum::DOUBLE / 64 AS r_mean,
+           (doc_id % 251)::INT AS r_topleft,
+           ((((7 * w) // 8) * 7 + ((7 * h) // 8) * 13 + doc_id) % 251)::INT AS r_bottomright
+    FROM s
+"""
+
+
+@register("mm_codec_resize_real", oracle=_RESIZE_ORACLE)
+def mm_codec_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resampling (not the metadata-only fake): decode, nearest-
+    neighbor resize to 8×8 with the deterministic index map, emit resampled
+    mean + corners; the oracle replays the same index arithmetic."""
+    return M.resize_decoded_images(_payloads(spark, sf_dir), grid=8)
+
+
+_WAV_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {_WAV_N} AS n FROM documents WHERE doc_id % 6 = 5
+    ),
+    s AS (
+        SELECT doc_id, n,
+               list_sum(list_transform(range(n), i -> {M.WAV_S})) AS amp_sum,
+               list_sum(list_transform(range(n), i ->
+                   ({M.WAV_S}) * ({M.WAV_S}))) AS amp_sq
+        FROM d
+    )
+    SELECT doc_id,
+           {M.WAV_RATE}::INT AS sample_rate,
+           n::BIGINT AS n_samples,
+           ((n * 1000) // {M.WAV_RATE})::INT AS duration_ms,
+           amp_sum::DOUBLE / n AS amp_mean,
+           sqrt(amp_sq::DOUBLE / n) AS amp_rms
+    FROM s
+"""
+
+
+@register("mm_codec_wav_stats", oracle=_WAV_ORACLE)
+def mm_codec_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: RIFF chunk walk + PCM-16 frame reinterpretation;
+    amplitude mean/RMS over exact integer sums must match the oracle's
+    arithmetic replay of the sample formula."""
+    return M.wav_pcm_stats(_payloads(spark, sf_dir))

@@ -108,6 +108,12 @@ PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",  # most complex never-gated TPC-H shape
     "q18_large_volume_customers",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # round-3 real-codec proofs (pure-stdlib PNG/BMP/PPM/GIF/JPEG/WAV
+    # decoders, plans/codecs_q.py) — newest, so first in the 51+ block
+    "mm_codec_probe",
+    "mm_codec_pixel_stats",
+    "mm_codec_resize_real",
+    "mm_codec_wav_stats",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",

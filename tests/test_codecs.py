@@ -1,0 +1,232 @@
+"""Codec-layer unit tests: every decoder is exercised against bytes built
+by the matching encoder AND against independently hand-constructed payloads
+(so an encoder/decoder bug pair can't cancel out)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from lithops_dataframe_spark.functions import codecs as C
+
+
+def gradient(h: int, w: int, seed: int = 0) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    return ((x * 7 + y * 13 + seed) % 251).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_gray():
+    img = gradient(19, 23, 5)
+    data = C.encode_png(img)
+    info = C.probe_media(data)
+    assert (info["format"], info["width"], info["height"]) == ("png", 23, 19)
+    np.testing.assert_array_equal(C.decode_image(data), img)
+
+
+def test_png_roundtrip_rgb_rgba():
+    rgb = np.dstack([gradient(11, 13, s) for s in (0, 50, 100)])
+    np.testing.assert_array_equal(C.decode_image(C.encode_png(rgb)), rgb)
+    rgba = np.dstack([gradient(7, 9, s) for s in (0, 1, 2, 3)])
+    np.testing.assert_array_equal(C.decode_image(C.encode_png(rgba)), rgba)
+
+
+def _png_with_filters(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Hand-build a grayscale PNG whose row y uses filter ftypes[y] —
+    independent of encode_png, so the unfilter paths are tested for real."""
+    h, w = img.shape
+    lines = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        cur = img[y].astype(np.int32)
+        ft = ftypes[y]
+        enc = np.zeros(w, dtype=np.int32)
+        for x in range(w):
+            a = int(cur[x - 1]) if x >= 1 else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x >= 1 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(cur[x]) - pred) & 0xFF
+        lines += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_unfilter():
+    img = gradient(10, 16, 42)
+    data = _png_with_filters(img, [0, 1, 2, 3, 4, 4, 3, 2, 1, 0])
+    np.testing.assert_array_equal(C.decode_image(data), img)
+
+
+def test_png_palette():
+    # hand-build a 2x3 palette image: PLTE of 4 colors, indices 0..3
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [3, 2, 1]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    scan = b"".join(bytes([0]) + idx[y].tobytes() for y in range(2))
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(C.decode_image(data), palette[idx])
+
+
+# ---------------------------------------------------------------------------
+# BMP / PPM / PGM
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_with_padding():
+    # w=5 → row stride 15 → padded to 16: exercises the 4-byte padding path
+    rgb = np.dstack([gradient(6, 5, s) for s in (1, 2, 3)])
+    data = C.encode_bmp(rgb)
+    info = C.probe_media(data)
+    assert (info["format"], info["width"], info["height"]) == ("bmp", 5, 6)
+    np.testing.assert_array_equal(C.decode_image(data), rgb)
+
+
+def test_bmp_topdown():
+    rgb = np.dstack([gradient(4, 4, s) for s in (0, 9, 18)])
+    # encoder stores rgb[::-1] bottom-up → file rows are in rgb order;
+    # flipping the height sign declares those rows top-down → decodes to rgb
+    data = bytearray(C.encode_bmp(rgb[::-1]))
+    struct.pack_into("<i", data, 22, -4)
+    np.testing.assert_array_equal(C.decode_image(bytes(data)), rgb)
+
+
+def test_pnm_roundtrip_and_comment_header():
+    g = gradient(9, 7, 3)
+    np.testing.assert_array_equal(C.decode_image(C.encode_pgm(g)), g)
+    rgb = np.dstack([g, g, g])
+    np.testing.assert_array_equal(C.decode_image(C.encode_ppm(rgb)), rgb)
+    with_comment = b"P5\n# a comment\n7 9\n255\n" + g.tobytes()
+    np.testing.assert_array_equal(C.decode_image(with_comment), g)
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_mono_stereo():
+    mono = (np.arange(400, dtype=np.int64) * 37 % 4096 - 2048).astype(np.int16)
+    data = C.encode_wav(mono, 8000)
+    info = C.probe_media(data)
+    assert (info["format"], info["sample_rate"], info["channels"]) == ("wav", 8000, 1)
+    assert info["duration_ms"] == 400 * 1000 // 8000
+    frames, rate = C.decode_wav(data)
+    assert rate == 8000
+    np.testing.assert_array_equal(frames[:, 0], mono)
+
+    stereo = np.stack([mono, -mono], axis=1)
+    frames2, _ = C.decode_wav(C.encode_wav(stereo, 44100))
+    np.testing.assert_array_equal(frames2, stereo)
+
+
+def test_wav_odd_chunk_padding():
+    # RIFF chunks are word-aligned: insert an odd-sized LIST chunk before data
+    mono = np.array([1, -2, 3], dtype=np.int16)
+    base = C.encode_wav(mono, 16000)
+    fmt_chunk = base[12 : 12 + 8 + 16]
+    data_chunk = base[12 + 8 + 16 :]
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3-byte body + pad
+    body = fmt_chunk + odd + data_chunk
+    out = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    frames, rate = C.decode_wav(out)
+    np.testing.assert_array_equal(frames[:, 0], mono)
+
+
+# ---------------------------------------------------------------------------
+# probe-only formats + unknowns
+# ---------------------------------------------------------------------------
+
+
+def test_gif_and_jpeg_probe():
+    info = C.probe_media(C.encode_gif_header(321, 99))
+    assert (info["format"], info["width"], info["height"]) == ("gif", 321, 99)
+    info = C.probe_media(C.encode_jpeg_header(640, 480))
+    assert (info["format"], info["width"], info["height"]) == ("jpeg", 640, 480)
+    with pytest.raises(NotImplementedError):
+        C.decode_image(C.encode_gif_header(4, 4))
+
+
+def test_unknown_payloads_probe_none():
+    assert C.probe_media(b"key agg row scan slow fast table") is None
+    assert C.probe_media(b"") is None
+    assert C.probe_media(b"P6 notdigits") is None
+    assert C.probe_media(b"RIFFxxxxAVI ") is None
+    # text that happens to start with "BM" must not sniff as an image
+    assert C.probe_media(b"BM wordy text payload that keeps going on") is None
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+
+def test_resize_nearest_index_map():
+    img = gradient(10, 14, 0)
+    out = C.resize_nearest(img, 4, 5)
+    assert out.shape == (5, 4)
+    for y in range(5):
+        for x in range(4):
+            assert out[y, x] == img[(y * 10) // 5, (x * 14) // 4]
+
+
+def test_ahash_real_pixels_neardup():
+    img = gradient(32, 32, 7)
+    h1 = C.ahash_bits(img)
+    # tiny perturbation → tiny hamming distance; unrelated image → large
+    near = img.copy()
+    near[0, 0] = (int(near[0, 0]) + 3) % 251
+    h2 = C.ahash_bits(near)
+    far = C.ahash_bits(np.random.RandomState(1).randint(0, 255, (32, 32)).astype(np.uint8))
+    ham_near = bin(h1 ^ h2).count("1")
+    ham_far = bin(h1 ^ far).count("1")
+    assert ham_near <= 2
+    assert ham_far > 10
