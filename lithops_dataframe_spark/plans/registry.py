@@ -114,6 +114,10 @@ PRIORITY: tuple[str, ...] = (
     "mm_codec_pixel_stats",
     "mm_codec_resize_real",
     "mm_codec_wav_stats",
+    # round-3 sketch/filter proofs (plans/sketches_q.py)
+    "decontaminate_bloom_prefilter",
+    "sketch_cms_token_freq",
+    "sketch_hll_union_by_type",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",

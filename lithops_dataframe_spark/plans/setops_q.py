@@ -85,7 +85,17 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # sketch-based → no exact oracle (rows-only)
+@register(
+    "agg_approx_count_distinct",
+    # sketch internals differ from DuckDB's → gate by error tolerance
+    # (rsd 0.05 → 3σ = 15%), pinned TRUE by the oracle; exact count
+    # hash-checked alongside. Same pattern as frame_describe_approx.
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey)::BIGINT AS exact_customers,
+           TRUE AS approx_ok
+    FROM orders
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HLL++ sketch: the 100 TB path for cardinality (single pass, fixed
     # memory, mergeable partials) vs the exact shuffle of count(distinct).
@@ -97,6 +107,13 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("o_custkey").alias("approx_customers"),
             F.count_distinct("o_custkey").alias("exact_customers"),
+        )
+        .select(
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers") - F.col("exact_customers"))
+                <= F.lit(0.15) * F.col("exact_customers")
+            ).alias("approx_ok"),
         )
     )
 

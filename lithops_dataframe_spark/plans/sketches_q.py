@@ -1,0 +1,184 @@
+"""Sketch & probabilistic-filter queries (operators/sketches.py).
+
+Verification regimes (see the operator module docstring):
+- Bloom / CMS are md5-deterministic → FULL value-hash oracles (DuckDB
+  replays every set bit / counter cell).
+- HLL (Spark Datasketches) → tolerance-predicate gate: the query emits
+  ok-booleans the oracle pins TRUE, alongside the exact values — an
+  out-of-tolerance sketch fails the hash, matching the
+  frame_describe_approx pattern (plans/describe_q.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.operators import sketches as SK
+from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+_BLOOM_M = 1 << 20
+_BLOOM_K = 5
+_EVAL_MOD = 97  # same eval split as decontaminate_ngram_overlap
+
+_SH3 = H.word_shingles_sql("text", 3)
+
+_BLOOM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_SH3} AS sh FROM documents),
+    ev AS (
+        SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    tr AS (
+        SELECT doc_id, unnest(sh) AS s FROM t WHERE doc_id % {_EVAL_MOD} != 0
+    )
+    SELECT tr.doc_id, COUNT(*) AS n_hits
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+"""
+
+
+@register("decontaminate_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter: build an m=2^20,
+    k=5 Bloom filter over the eval set's trigram shingles, probe every
+    training shingle against it (broadcast of ≤ m/32 filter words — an
+    O(bits) prefilter instead of an O(|eval|) shuffle join), then exact-
+    verify only the bloom-positive candidates. Bloom filters have no false
+    negatives, so prefilter + verify ≡ the exact join the oracle runs —
+    the hash gate proves the whole composition.
+
+    At 100 TB the eval/benchmark side is fixed and the filter is built
+    once; every training scan probes it as a broadcast local filter,
+    dropping ~all non-contaminated shingles before any shuffle."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = sh.filter(is_eval).select(F.explode("sh").alias("s")).distinct()
+    bloom = SK.bloom_build(ev, "s", m_bits=_BLOOM_M, k=_BLOOM_K)
+    train = sh.filter(~is_eval).select("doc_id", F.explode("sh").alias("s"))
+    cand = SK.bloom_probe_hits(
+        train, "s", bloom, m_bits=_BLOOM_M, k=_BLOOM_K, keep=["doc_id"]
+    )
+    # exact verify on the slim 60-bit hash key (candidates only)
+    ev_h = ev.select(H.token_hash60(F.col("s")).alias("hs"))
+    cand_h = cand.select("doc_id", H.token_hash60(F.col("s")).alias("hs"))
+    return cand_h.join(ev_h, "hs").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch token frequencies
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 2048
+_CMS_TOPK = 15
+
+# DuckDB replay of the whole sketch: same cells, same min-of-rows estimate.
+_CMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cms AS (
+        SELECT j.j AS r,
+               (('0x' || substr(md5(token || '@' || j.j::VARCHAR), 1, 15))::BIGINT
+                   % {_CMS_W}) AS c,
+               COUNT(*) AS cnt
+        FROM tok, (SELECT unnest(range({_CMS_D})) AS j) j
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT token, COUNT(*) AS exact_cnt
+        FROM tok GROUP BY token
+        ORDER BY exact_cnt DESC, token
+        LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+        SELECT top.token, top.exact_cnt, j.j AS r,
+               (('0x' || substr(md5(top.token || '@' || j.j::VARCHAR), 1, 15))::BIGINT
+                   % {_CMS_W}) AS c
+        FROM top, (SELECT unnest(range({_CMS_D})) AS j) j
+    )
+    SELECT probes.token,
+           probes.exact_cnt::BIGINT AS exact_cnt,
+           MIN(COALESCE(cms.cnt, 0))::BIGINT AS cms_est,
+           (MIN(COALESCE(cms.cnt, 0)) >= probes.exact_cnt) AS overcount_ok
+    FROM probes LEFT JOIN cms ON cms.r = probes.r AND cms.c = probes.c
+    GROUP BY probes.token, probes.exact_cnt
+"""
+
+
+@register("sketch_cms_token_freq", oracle=_CMS_ORACLE)
+def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequency estimation with a from-scratch Count-Min
+    sketch (depth 4 × width 2048 — fixed-size mergeable state): build the
+    sketch over the full token stream with one explode+groupBy, estimate
+    the top-15 exact heavy hitters through it, and emit est alongside
+    exact. md5 hashing makes every counter cell identical in DuckDB, so
+    the estimates themselves are hash-checked (plus the est ≥ exact CMS
+    invariant as an explicit boolean)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cms = SK.cms_build(tok, "token", depth=_CMS_D, width=_CMS_W)
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(_CMS_TOPK)
+    )
+    est = SK.cms_estimate(top.select("token"), "token", cms, depth=_CMS_D, width=_CMS_W)
+    return top.join(est, "token").select(
+        "token",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("overcount_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch union (Datasketches) — tolerance gate
+# ---------------------------------------------------------------------------
+_HLL_ORACLE = """
+    SELECT event_type AS scope,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS est_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', COUNT(DISTINCT user_id)::BIGINT, TRUE FROM events
+"""
+
+
+@register("sketch_hll_union_by_type", oracle=_HLL_ORACLE)
+def sketch_hll_union_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-cardinality path: one Datasketches HLL sketch per
+    event_type (hll_sketch_agg), global cardinality from the UNION of the
+    partial sketches (hll_union_agg) — never re-scanning the raw data.
+    This is how 100 TB distinct-counts roll up (per-partition/per-day
+    sketches merged upward). Gate: each estimate must sit within 8% + 5 of
+    the exact distinct count (default lgConfigK=12 → σ≈1.6%, so 5σ);
+    the oracle pins est_ok TRUE and hash-checks the exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= F.greatest(F.lit(5.0), F.lit(0.08) * exact)
+    )
+    t_rows = types.select(
+        F.col("event_type").alias("scope"),
+        "exact_users",
+        tol(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias("est_ok"),
+    )
+    merged = types.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    g = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    all_row = g.crossJoin(merged).select(
+        F.lit("__all__").alias("scope"),
+        "exact_users",
+        tol(F.col("est"), F.col("exact_users")).alias("est_ok"),
+    )
+    return t_rows.unionAll(all_row)

@@ -1,0 +1,59 @@
+"""Bloom filter / CMS operator invariants beyond the oracle gates:
+no false negatives, bounded false positives, CMS never undercounts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.operators import sketches as SK
+
+_M = 1 << 16
+_K = 5
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    members = [f"member-{i}" for i in range(500)]
+    others = [f"other-{i}" for i in range(2000)]
+    mdf = spark.createDataFrame([(v,) for v in members], "s string")
+    bloom = SK.bloom_build(mdf, "s", m_bits=_M, k=_K)
+
+    probes = spark.createDataFrame([(v,) for v in members + others], "s string")
+    hits = {
+        r.s
+        for r in SK.bloom_probe_hits(
+            probes, "s", bloom, m_bits=_M, k=_K, keep=[]
+        ).collect()
+    }
+    # every member must hit (no false negatives — the property the
+    # prefilter+verify composition relies on for exactness)
+    assert set(members) <= hits
+    # FP rate at n=500, m=2^16, k=5 ≈ 0.0001 — allow generous slack
+    fp = len(hits - set(members))
+    assert fp <= 20, f"false-positive count {fp} implausibly high"
+
+
+def test_cms_overcounts_never_undercounts(spark):
+    rows = [(f"tok{i % 7}",) for i in range(700)] + [("rare",)]
+    items = spark.createDataFrame(rows, "token string")
+    cms = SK.cms_build(items, "token", depth=4, width=64)  # tiny → collisions
+    qs = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(7)] + [("rare",), ("absent",)], "token string"
+    )
+    est = {r.token: r.cms_est for r in SK.cms_estimate(qs, "token", cms, depth=4, width=64).collect()}
+    exact = {f"tok{i}": 100 for i in range(7)}
+    exact["rare"] = 1
+    exact["absent"] = 0
+    for t, e in exact.items():
+        assert est[t] >= e, f"{t}: CMS undercounted {est[t]} < {e}"
+    # total cells bounded by depth*width regardless of input size
+    assert cms.count() <= 4 * 64
+
+
+def test_cms_exact_when_width_large(spark):
+    # with width >> distinct values, collisions vanish → est == exact
+    rows = [(f"w{i % 5}",) for i in range(50)]
+    items = spark.createDataFrame(rows, "token string")
+    cms = SK.cms_build(items, "token", depth=4, width=4096)
+    qs = items.distinct()
+    est = {r.token: r.cms_est for r in SK.cms_estimate(qs, "token", cms, depth=4, width=4096).collect()}
+    assert est == {f"w{i}": 10 for i in range(5)}
