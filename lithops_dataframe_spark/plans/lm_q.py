@@ -1,0 +1,322 @@
+"""Statistical-LM / tokenizer-training / privacy / behavioral analytics —
+the remaining operators a large-scale training-data pipeline runs that the
+repo didn't yet cover as first-class queries:
+
+- ``text_bigram_lm_quality``: score every document under a bigram language
+  model *trained on the corpus itself* (add-one smoothing) — the classic
+  perplexity-style quality filter (KenLM-shaped, scaled down to bigrams).
+- ``bpe_top_pairs``: the hot loop of BPE tokenizer training — corpus-wide
+  adjacent-symbol-pair counting (one merge step's candidate table).
+- ``text_pii_redaction``: regex PII scrubbing (emails / phone numbers)
+  with planted deterministic PII so the gate covers real matches.
+- ``events_retention_cohorts``: first-activity cohort × week-offset
+  retention matrix.
+- ``events_sessionize_gap``: batch sessionization (30-min inactivity gap)
+  via lag + running flag-sum — the batch twin of the streaming
+  session-window query (plans/streaming_q.py).
+
+Scale notes per query in the docstrings. All five carry full value-hash
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# bigram LM quality scoring
+# ---------------------------------------------------------------------------
+_BIGRAM_ORACLE = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        FROM tok WHERE len(w) >= 2
+    ),
+    c2 AS (SELECT g, COUNT(*) AS c2 FROM bg GROUP BY g),
+    uni AS (SELECT unnest(w) AS t FROM tok),
+    c1 AS (SELECT t, COUNT(*) AS c1 FROM uni GROUP BY t),
+    v AS (SELECT COUNT(DISTINCT t) AS v FROM uni),
+    scored AS (
+        SELECT bg.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS lp
+        FROM bg
+        JOIN c2 USING (g)
+        JOIN c1 ON c1.t = string_split(bg.g, ' ')[1]
+        CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams, ROUND(AVG(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("text_bigram_lm_quality", oracle=_BIGRAM_ORACLE)
+def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: train bigram/unigram counts over
+    the corpus (two hash aggregates), then score each document's average
+    log P(w_i | w_{i-1}) with add-one smoothing.
+
+    Scale shape: the LM *is* corpus-sized, so scoring is an equi-join of
+    doc-bigram postings against the bigram count table on the bigram key —
+    shuffle carries (doc_id, bigram) pairs, never text. Vocabulary size
+    rides as a one-row broadcast frame (no driver scalar, same pattern as
+    text_hashed_tfidf). In production the trained counts are written once
+    and reused; here train+score run in one plan so the oracle can replay
+    both."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    tok = docs.select("doc_id", w.alias("w"))
+    bg = tok.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))")
+        ).alias("g"),
+    )
+    c2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    uni = tok.select(F.explode("w").alias("t"))
+    c1 = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    v = uni.agg(F.count_distinct("t").alias("v"))
+    scored = (
+        bg.join(c2, "g")
+        .withColumn("t", F.split("g", " ")[0])
+        .join(c1, "t")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.round(F.avg("lp"), 4).alias("avg_logprob")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (one tokenizer-training merge step)
+# ---------------------------------------------------------------------------
+_BPE_TOPK = 20
+
+_BPE_ORACLE = f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS n FROM words WHERE len(w) >= 2 GROUP BY w),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i::INT, 2))) AS pair,
+               n
+        FROM wc
+    ),
+    agg AS (SELECT pair, SUM(n)::BIGINT AS cnt FROM pairs GROUP BY pair),
+    ranked AS (
+        SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rank
+        FROM agg
+    )
+    SELECT pair, cnt, rank::INT AS rank FROM ranked WHERE rank <= {_BPE_TOPK}
+"""
+
+
+@register("bpe_top_pairs", oracle=_BPE_ORACLE)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step at corpus scale: count adjacent
+    character pairs weighted by word frequency, rank the merge candidates.
+
+    Scale shape: pair generation runs over the *distinct-word* table (the
+    standard BPE trick — corpus scale collapses to vocabulary scale before
+    any explosion), so the explode emits len(w)-1 two-char slices per
+    vocab entry, then one hash aggregate + a TopK (rank ≤ 20 via
+    row_number over a single ordered partition of the already-aggregated
+    pair table — small by construction). Iterating merges re-runs this
+    plan on re-segmented symbols; the candidate table shape is identical."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n").alias("cnt"))
+    ranked = agg.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("pair"))).cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= _BPE_TOPK).select("pair", "cnt", "rank")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+# engine-portable regexes (identical semantics in Java regex and RE2)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+# planted deterministic PII (the fixture corpus is a clean word salad, so
+# without planting, the regexes would never fire and the gate would be
+# vacuous — same lesson as mm_phash_neardup in round 2)
+_AUG_SQL = """
+    (text
+     || CASE WHEN doc_id % 7 = 0
+             THEN ' contact user' || doc_id::VARCHAR || '@example.com now' ELSE '' END
+     || CASE WHEN doc_id % 11 = 0
+             THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' today'
+             ELSE '' END)
+"""
+
+_PII_ORACLE = f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents),
+    red AS (
+        SELECT doc_id, t,
+               len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM aug
+    )
+    SELECT doc_id, n_emails::INT AS n_emails, n_phones::INT AS n_phones,
+           length(clean)::INT AS clean_len, md5(clean) AS clean_md5
+    FROM red
+"""
+
+
+@register("text_pii_redaction", oracle=_PII_ORACLE)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact emails / phone numbers with
+    engine-portable regexes; redacted text proven by md5, not just length.
+    Pure per-row JVM expressions (regexp_count / regexp_replace) — zero
+    shuffle, whole-stage codegen, linear at any scale."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                    F.lit(" today"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).cast("int").alias("n_phones"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+_RETENTION_ORACLE = """
+    WITH act AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+    SELECT c.cohort_day,
+           (date_diff('day', c.cohort_day, a.day) // 7)::INT AS week_offset,
+           COUNT(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+"""
+
+
+@register("events_retention_cohorts", oracle=_RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted per week offset. One shuffle on user_id computes cohorts
+    (window MIN avoids a re-aggregate+rejoin), then one hash aggregate on
+    (cohort_day, week_offset)."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    act = act.withColumn("cohort_day", F.min("day").over(Window.partitionBy("user_id")))
+    return act.groupBy(
+        "cohort_day",
+        (F.floor(F.datediff("day", "cohort_day") / 7)).cast("int").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (30-min gap)
+# ---------------------------------------------------------------------------
+_SESSIONIZE_ORACLE = """
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM o
+    )
+    SELECT user_id, session_idx::INT AS session_idx,
+           COUNT(*)::BIGINT AS n_events,
+           MIN(ts) AS start_ts,
+           date_diff('second', MIN(ts), MAX(ts))::BIGINT AS dur_seconds
+    FROM s GROUP BY user_id, session_idx
+"""
+
+
+@register("events_sessionize_gap", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization, the offline twin of stream_session_windows:
+    lag-gap flags session starts, a running sum assigns session indexes,
+    one aggregate emits per-session stats. Single shuffle on user_id; both
+    windows and the final groupBy share that partitioning, so Exchange is
+    planned once (ties broken by event_id for determinism)."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ → epoch micros via an LTZ cast (session pins UTC)
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    # DuckDB's date_diff('second', a, b) counts SECOND BOUNDARIES crossed
+    # (floor(epoch b) - floor(epoch a)), not the truncated microsecond
+    # difference — floor per row first, then diff of aggregates (floor is
+    # monotone, so max/min commute with it)
+    sess = sess.withColumn("es", F.floor(F.col("us") / 1_000_000).cast("long"))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        (F.max("es") - F.min("es")).alias("dur_seconds"),
+    )

@@ -118,6 +118,12 @@ PRIORITY: tuple[str, ...] = (
     "decontaminate_bloom_prefilter",
     "sketch_cms_token_freq",
     "sketch_hll_union_by_type",
+    # round-3 LM/privacy/behavioral proofs (plans/lm_q.py)
+    "text_bigram_lm_quality",
+    "bpe_top_pairs",
+    "text_pii_redaction",
+    "events_retention_cohorts",
+    "events_sessionize_gap",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
