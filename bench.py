@@ -62,6 +62,22 @@ LLM_PIPELINE = [
 
 HEADLINE = TPCH + LLM_PIPELINE
 
+# Round-3 additions: timed and reported under their own keys so the
+# headline total/value stays composition-stable across rounds (the
+# baseline ratio would otherwise inflate just by adding coverage).
+R3_ADDITIONS = [
+    "mm_codec_probe",
+    "mm_codec_pixel_stats",
+    "decontaminate_bloom_prefilter",
+    "sketch_cms_token_freq",
+    "sketch_hll_union_by_type",
+    "text_bigram_lm_quality",
+    "bpe_top_pairs",
+    "text_pii_redaction",
+    "events_retention_cohorts",
+    "events_sessionize_gap",
+]
+
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent
 # log10(t_10x / t_base) flags any family whose runtime grows faster than
@@ -77,6 +93,12 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "streaming": ["stream_session_windows"],
     "ann": ["sim_cosine_topk_lsh"],
     "narrow": ["emb_int8_quantize"],
+    # round-3 families: bloom build+probe (distinct eval set is constant
+    # across copies, postings scale linearly), corpus-join LM scoring,
+    # and windowed sessionization (10x users, same per-user depth)
+    "sketch_filter": ["decontaminate_bloom_prefilter"],
+    "lm": ["text_bigram_lm_quality"],
+    "behavioral": ["events_sessionize_gap"],
 }
 SCALE_EXP_FLAG = 1.15
 SCALE_COPIES = 10
@@ -157,11 +179,11 @@ def main() -> None:
     # are reused — only code paths are warmed.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in HEADLINE:
+        for wname in HEADLINE + R3_ADDITIONS:
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 
-    names = [n for n in HEADLINE if n in QUERIES]
+    names = [n for n in HEADLINE + R3_ADDITIONS if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]
     # Best-of-2 per query, as two INTERLEAVED full passes: steady-state
     # engine throughput is the metric, and a single timing is exposed to
@@ -179,7 +201,11 @@ def main() -> None:
             took = time.perf_counter() - start
             timings[name] = round(min(timings.get(name, float("inf")), took), 4)
 
-    total = round(sum(timings.values()), 4)
+    # headline value/queries keep the round-1/2 composition; round-3
+    # additions report under their own keys
+    head = {n: t for n, t in timings.items() if n in set(HEADLINE)}
+    r3 = {n: t for n, t in timings.items() if n in set(R3_ADDITIONS)}
+    total = round(sum(head.values()), 4)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -190,6 +216,7 @@ def main() -> None:
         "llm_pipeline_total": round(
             sum(timings.get(n, 0.0) for n in LLM_PIPELINE), 4
         ),
+        "r3_additions_total": round(sum(r3.values()), 4),
     }
     if not os.environ.get("LDS_BENCH_NO_SCALE"):
         out["scale_curve"] = scale_curve(spark, sf_dir, timings)

@@ -1,0 +1,77 @@
+"""Python Data Source API queries (sources/pyds.py) — the custom-connector
+extension point proven under the value-hash gate."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators import multimodal as M
+from lithops_dataframe_spark.plans.registry import register
+from lithops_dataframe_spark.sources.pyds import register_sources
+
+_N_DOCS = 5000
+_N_PARTS = 16
+
+_SYNTH_ORACLE = f"""
+    WITH d AS (SELECT unnest(range({_N_DOCS})) AS doc_id)
+    SELECT 'cat' || (doc_id % 7)::VARCHAR AS category,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM((doc_id * 37 % 1000) / 1000.0), 4) AS score_sum,
+           MIN(md5(doc_id::VARCHAR)) AS min_fp
+    FROM d GROUP BY 1
+"""
+
+
+@register("pyds_synthetic_source", oracle=_SYNTH_ORACLE)
+def pyds_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch source via the Python Data Source API: the planner
+    enumerates cheap id-range InputPartitions driver-side; each task
+    materializes only its slice executor-side (the contract a paginated
+    API / sharded-store connector uses). The aggregate downstream is a
+    plain hash aggregate — the source feeds Catalyst like any native
+    scan. Deterministic row content ⇒ full value-hash oracle."""
+    register_sources(spark)
+    docs = (
+        spark.read.format("lds_docs")
+        .option("n", _N_DOCS)
+        .option("n_parts", _N_PARTS)
+        .load()
+    )
+    return docs.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("score"), 4).alias("score_sum"),
+        F.min("fingerprint").alias("min_fp"),
+    )
+
+
+_BINDIR_ORACLE = """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < 200
+"""
+
+
+@register("pyds_bindir_source", oracle=_BINDIR_ORACLE)
+def pyds_bindir_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-lake connector via the Python Data Source API: payloads are
+    written executor-side as one <id>.bin object each (media-lake layout),
+    then read back through the from-scratch ``lds_bindir`` format — one
+    partition per file group, md5 integrity proven against the source
+    text. The Python-DataSource twin of mm_binaryfile_source."""
+    register_sources(spark)
+    media = M.media_table(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    out = tempfile.mkdtemp(prefix="lds_pyds_bin_")
+    M.write_payload_files(media, out)
+    return (
+        spark.read.format("lds_bindir")
+        .option("path", out)
+        .option("n_parts", 8)
+        .load()
+    )

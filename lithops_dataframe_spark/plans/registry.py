@@ -124,6 +124,11 @@ PRIORITY: tuple[str, ...] = (
     "text_pii_redaction",
     "events_retention_cohorts",
     "events_sessionize_gap",
+    # round-3 Python Data Source API connectors (plans/pyds_q.py)
+    "pyds_synthetic_source",
+    "pyds_bindir_source",
+    # round-3 Spark 4 VARIANT semi-structured path
+    "scalar_variant_props",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",

@@ -127,6 +127,32 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, 'k') AS INT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_missing_null
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: parse_json → open
+    variant binary, variant_get with a typed path for extraction,
+    try_variant_get returning NULL (not an error) for absent paths —
+    the shredding-friendly encoding that replaces per-row JSON string
+    re-parsing at scale. Numbers must match the JSON-string oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.withColumn("v", F.parse_json("props"))
+    # try_variant_get on a missing path must be NULL for every row (never
+    # an error) → counting those nulls reproduces COUNT(*)
+    missing = F.try_variant_get(F.col("v"), "$.absent", "int")
+    return v.groupBy("event_type").agg(
+        F.sum(F.variant_get(F.col("v"), "$.k", "int")).alias("sum_k"),
+        F.count(F.when(missing.isNull(), 1)).alias("n_missing_null"),
+    )
+
+
+@register(
     "scalar_map_funcs",
     oracle="""
     WITH m AS (

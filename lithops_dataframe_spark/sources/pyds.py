@@ -1,0 +1,130 @@
+"""Custom connector via Spark 4's Python Data Source API (SURVEY §2.1
+"sources" extension point).
+
+The reference's only connector is ``read_csv`` over object storage
+(reference dataframe/io.py:13-88, byte-range chunks of one CSV). Spark's
+native sources cover files; for everything else (REST endpoints, internal
+services, bespoke stores) Spark 4 exposes ``pyspark.sql.datasource`` —
+register a ``DataSource`` and the engine handles partition planning,
+task scheduling, and Arrow transport.
+
+Two sources here:
+
+- :class:`SyntheticDocsDataSource` (format ``lds_docs``): deterministic
+  document corpus generated executor-side. Each ``InputPartition`` owns a
+  contiguous id range (the 100 TB shape: the *planner* enumerates cheap
+  partition descriptors driver-side; each task materializes only its own
+  slice — identical contract to a paginated API or a sharded store).
+- :class:`BinDirDataSource` (format ``lds_bindir``): reads a directory of
+  ``<id>.bin`` payload objects (the media-lake layout written by
+  operators/multimodal.py::write_payload_files) with one partition per
+  file group — a from-scratch object-lake connector proving the reader
+  side of the API against real files.
+
+Both are deterministic, so the registered query carries a full value-hash
+oracle (DuckDB replays the synthetic corpus arithmetically / hashes the
+same files).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_DOCS_SCHEMA = "doc_id bigint, part int, category string, score double, fingerprint string"
+
+
+def _doc_row(doc_id: int, part: int) -> tuple:
+    """Deterministic row for doc_id — mirrored by the DuckDB oracle."""
+    category = f"cat{doc_id % 7}"
+    score = (doc_id * 37 % 1000) / 1000.0
+    fingerprint = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return (doc_id, part, category, score, fingerprint)
+
+
+class _DocsPartition(InputPartition):
+    def __init__(self, index: int, start: int, end: int):
+        self.index = index
+        self.start = start
+        self.end = end
+
+
+class _DocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.n_parts = int(options.get("n_parts", 8))
+
+    def partitions(self):
+        # planner emits cheap descriptors; data materializes task-side
+        step = (self.n + self.n_parts - 1) // self.n_parts
+        return [
+            _DocsPartition(i, i * step, min((i + 1) * step, self.n))
+            for i in range(self.n_parts)
+            if i * step < self.n
+        ]
+
+    def read(self, partition: _DocsPartition):
+        for doc_id in range(partition.start, partition.end):
+            yield _doc_row(doc_id, partition.index)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """format("lds_docs").option("n", N).option("n_parts", P)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lds_docs"
+
+    def schema(self) -> str:
+        return _DOCS_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _DocsReader(self.options)
+
+
+_BIN_SCHEMA = "doc_id bigint, n_bytes bigint, payload_md5 string"
+
+
+class _BinPartition(InputPartition):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class _BinDirReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_parts = int(options.get("n_parts", 8))
+
+    def partitions(self):
+        files = sorted(f for f in os.listdir(self.path) if f.endswith(".bin"))
+        groups = [files[i :: self.n_parts] for i in range(self.n_parts)]
+        return [_BinPartition([os.path.join(self.path, f) for f in g]) for g in groups if g]
+
+    def read(self, partition: _BinPartition):
+        for fp in partition.files:
+            doc_id = int(os.path.basename(fp)[: -len(".bin")])
+            with open(fp, "rb") as f:
+                data = f.read()
+            yield (doc_id, len(data), hashlib.md5(data).hexdigest())
+
+
+class BinDirDataSource(DataSource):
+    """format("lds_bindir").option("path", dir) — object-lake payload reader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lds_bindir"
+
+    def schema(self) -> str:
+        return _BIN_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _BinDirReader(self.options)
+
+
+def register_sources(spark) -> None:
+    """Idempotently register both formats on the session."""
+    spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(BinDirDataSource)

@@ -65,6 +65,17 @@ HEADLINE = [
     "win_ranking_combined",
     "scalar_funcs_combined",
     "io_schema_evolution",
+    # round-3 additions
+    "mm_codec_probe",
+    "mm_codec_pixel_stats",
+    "decontaminate_bloom_prefilter",
+    "sketch_cms_token_freq",
+    "sketch_hll_union_by_type",
+    "text_bigram_lm_quality",
+    "bpe_top_pairs",
+    "text_pii_redaction",
+    "events_retention_cohorts",
+    "events_sessionize_gap",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
@@ -94,6 +105,9 @@ ALLOW_ONE_ROW_BROADCAST = {
     "q11_important_parts",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
+    # vocab size / merged-sketch ride as one-row broadcast frames
+    "text_bigram_lm_quality",
+    "sketch_hll_union_by_type",
 }
 
 
