@@ -276,3 +276,58 @@ def io_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").cast("long").alias("key_sum"),
         F.count_distinct("o_orderstatus").alias("n_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustered layout (operators/layout.py)
+# ---------------------------------------------------------------------------
+from lithops_dataframe_spark.operators.layout import (  # noqa: E402
+    write_zordered,
+    zorder_value,
+    zorder_value_sql,
+)
+
+_Z_PK = (1, 50)  # l_partkey box
+_Z_SK = (1, 5)  # l_suppkey box
+
+_ZORDER_ORACLE = f"""
+    WITH f AS (
+        SELECT * FROM lineitem
+        WHERE l_partkey BETWEEN {_Z_PK[0]} AND {_Z_PK[1]}
+          AND l_suppkey BETWEEN {_Z_SK[0]} AND {_Z_SK[1]}
+    )
+    SELECT COUNT(*)::BIGINT AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
+           MIN({zorder_value_sql('l_partkey', 'l_suppkey')})::BIGINT AS min_z,
+           MAX({zorder_value_sql('l_partkey', 'l_suppkey')})::BIGINT AS max_z
+    FROM f
+"""
+
+
+@register("io_zorder_roundtrip", oracle=_ZORDER_ORACLE)
+def io_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write → filtered read-back: lineitem is Morton-
+    clustered on (l_partkey, l_suppkey) (range-partitioned + sorted on the
+    interleaved key, so files own disjoint z-ranges and row groups carry
+    tight min/max on BOTH columns), then a 2-D box predicate reads it
+    back. The aggregate must match DuckDB running the same filter on the
+    original table — and min_z/max_z hash-check the Morton arithmetic
+    itself. tests/test_layout.py measures the pruning effect (file-level
+    min/max disjointness vs a hash-shuffled layout of the same rows)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = _scratch("zorder")
+    write_zordered(li, "l_partkey", "l_suppkey", out, n_files=8)
+    back = read_parquet(spark, out).filter(
+        F.col("l_partkey").between(*_Z_PK) & F.col("l_suppkey").between(*_Z_SK)
+    )
+    z = zorder_value("l_partkey", "l_suppkey")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.min(z).alias("min_z"),
+        F.max(z).alias("max_z"),
+    )

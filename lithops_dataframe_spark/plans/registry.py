@@ -129,6 +129,8 @@ PRIORITY: tuple[str, ...] = (
     "pyds_bindir_source",
     # round-3 Spark 4 VARIANT semi-structured path
     "scalar_variant_props",
+    # round-3 Z-order clustered layout (operators/layout.py)
+    "io_zorder_roundtrip",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
