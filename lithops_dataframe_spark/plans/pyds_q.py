@@ -48,6 +48,50 @@ def pyds_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_STREAM = 1000
+
+_STREAM_ORACLE = f"""
+    WITH s AS (SELECT unnest(range({_N_STREAM})) AS seq)
+    SELECT 'u' || (seq % 10)::VARCHAR AS user,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM((seq * 13 % 100) / 10.0), 4) AS sum_amount
+    FROM s GROUP BY 1
+"""
+
+
+@register("stream_pyds_counter_source", oracle=_STREAM_ORACLE)
+def stream_pyds_counter_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector (SimpleDataSourceStreamReader): a
+    bounded offset-tracked micro-batch source drains through a real
+    readStream → aggregate → complete-mode memory sink (4 micro-batches of
+    250, processAllAvailable blocks until the source's offset stops
+    advancing — availableNow would snapshot only the first read). The
+    final per-user totals must equal the oracle's batch replay of the full
+    record range — proving offset advancement and deterministic replay."""
+    import uuid
+
+    register_sources(spark)
+    stream = (
+        spark.readStream.format("lds_counter_stream")
+        .option("n_total", _N_STREAM)
+        .option("batch_size", 250)
+        .load()
+    )
+    totals = stream.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("amount"), 4).alias("sum_amount")
+    )
+    sink = "lds_pyds_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(sink)
+
+
 _BINDIR_ORACLE = """
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,

@@ -127,6 +127,7 @@ PRIORITY: tuple[str, ...] = (
     # round-3 Python Data Source API connectors (plans/pyds_q.py)
     "pyds_synthetic_source",
     "pyds_bindir_source",
+    "stream_pyds_counter_source",
     # round-3 Spark 4 VARIANT semi-structured path
     "scalar_variant_props",
     # round-3 Z-order clustered layout (operators/layout.py)

@@ -31,7 +31,12 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _DOCS_SCHEMA = "doc_id bigint, part int, category string, score double, fingerprint string"
 
@@ -124,7 +129,53 @@ class BinDirDataSource(DataSource):
         return _BinDirReader(self.options)
 
 
+_STREAM_SCHEMA = "seq bigint, user string, amount double"
+
+
+def _stream_row(seq: int) -> tuple:
+    """Deterministic stream record — mirrored by the DuckDB oracle."""
+    return (seq, f"u{seq % 10}", (seq * 13 % 100) / 10.0)
+
+
+class _CounterStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch source: ``read(start)`` advances the
+    offset by ``batch_size`` until ``n_total`` records have been emitted;
+    ``readBetweenOffsets`` deterministically replays any offset range —
+    the exactly-once replay contract a Kafka-like connector implements."""
+
+    def __init__(self, options):
+        self.n_total = int(options.get("n_total", 1000))
+        self.batch_size = int(options.get("batch_size", 250))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.batch_size, self.n_total)
+        return iter([_stream_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_stream_row(i) for i in range(int(start["pos"]), int(end["pos"]))])
+
+
+class CounterStreamDataSource(DataSource):
+    """format("lds_counter_stream").option("n_total", N) — bounded
+    deterministic micro-batch stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lds_counter_stream"
+
+    def schema(self) -> str:
+        return _STREAM_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _CounterStreamReader(self.options)
+
+
 def register_sources(spark) -> None:
-    """Idempotently register both formats on the session."""
+    """Idempotently register all custom formats on the session."""
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(BinDirDataSource)
+    spark.dataSource.register(CounterStreamDataSource)
