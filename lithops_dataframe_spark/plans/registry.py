@@ -132,6 +132,9 @@ PRIORITY: tuple[str, ...] = (
     "scalar_variant_props",
     # round-3 Z-order clustered layout (operators/layout.py)
     "io_zorder_roundtrip",
+    # round-3 retrieval + warehouse maintenance (plans/retrieval_q.py)
+    "text_bm25_search",
+    "scd2_customer_dim",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
