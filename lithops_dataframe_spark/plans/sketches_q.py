@@ -56,11 +56,18 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     At 100 TB the eval/benchmark side is fixed and the filter is built
     once; every training scan probes it as a broadcast local filter,
     dropping ~all non-contaminated shingles before any shuffle."""
+    from pyspark import StorageLevel
+
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)  # feeds eval + probe sides
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     ev = sh.filter(is_eval).select(F.explode("sh").alias("s")).distinct()
-    bloom = SK.bloom_build(ev, "s", m_bits=_BLOOM_M, k=_BLOOM_K)
+    # the filter frame is ≤ m/32 rows (~32k longs); persist so the k
+    # broadcast probes reuse one build instead of recomputing the agg
+    bloom = SK.bloom_build(ev, "s", m_bits=_BLOOM_M, k=_BLOOM_K).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     train = sh.filter(~is_eval).select("doc_id", F.explode("sh").alias("s"))
     cand = SK.bloom_probe_hits(
         train, "s", bloom, m_bits=_BLOOM_M, k=_BLOOM_K, keep=["doc_id"]
