@@ -338,16 +338,30 @@ def ivf_topk(
         )
     )
 
+    # centroid norms materialize ONCE in the one-row broadcast frame's
+    # projection (computed before the BroadcastExchange, not per joined
+    # row); the row's own norm hoists to a column. Both reuse the exact
+    # doubles the inline cosine() produced, so assignments are
+    # bit-identical to the oracle's replay — just ~3× cheaper (the
+    # per-(row,cell) work drops from dot+2 norms to one dot + a divide).
+    cframe_n = cframe.withColumn(
+        "__cnorms", F.transform(F.col("__cents"), lambda c: norm(c))
+    )
+
     def nearest_cells(df: DataFrame, idc: str, embc: str, n: int) -> DataFrame:
         """Attach the n nearest cell ids (by cosine desc, cell_id asc tie
         break — encoded as ascending (−sim, cell_id) struct sort)."""
+        idx = F.sequence(F.lit(0), F.lit(len(cell_ids) - 1))
         ranked = F.slice(
             F.array_sort(
-                F.zip_with(
-                    F.col("__cents"),
-                    F.col("__cids"),
-                    lambda c, cid: F.struct(
-                        (-cosine(F.col(embc), c)).alias("negsim"), cid.alias("cell_id")
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        (
+                            -dot(F.col(embc), F.element_at(F.col("__cents"), i + 1))
+                            / (F.col("__rn") * F.element_at(F.col("__cnorms"), i + 1))
+                        ).alias("negsim"),
+                        F.element_at(F.col("__cids"), i + 1).alias("cell_id"),
                     ),
                 )
             ),
@@ -355,7 +369,8 @@ def ivf_topk(
             n,
         )
         return (
-            df.crossJoin(cframe)
+            df.withColumn("__rn", norm(F.col(embc)))
+            .crossJoin(cframe_n)
             .withColumn("__cell", F.explode(ranked))
             .select(*df.columns, F.col("__cell.cell_id").alias("cell_id"))
         )
