@@ -135,6 +135,8 @@ PRIORITY: tuple[str, ...] = (
     # round-3 retrieval + warehouse maintenance (plans/retrieval_q.py)
     "text_bm25_search",
     "scd2_customer_dim",
+    # round-3 Spark 4 recursive CTE (plans/sql_q.py)
+    "sql_recursive_cte",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",

@@ -67,3 +67,28 @@ def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sql_cte_window_topn", oracle=_CTE_WINDOW)
 def sql_cte_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _CTE_WINDOW)
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): BOM-style transitive closure —
+# part p "contains" parts 2p and 2p+1 when they exist, so each root < 8
+# explodes a binary containment tree over REAL part keys. Same statement
+# runs verbatim on DuckDB; Spark executes it as an iterative union loop
+# (depth ≈ log2(|part|)), the shape hierarchical/graph traversals take
+# without a dedicated graph engine.
+_RECURSIVE = """
+    WITH RECURSIVE comp(root, pkey) AS (
+        SELECT p_partkey, p_partkey FROM part WHERE p_partkey < 8
+        UNION ALL
+        SELECT c.root, p.p_partkey
+        FROM comp c JOIN part p
+          ON p.p_partkey = 2 * c.pkey + 1 OR p.p_partkey = 2 * c.pkey + 2
+    )
+    SELECT root, COUNT(*) AS n_components,
+           CAST(SUM(pkey) AS BIGINT) AS key_checksum
+    FROM comp GROUP BY root
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _RECURSIVE)
