@@ -30,6 +30,8 @@ from lithops_dataframe_spark.plans import sketches_q  # noqa: F401
 from lithops_dataframe_spark.plans import lm_q  # noqa: F401
 from lithops_dataframe_spark.plans import pyds_q  # noqa: F401
 from lithops_dataframe_spark.plans import retrieval_q  # noqa: F401
+from lithops_dataframe_spark.plans import dq_q  # noqa: F401
+from lithops_dataframe_spark.plans import pq_q  # noqa: F401
 from lithops_dataframe_spark.plans import streaming_q  # noqa: F401
 from lithops_dataframe_spark.plans import udf_q  # noqa: F401
 from lithops_dataframe_spark.plans import tpch_more  # noqa: F401

@@ -17,16 +17,21 @@ _ITERS = 3
 _DIM = 64
 
 
-def replay_ctes(k: int, iters: int, dim: int, prefix: str = "") -> tuple[list[str], str]:
+def replay_ctes(
+    k: int, iters: int, dim: int, prefix: str = "", off: int = 0
+) -> tuple[list[str], str]:
     """CTE fragments that replay ``kmeans_fit(k, iters)`` over the
     ``embeddings`` view; returns (parts, final_centroid_cte) where the final
     CTE has columns (cell, pos, m) — the trained centroid matrix. Shared by
-    the kmeans_cells oracle and the trained-quantizer IVF oracle
-    (plans/similarity_q.py), so both gates replay identical arithmetic."""
+    the kmeans_cells oracle, the trained-quantizer IVF oracle
+    (plans/similarity_q.py), and — via ``off``/``dim`` slicing — the
+    per-subspace product-quantization oracles (plans/pq_q.py), so every
+    gate replays identical arithmetic. ``off`` is the 0-based start of the
+    embedding slice the training ran on."""
     p = prefix
     parts = [
         f"""{p}c0 AS (
-        SELECT vec_id AS cell, t.i - 1 AS pos, ROUND(embedding[t.i]::DOUBLE, 6) AS m
+        SELECT vec_id AS cell, t.i - 1 AS pos, ROUND(embedding[{off} + t.i]::DOUBLE, 6) AS m
         FROM embeddings, range(1, {dim + 1}) t(i)
         WHERE vec_id < {k}
     )"""
@@ -35,7 +40,7 @@ def replay_ctes(k: int, iters: int, dim: int, prefix: str = "") -> tuple[list[st
     for it in range(1, iters + 1):
         parts.append(f"""{p}a{it} AS (
         SELECT e.vec_id AS id, cr.cell,
-               SUM((e.embedding[cr.pos + 1]::DOUBLE - cr.m) * (e.embedding[cr.pos + 1]::DOUBLE - cr.m)) AS d2
+               SUM((e.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m) * (e.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m)) AS d2
         FROM embeddings e JOIN {prev} cr ON true
         GROUP BY e.vec_id, cr.cell
     )""")
@@ -45,7 +50,7 @@ def replay_ctes(k: int, iters: int, dim: int, prefix: str = "") -> tuple[list[st
         ) WHERE rk = 1
     )""")
         parts.append(f"""{p}u{it} AS (
-        SELECT s.cell, t.i - 1 AS pos, ROUND(AVG(e.embedding[t.i]::DOUBLE), 6) AS m
+        SELECT s.cell, t.i - 1 AS pos, ROUND(AVG(e.embedding[{off} + t.i]::DOUBLE), 6) AS m
         FROM {p}s{it} s JOIN embeddings e ON e.vec_id = s.id, range(1, {dim + 1}) t(i)
         GROUP BY s.cell, t.i
     )""")

@@ -1,0 +1,101 @@
+"""Product quantization (PQ) — embedding compression for 100 TB vector
+stores: split each vector into M subspaces, k-means each subspace, store
+one small code per subspace instead of the float components (here 64
+float32 → 4 codes, a 32× compression with the classic IVF-PQ pairing).
+
+Verification: each subspace's codebook trains with the SAME deterministic
+kmeans_fit the kmeans_cells gate proves, on a SLICE of the embedding; the
+oracle replays all M trainings via the shared CTE builder
+(plans/kmeans_q.py replay_ctes with an offset) and re-derives every code
+and the reconstruction error — full value-hash, no tolerance needed.
+
+Scale shape: training is M small k-means runs (each one scan + one
+(cell, dim) aggregate per iteration — codebooks are M×k×sub_dim doubles,
+driver-sized by definition); encoding is a narrow broadcast-frame map
+(distances to k sub-centroids per subspace, argmin), zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators.clustering import assign_cells, kmeans_fit
+from lithops_dataframe_spark.plans.kmeans_q import replay_ctes
+from lithops_dataframe_spark.plans.registry import register
+
+_M = 4  # subspaces
+_SUB = 16  # dims per subspace (4 × 16 = the fixture's DIM 64)
+_K = 8  # codes per subspace
+_ITERS = 1
+
+
+def _pq_oracle() -> str:
+    parts: list[str] = []
+    finals: list[str] = []
+    for m in range(_M):
+        off = m * _SUB
+        ps, final = replay_ctes(_K, _ITERS, _SUB, prefix=f"q{m}", off=off)
+        parts.extend(ps)
+        # per-vector assignment against subspace m's trained codebook
+        parts.append(f"""e{m} AS (
+        SELECT e.vec_id AS id, cr.cell,
+               SUM((e.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m) * (e.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m)) AS d2
+        FROM embeddings e JOIN {final} cr ON true
+        GROUP BY e.vec_id, cr.cell
+    )""")
+        parts.append(f"""f{m} AS (
+        SELECT id, cell, ROUND(d2, 6) AS d2 FROM (
+            SELECT id, cell, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rk
+            FROM e{m}
+        ) WHERE rk = 1
+    )""")
+        finals.append(f"f{m}")
+    joins = " ".join(f"JOIN f{m} ON f{m}.id = f0.id" for m in range(1, _M))
+    codes = ", ".join(f"f{m}.cell::INT AS code{m}" for m in range(_M))
+    mse = " + ".join(f"f{m}.d2" for m in range(_M))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT f0.id AS vec_id, {codes},
+           ROUND(({mse}) / {_M * _SUB}, 6) AS recon_mse
+    FROM f0 {joins}
+    """
+    )
+
+
+@register("emb_pq_encode", oracle=_pq_oracle())
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the embeddings table: train an 8-entry codebook per
+    16-dim subspace (deterministic kmeans_fit slice per subspace), assign
+    each vector its 4 codes, and audit the reconstruction MSE the
+    compression costs — the metric that decides codebook sizes in a real
+    vector store."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out: DataFrame | None = None
+    for m in range(_M):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
+        )
+        codebook, _ = kmeans_fit(sliced, k=_K, iterations=_ITERS)
+        assigned = assign_cells(
+            sliced.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
+            codebook,
+            emb_col="emb",
+        ).select(
+            F.col("id"),
+            F.col("cell").alias(f"code{m}"),
+            F.col("dist2").alias(f"__d{m}"),
+        )
+        out = assigned if out is None else out.join(assigned, "id")
+    # same left-to-right addition order as the oracle (d0 + d1 + d2 + d3)
+    mse = F.col("__d0")
+    for m in range(1, _M):
+        mse = mse + F.col(f"__d{m}")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        *[F.col(f"code{m}") for m in range(_M)],
+        F.round(mse / (_M * _SUB), 6).alias("recon_mse"),
+    )

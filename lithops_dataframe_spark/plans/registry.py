@@ -137,6 +137,9 @@ PRIORITY: tuple[str, ...] = (
     "scd2_customer_dim",
     # round-3 Spark 4 recursive CTE (plans/sql_q.py)
     "sql_recursive_cte",
+    # round-3 data-quality suite + product quantization
+    "dq_constraint_suite",
+    "emb_pq_encode",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
