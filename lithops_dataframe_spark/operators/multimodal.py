@@ -547,8 +547,15 @@ def phash_neardup_pairs(media: DataFrame, *, max_hamming: int = PHASH_HAM_T) -> 
     """
     if max_hamming >= PHASH_BLOCKS:
         raise ValueError("pigeonhole candidate join requires max_hamming < PHASH_BLOCKS")
-    imgs = with_phash(media.filter(F.col("media_type") == "image")).select(
-        "doc_id", "phash_blocks"
+    from pyspark import StorageLevel
+
+    # the hash frame feeds FOUR join branches (both self-join sides + both
+    # re-rank sides); without materialization each branch re-evaluates the
+    # full payload-hash expression tree — measured 150 s vs 5 s at sf0.1
+    imgs = (
+        with_phash(media.filter(F.col("media_type") == "image"))
+        .select("doc_id", "phash_blocks")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     post = imgs.select(
         "doc_id",
