@@ -34,15 +34,30 @@ from pyspark.sql import functions as F
 __all__ = ["zorder_value", "zorder_value_sql", "write_zordered"]
 
 
+def _spread16(x: str) -> str:
+    """Classic magic-mask bit spread: 16-bit value → its bits at even
+    positions of a 32-bit value. Pure integer arithmetic — identical
+    result to the per-bit fold, ~10× cheaper (a dozen codegen ops vs a
+    16-iteration interpreted lambda; measured on the sf0.1 clustered
+    write)."""
+    s = f"(CAST(({x}) AS BIGINT) & 65535)"
+    s = f"(({s} | shiftleft({s}, 8)) & 16711935)"  # 0x00FF00FF
+    s = f"(({s} | shiftleft({s}, 4)) & 252645135)"  # 0x0F0F0F0F
+    s = f"(({s} | shiftleft({s}, 2)) & 858993459)"  # 0x33333333
+    s = f"(({s} | shiftleft({s}, 1)) & 1431655765)"  # 0x55555555
+    return s
+
+
 def zorder_value(a: str, b: str, *, bits: int = 16) -> Column:
-    """Morton-interleave the low ``bits`` of two non-negative int column
-    expressions (given as SQL strings) into a single long: result bit 2i =
-    bit i of a, bit 2i+1 = bit i of b. Pure JVM expression (aggregate over
-    a literal sequence → codegen, no UDF)."""
+    """Morton-interleave the low ``bits`` (≤16) of two non-negative int
+    column expressions (given as SQL strings) into a single long: result
+    bit 2i = bit i of a, bit 2i+1 = bit i of b. Magic-mask spread —
+    straight-line integer codegen, no UDF, no higher-order function."""
+    if bits > 16:
+        raise ValueError("zorder_value supports up to 16 bits per key")
+    mask = (1 << bits) - 1
     return F.expr(
-        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> "
-        f"acc + shiftleft(CAST(shiftright(({a}), i) & 1 AS BIGINT), 2 * i) "
-        f"    + shiftleft(CAST(shiftright(({b}), i) & 1 AS BIGINT), 2 * i + 1))"
+        f"({_spread16(f'({a}) & {mask}')} | shiftleft({_spread16(f'({b}) & {mask}')}, 1))"
     )
 
 

@@ -81,7 +81,8 @@ _RECURSIVE = """
         UNION ALL
         SELECT c.root, p.p_partkey
         FROM comp c JOIN part p
-          ON p.p_partkey = 2 * c.pkey + 1 OR p.p_partkey = 2 * c.pkey + 2
+          ON (p.p_partkey = 2 * c.pkey + 1 OR p.p_partkey = 2 * c.pkey + 2)
+        WHERE p.p_partkey < 2048  -- bounded tree depth (~11 levels) at any SF
     )
     SELECT root, COUNT(*) AS n_components,
            CAST(SUM(pkey) AS BIGINT) AS key_checksum
