@@ -76,6 +76,14 @@ R3_ADDITIONS = [
     "text_pii_redaction",
     "events_retention_cohorts",
     "events_sessionize_gap",
+    "pyds_synthetic_source",
+    "scalar_variant_props",
+    "io_zorder_roundtrip",
+    "text_bm25_search",
+    "scd2_customer_dim",
+    "sql_recursive_cte",
+    "dq_constraint_suite",
+    "emb_pq_encode",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -76,6 +76,14 @@ HEADLINE = [
     "text_pii_redaction",
     "events_retention_cohorts",
     "events_sessionize_gap",
+    "text_bm25_search",
+    "scd2_customer_dim",
+    "dq_constraint_suite",
+    "emb_pq_encode",
+    "io_zorder_roundtrip",
+    "sql_recursive_cte",
+    "pyds_synthetic_source",
+    "scalar_variant_props",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
@@ -108,6 +116,10 @@ ALLOW_ONE_ROW_BROADCAST = {
     # vocab size / merged-sketch ride as one-row broadcast frames
     "text_bigram_lm_quality",
     "sketch_hll_union_by_type",
+    # corpus stats (N, avgdl) / per-subspace centroid matrices are
+    # one-row broadcast frames
+    "text_bm25_search",
+    "emb_pq_encode",
 }
 
 
