@@ -11,7 +11,9 @@ is stubbed behind NotImplementedError":
   WAV — width/height/duration without touching payload bodies.
 - **full image decode**: PNG (zlib inflate + all five scanline filters,
   color types gray / RGB / palette / gray+alpha / RGBA, 8-bit), BMP
-  (24/32-bit uncompressed, bottom-up and top-down), PPM (P6) / PGM (P5).
+  (24/32-bit uncompressed, bottom-up and top-down), PPM (P6) / PGM (P5),
+  GIF (from-scratch LZW decoder: variable code width, clear/KwKwK
+  handling, global or local color tables).
 - **full audio decode**: WAV PCM-16 (mono or multi-channel) → numpy frames.
 - **encode**: PNG (filter-0 + zlib, correct CRCs), BMP (24-bit), PPM/PGM,
   WAV PCM-16 — used by tests and the payload synthesizers so every decoder
@@ -46,6 +48,7 @@ __all__ = [
     "encode_ppm",
     "encode_pgm",
     "encode_wav",
+    "encode_gif",
     "encode_gif_header",
     "encode_jpeg_header",
     "resize_nearest",
@@ -213,6 +216,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return _decode_bmp(data)
     if fmt in ("ppm", "pgm"):
         return _decode_pnm(data)
+    if fmt == "gif":
+        return _decode_gif(data)
     raise NotImplementedError(
         f"decode_image: {fmt} is probe-only in this environment (no entropy decoder)"
     )
@@ -466,14 +471,158 @@ def encode_wav(frames: np.ndarray, rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# probe-only header constructors (GIF / JPEG) — valid enough for any
-# standards-conformant header parser to extract dimensions
+# GIF: header constructor, full encoder (grayscale, LZW), LZW decoder
 # ---------------------------------------------------------------------------
 
 
 def encode_gif_header(w: int, h: int) -> bytes:
     """Minimal valid GIF89a: logical screen descriptor + trailer."""
     return b"GIF89a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0) + b"\x3b"
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """Encode a grayscale ``(h, w)`` uint8 array as a real GIF89a: global
+    256-entry grayscale color table + one image block.
+
+    Pixels are LZW-packed with the standard "uncompressed GIF" scheme:
+    every pixel as a literal 9-bit code, with a clear code every 254
+    literals so neither side's code table ever grows past the 9-bit
+    width boundary — a valid stream for ANY conformant GIF decoder (it
+    simply doesn't compress), which sidesteps variable-width boundary
+    ambiguities between encoder variants."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_gif: expects (h, w) grayscale")
+    h, w = arr.shape
+    # logical screen descriptor: global color table, 256 entries, 8-bit
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img_desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    out_bits: list[int] = [clear]
+    for i, px in enumerate(arr.flatten().tolist()):
+        if i and i % 254 == 0:
+            out_bits.append(clear)
+        out_bits.append(int(px))
+    out_bits.append(end)
+    acc = n = 0
+    payload = bytearray()
+    for code in out_bits:
+        acc |= code << n
+        n += width
+        while n >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        payload.append(acc & 0xFF)
+    blocks = bytearray([min_code])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return head + gct + img_desc + bytes(blocks) + b"\x3b"
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first image of a GIF (global color table, no interlace,
+    no transparency) via a from-scratch LZW decoder."""
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n_colors, offset=i).reshape(-1, 3)
+        i += 3 * n_colors
+    while i < len(data):
+        b0 = data[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise ValueError("gif: no image block")
+        else:
+            raise ValueError("gif: bad block")
+    _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, i + 1)
+    i += 10
+    if ipacked & 0x40:
+        raise NotImplementedError("gif: interlace unsupported")
+    if ipacked & 0x80:  # local color table
+        n_colors = 2 << (ipacked & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n_colors, offset=i).reshape(-1, 3)
+        i += 3 * n_colors
+    if gct is None:
+        raise ValueError("gif: no color table")
+    min_code = data[i]
+    i += 1
+    stream = bytearray()
+    while data[i] != 0:
+        ln = data[i]
+        stream += data[i + 1 : i + 1 + ln]
+        i += 1 + ln
+
+    n_base = 1 << min_code
+    clear, end = n_base, n_base + 1
+    bits = 0
+    acc = 0
+    pos = 0  # byte index into stream
+    width = min_code + 1
+    dyn: list[bytes] = []
+    prev: bytes | None = None
+    out = bytearray()
+
+    def lookup(code: int) -> bytes:
+        if code < n_base:
+            return bytes([code])
+        return dyn[code - n_base - 2]
+
+    while True:
+        while bits < width:
+            if pos >= len(stream):
+                raise ValueError("gif: truncated LZW stream")
+            acc |= stream[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            dyn = []
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        next_code = n_base + 2 + len(dyn)
+        if prev is None:
+            entry = lookup(code)
+        elif code < next_code:
+            entry = lookup(code)
+            dyn.append(prev + entry[:1])
+        elif code == next_code:  # the KwKwK case
+            entry = prev + prev[:1]
+            dyn.append(entry)
+        else:
+            raise ValueError("gif: invalid LZW code")
+        # mirror the encoder: widen immediately after the add
+        if prev is not None and n_base + 2 + len(dyn) > (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    px = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8).reshape(h, w)
+    rgb = gct[px]
+    if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all():
+        return np.ascontiguousarray(rgb[:, :, 0])  # grayscale palette
+    return np.ascontiguousarray(rgb)
 
 
 def encode_jpeg_header(w: int, h: int) -> bytes:

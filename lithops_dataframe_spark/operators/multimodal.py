@@ -278,7 +278,7 @@ CODEC_FORMATS = ["png", "bmp", "ppm", "gif", "jpeg", "wav"]
 #: stays cheap at sf0.1 (≤ 20×18 px/doc)
 IMG_W = "8 + doc_id % 13"
 IMG_H = "8 + (doc_id * 7) % 11"
-#: header-only (gif/jpeg) dims: realistic magnitudes, probe never decodes
+#: header-only (jpeg) dims: realistic magnitudes, probe never decodes
 HDR_W = "64 + doc_id % 512"
 HDR_H = "64 + (doc_id * 3) % 512"
 #: gradient pixel value at (y, x)
@@ -303,15 +303,15 @@ def _codec_payload(doc_id: int) -> bytes:
     import numpy as np
 
     fmt = CODEC_FORMATS[doc_id % 6]
-    if fmt in ("png", "bmp", "ppm"):
+    if fmt in ("png", "bmp", "ppm", "gif"):
         g = _codec_pixels(doc_id)
         if fmt == "png":
             return codecs.encode_png(g)
         if fmt == "bmp":
             return codecs.encode_bmp(g)  # gray replicated to RGB
+        if fmt == "gif":
+            return codecs.encode_gif(g)  # real LZW-packed image block
         return codecs.encode_ppm(g)
-    if fmt == "gif":
-        return codecs.encode_gif_header(64 + doc_id % 512, 64 + (doc_id * 3) % 512)
     if fmt == "jpeg":
         return codecs.encode_jpeg_header(64 + doc_id % 512, 64 + (doc_id * 3) % 512)
     n = 160 + (doc_id % 50) * 4
@@ -403,7 +403,7 @@ def decoded_pixel_stats(media: DataFrame) -> DataFrame:
             )
 
     return (
-        media.filter(F.col("fmt").isin("png", "bmp", "ppm"))
+        media.filter(F.col("fmt").isin("png", "bmp", "ppm", "gif"))
         .select("doc_id", "fmt", "payload")
         .mapInPandas(fn, schema)
     )
@@ -447,7 +447,7 @@ def resize_decoded_images(media: DataFrame, *, grid: int = 8) -> DataFrame:
             )
 
     return (
-        media.filter(F.col("fmt").isin("png", "bmp", "ppm"))
+        media.filter(F.col("fmt").isin("png", "bmp", "ppm", "gif"))
         .select("doc_id", "fmt", "payload")
         .mapInPandas(fn, schema)
     )

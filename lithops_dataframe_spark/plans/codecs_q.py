@@ -33,9 +33,11 @@ _FMT = (
     "CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' "
     "WHEN 3 THEN 'gif' WHEN 4 THEN 'jpeg' ELSE 'wav' END"
 )
-# dims per the shared formulas (operators/multimodal.py IMG_*/HDR_*)
-_W = f"CASE WHEN doc_id % 6 < 3 THEN {M.IMG_W} WHEN doc_id % 6 < 5 THEN {M.HDR_W} END"
-_H = f"CASE WHEN doc_id % 6 < 3 THEN {M.IMG_H} WHEN doc_id % 6 < 5 THEN {M.HDR_H} END"
+# dims per the shared formulas (operators/multimodal.py IMG_*/HDR_*):
+# png/bmp/ppm/gif carry real decodable rasters at IMG dims; jpeg is the
+# one header-only format (HDR dims, no entropy decoder here)
+_W = f"CASE WHEN doc_id % 6 <= 3 THEN {M.IMG_W} WHEN doc_id % 6 = 4 THEN {M.HDR_W} END"
+_H = f"CASE WHEN doc_id % 6 <= 3 THEN {M.IMG_H} WHEN doc_id % 6 = 4 THEN {M.HDR_H} END"
 _WAV_N = M.WAV_N
 
 _PROBE_ORACLE = f"""
@@ -67,9 +69,10 @@ def mm_codec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIX_ORACLE = f"""
     WITH d AS (
         SELECT doc_id,
-               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                               WHEN 2 THEN 'ppm' ELSE 'gif' END AS fmt,
                {M.IMG_W} AS w, {M.IMG_H} AS h
-        FROM documents WHERE doc_id % 6 < 3
+        FROM documents WHERE doc_id % 6 < 4
     ),
     s AS (
         SELECT doc_id, fmt, w, h,
@@ -96,9 +99,10 @@ def mm_codec_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_ORACLE = f"""
     WITH d AS (
         SELECT doc_id,
-               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                               WHEN 2 THEN 'ppm' ELSE 'gif' END AS fmt,
                {M.IMG_W} AS w, {M.IMG_H} AS h
-        FROM documents WHERE doc_id % 6 < 3
+        FROM documents WHERE doc_id % 6 < 4
     ),
     s AS (
         SELECT doc_id, fmt, w, h,

@@ -192,7 +192,44 @@ def test_gif_and_jpeg_probe():
     info = C.probe_media(C.encode_jpeg_header(640, 480))
     assert (info["format"], info["width"], info["height"]) == ("jpeg", 640, 480)
     with pytest.raises(NotImplementedError):
-        C.decode_image(C.encode_gif_header(4, 4))
+        C.decode_image(C.encode_jpeg_header(4, 4))
+
+
+def test_gif_roundtrip():
+    # > 254 px so the periodic clear-code path is exercised, and > 255
+    # bytes of LZW payload so block splitting is exercised
+    img = gradient(20, 30, 11)
+    data = C.encode_gif(img)
+    info = C.probe_media(data)
+    assert (info["format"], info["width"], info["height"]) == ("gif", 30, 20)
+    np.testing.assert_array_equal(C.decode_image(data), img)
+
+
+def test_gif_lzw_compressed_stream_kwkwk():
+    # hand-built COMPRESSED stream (our encoder emits literals only):
+    # 4-color palette, min code 2 → clear=4, end=5, width 3.
+    # pixels [1,1,1]: encoder emits clear,1,6,end where 6 is the KwKwK
+    # case (code == next table entry) → decodes to "1"+"11".
+    import struct as st
+
+    head = b"GIF89a" + st.pack("<HHBBB", 3, 1, 0x80 | 0x01, 0, 0)  # 4-color GCT
+    gct = bytes([0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30])
+    desc = b"\x2c" + st.pack("<HHHHB", 0, 0, 3, 1, 0)
+    codes = [(4, 3), (1, 3), (6, 3), (5, 3)]
+    acc = n = 0
+    payload = bytearray()
+    for code, wd in codes:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        payload.append(acc & 0xFF)
+    data = head + gct + desc + bytes([2, len(payload)]) + bytes(payload) + b"\x00\x3b"
+    out = C.decode_image(data)
+    np.testing.assert_array_equal(out, np.array([[10, 10, 10]], dtype=np.uint8))
 
 
 def test_unknown_payloads_probe_none():
