@@ -320,3 +320,48 @@ def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("start_ts"),
         (F.max("es") - F.min("es")).alias("dur_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (exponentially weighted moving average) — a RECURSIVE per-key fold
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.2
+
+_EWMA_ORACLE = f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(list_reduce(list(value::DOUBLE ORDER BY ts, event_id),
+                             (acc, x) -> acc * {1 - _EWMA_ALPHA} + {_EWMA_ALPHA} * x),
+                 6) AS ewma
+    FROM events GROUP BY user_id
+"""
+
+
+@register("events_ewma_user_value", oracle=_EWMA_ORACLE)
+def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values — a genuinely RECURSIVE per-key fold
+    (y_t = (1-α)·y_{t-1} + α·x_t) that no window frame expresses. Shape:
+    one shuffle groups each user's events, an ordered collect builds the
+    per-key sequence, and a JVM-side ``aggregate`` lambda folds it —
+    state per task is one user's sequence, never the stream. The oracle
+    folds the identical ordered list with DuckDB's list_reduce (same
+    seed = first element, same left-to-right order → bit-identical before
+    the final rounding)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    grouped = ev.select("user_id", us.alias("us"), "event_id", F.col("value").cast("double").alias("v")).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("us", "event_id", "v"))),
+            lambda s: s.getField("v"),
+        ).alias("vals"),
+    )
+    a = _EWMA_ALPHA
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * (1 - a) + a * x,
+    )
+    return grouped.select("user_id", "n_events", F.round(ewma, 6).alias("ewma"))

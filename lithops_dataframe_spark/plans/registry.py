@@ -140,6 +140,7 @@ PRIORITY: tuple[str, ...] = (
     # round-3 data-quality suite + product quantization
     "dq_constraint_suite",
     "emb_pq_encode",
+    "events_ewma_user_value",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
