@@ -31,13 +31,18 @@ _K = 8  # codes per subspace
 _ITERS = 1
 
 
-def _pq_oracle() -> str:
+def _pq_parts() -> tuple[list[str], list[str]]:
+    """Shared oracle scaffolding: per-subspace codebook replays + per-
+    vector code assignment CTEs. Returns (parts, final_centroid_ctes) —
+    the f{m} CTEs hold (id, cell, d2) per subspace; cb{m} names the
+    trained centroid matrix CTE of subspace m."""
     parts: list[str] = []
-    finals: list[str] = []
+    cents: list[str] = []
     for m in range(_M):
         off = m * _SUB
         ps, final = replay_ctes(_K, _ITERS, _SUB, prefix=f"q{m}", off=off)
         parts.extend(ps)
+        cents.append(final)
         # per-vector assignment against subspace m's trained codebook
         parts.append(f"""e{m} AS (
         SELECT e.vec_id AS id, cr.cell,
@@ -51,7 +56,11 @@ def _pq_oracle() -> str:
             FROM e{m}
         ) WHERE rk = 1
     )""")
-        finals.append(f"f{m}")
+    return parts, cents
+
+
+def _pq_oracle() -> str:
+    parts, _ = _pq_parts()
     joins = " ".join(f"JOIN f{m} ON f{m}.id = f0.id" for m in range(1, _M))
     codes = ", ".join(f"f{m}.cell::INT AS code{m}" for m in range(_M))
     mse = " + ".join(f"f{m}.d2" for m in range(_M))
@@ -114,4 +123,128 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"),
         *[F.col(f"code{m}") for m in range(_M)],
         F.round(mse / (_M * _SUB), 6).alias("recon_mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ADC top-k search over PQ codes (the FAISS-style serving path)
+# ---------------------------------------------------------------------------
+_N_Q = 10  # query vectors (vec_id < _N_Q)
+_TOPK = 10
+
+
+def _adc_oracle() -> str:
+    parts, cents = _pq_parts()
+    for m in range(_M):
+        off = m * _SUB
+        parts.append(f"""qt{m} AS (
+        SELECT q.vec_id AS query_id, cr.cell,
+               SUM((q.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m) * (q.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m)) AS t
+        FROM embeddings q JOIN {cents[m]} cr ON true
+        WHERE q.vec_id < {_N_Q}
+        GROUP BY q.vec_id, cr.cell
+    )""")
+    code_joins = " ".join(f"JOIN f{m} ON f{m}.id = f0.id" for m in range(1, _M))
+    tab_joins = "JOIN qt0 ON qt0.cell = f0.cell " + " ".join(
+        f"JOIN qt{m} ON qt{m}.query_id = qt0.query_id AND qt{m}.cell = f{m}.cell"
+        for m in range(1, _M)
+    )
+    dist = " + ".join(f"qt{m}.t" for m in range(_M))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    dist AS (
+        SELECT qt0.query_id, f0.id AS neighbor_id, ROUND({dist}, 6) AS adc_dist
+        FROM f0 {code_joins} {tab_joins}
+        WHERE f0.id != qt0.query_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank::INT AS rank FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM dist
+    ) WHERE rank <= {_TOPK}
+    """
+    )
+
+
+@register("sim_adc_topk_pq", oracle=_adc_oracle())
+def sim_adc_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — the FAISS-style serving
+    path: the corpus exists only as 4 small codes per vector; each query
+    builds M lookup tables of k sub-distances against the trained
+    codebooks (M·k·sub_dim work per query, independent of corpus size),
+    and every corpus vector's approximate distance is M table lookups +
+    adds — no per-pair floating-point dot products at all.
+
+    Scale shape: the code table is the only corpus-sized input (32×
+    smaller than raw vectors); query tables are a one-row broadcast
+    frame's worth of state per query, so scoring is a narrow broadcast
+    join over the code table followed by a per-query rank window.
+    Distances round to 6 before ranking for deterministic ties; the
+    oracle replays codebooks, codes, tables, and lookups exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes: DataFrame | None = None
+    books: list[list[list[float]]] = []
+    for m in range(_M):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
+        )
+        codebook = _trained_codebook(spark, sf_dir, m, sliced)
+        books.append(codebook)
+        assigned = assign_cells(
+            sliced.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
+            codebook,
+            emb_col="emb",
+        ).select("id", F.col("cell").alias(f"code{m}"))
+        codes = assigned if codes is None else codes.join(assigned, "id")
+
+    # one broadcast frame carries all M codebooks (M×k×sub_dim doubles)
+    cb = F.broadcast(
+        spark.createDataFrame([(books,)], "__cb: array<array<array<double>>>")
+    )
+    q = emb.filter(F.col("vec_id") < _N_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qt = q.crossJoin(cb)
+
+    def _table_fn(sub_col):
+        # single-parameter lambda: a (c, s=...) default-arg binding would
+        # make PySpark treat it as an (element, index) lambda and pass the
+        # array index where the slice belongs
+        return lambda c: F.aggregate(
+            F.zip_with(
+                sub_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    for m in range(_M):
+        sub = F.slice("embedding", m * _SUB + 1, _SUB)
+        qt = qt.withColumn(
+            f"__t{m}", F.transform(F.element_at("__cb", m + 1), _table_fn(sub))
+        )
+    qtabs = qt.select("query_id", *[f"__t{m}" for m in range(_M)])
+
+    dist = F.round(
+        sum(
+            (F.element_at(F.col(f"__t{m}"), F.col(f"code{m}") + 1) for m in range(1, _M)),
+            F.element_at(F.col("__t0"), F.col("code0") + 1),
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        codes.crossJoin(F.broadcast(qtabs))
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), dist.alias("adc_dist")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

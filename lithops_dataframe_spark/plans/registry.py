@@ -141,6 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "dq_constraint_suite",
     "emb_pq_encode",
     "events_ewma_user_value",
+    "sim_adc_topk_pq",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
