@@ -84,6 +84,8 @@ R3_ADDITIONS = [
     "sql_recursive_cte",
     "dq_constraint_suite",
     "emb_pq_encode",
+    "events_ewma_user_value",
+    "sim_adc_topk_pq",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
