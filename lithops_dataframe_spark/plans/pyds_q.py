@@ -119,3 +119,45 @@ def pyds_bindir_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("n_parts", 8)
         .load()
     )
+
+
+@register("stream_pyds_jsonl_sink", oracle=_STREAM_ORACLE)
+def stream_pyds_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING SINK via ``DataSourceStreamWriter``: the counter
+    stream writes through the transactional jsonl-dir sink (per-task part
+    files → per-epoch driver commit with atomic renames + a ``_commits``
+    manifest; aborted epochs leave no visible files). Read-back honors the
+    manifest — only committed batches count — and the per-user totals must
+    hash-match the same batch-replay oracle as the source query, proving
+    the write path end-to-end."""
+    import json
+    import os as _os
+    import uuid
+
+    register_sources(spark)
+    out = tempfile.mkdtemp(prefix="lds_jsonl_sink_")
+    stream = (
+        spark.readStream.format("lds_counter_stream")
+        .option("n_total", _N_STREAM)
+        .option("batch_size", 250)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("lds_jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", _os.path.join(out, "_ckpt"))
+        .queryName("lds_sink_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    committed = []
+    with open(_os.path.join(out, "_commits")) as fh:
+        for line in fh:
+            committed += [
+                _os.path.join(out, e["file"]) for e in json.loads(line)["files"]
+            ]
+    rows = spark.read.schema("seq bigint, user string, amount double").json(committed)
+    return rows.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("amount"), 4).alias("sum_amount")
+    )

@@ -128,6 +128,7 @@ PRIORITY: tuple[str, ...] = (
     "pyds_synthetic_source",
     "pyds_bindir_source",
     "stream_pyds_counter_source",
+    "stream_pyds_jsonl_sink",
     # round-3 Spark 4 VARIANT semi-structured path
     "scalar_variant_props",
     # round-3 Z-order clustered layout (operators/layout.py)

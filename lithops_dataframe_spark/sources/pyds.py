@@ -34,8 +34,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _DOCS_SCHEMA = "doc_id bigint, part int, category string, score double, fingerprint string"
@@ -174,8 +176,73 @@ class CounterStreamDataSource(DataSource):
         return _CounterStreamReader(self.options)
 
 
+class _PartFileCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Per-micro-batch exactly-once sink: each task writes its partition's
+    rows to a uniquely named ``.part`` file and returns a commit message;
+    ``commit`` (driver-side, once per epoch) atomically renames the parts
+    to ``batch-<id>-*.jsonl`` and records them in a ``_commits`` manifest;
+    ``abort`` drops the orphaned parts. Readers that respect the manifest
+    see only committed batches — the standard transactional-sink contract
+    (same epoch discipline as streaming/sinks.py foreachBatch, expressed
+    through the Python Data Source API)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f".{uuid.uuid4().hex}-p{part}.part")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFileCommit(tmp, n)
+
+    def commit(self, messages, batch_id) -> None:
+        import json
+
+        finals = []
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.path, f"batch-{batch_id}-{i}.jsonl")
+            os.replace(msg.path, final)
+            finals.append({"file": os.path.basename(final), "rows": msg.n_rows})
+        with open(os.path.join(self.path, "_commits"), "a") as f:
+            f.write(json.dumps({"batch": batch_id, "files": finals}) + "\n")
+
+    def abort(self, messages, batch_id) -> None:
+        for msg in (m for m in messages if m is not None):
+            try:
+                os.remove(msg.path)
+            except OSError:
+                pass
+
+
+class JsonlDirSinkDataSource(DataSource):
+    """writeStream.format("lds_jsonl_sink").option("path", dir)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lds_jsonl_sink"
+
+    def streamWriter(self, schema, overwrite) -> DataSourceStreamWriter:
+        return _JsonlDirStreamWriter(self.options)
+
+
 def register_sources(spark) -> None:
     """Idempotently register all custom formats on the session."""
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(BinDirDataSource)
     spark.dataSource.register(CounterStreamDataSource)
+    spark.dataSource.register(JsonlDirSinkDataSource)
