@@ -365,3 +365,57 @@ def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc * (1 - a) + a * x,
     )
     return grouped.select("user_id", "n_events", F.round(ewma, 6).alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: triangle counting on the user co-activity graph
+# ---------------------------------------------------------------------------
+_TRI_ORACLE = """
+    WITH act AS (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day FROM events
+    ),
+    e AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM act a JOIN act b ON a.day = b.day AND a.user_id < b.user_id
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT COUNT(*)::BIGINT AS n_triangles,
+           (SELECT COUNT(*) FROM e)::BIGINT AS n_edges,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT user_id FROM act))::BIGINT AS n_nodes
+    FROM tri
+"""
+
+
+@register("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the user co-activity graph (users active on the
+    same day are adjacent). Edges are ORIENTED by id (u < v), so each
+    triangle is enumerated exactly once as a < b < c via two equi-joins —
+    the standard distributed triangle algorithm. At real scale the
+    orientation key switches to degree order (lowest-degree vertex first),
+    which bounds the join fan-out by the arboricity instead of the max
+    degree; the plan shape (edge self-joins on the oriented endpoints) is
+    identical."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    a, b = act.alias("a"), act.alias("b")
+    e = (
+        a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = act.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
