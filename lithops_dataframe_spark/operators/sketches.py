@@ -65,14 +65,6 @@ def bloom_positions(col: Column, *, m_bits: int, k: int) -> Column:
     )
 
 
-def bloom_positions_sql(expr: str, *, m_bits: int, k: int) -> str:
-    """DuckDB twin of :func:`bloom_positions` (list of k positions)."""
-    parts = ", ".join(
-        H.token_hash60_sql(f"({expr} || '#{j}')") + f" % {m_bits}" for j in range(k)
-    )
-    return f"[{parts}]"
-
-
 def bloom_build(values: DataFrame, col: str, *, m_bits: int, k: int) -> DataFrame:
     """Build the filter: distinct values → k positions each → OR'd 32-bit
     words. One narrow explode + one groupBy(word_idx) with ``bit_or`` —
@@ -133,10 +125,6 @@ def bloom_probe_hits(
 
 def _cms_col(col: Column, j: int, width: int) -> Column:
     return H.token_hash60(F.concat(col, F.lit(f"@{j}"))) % width
-
-
-def cms_cell_sql(expr: str, j: int, width: int) -> str:
-    return H.token_hash60_sql(f"({expr} || '@{j}')") + f" % {width}"
 
 
 def cms_build(items: DataFrame, col: str, *, depth: int, width: int) -> DataFrame:
