@@ -248,3 +248,195 @@ def sim_adc_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell filter + ADC scoring of candidates only
+# ---------------------------------------------------------------------------
+_IVFPQ_COARSE_K = 8  # same config as kmeans_cells → shared replay arithmetic
+_IVFPQ_COARSE_ITERS = 3
+_IVFPQ_PROBE = 2
+
+_COARSE_MEMO: dict[str, list[list[float]]] = {}
+
+
+def _coarse_centroids(spark, sf_dir: str) -> list[list[float]]:
+    if sf_dir not in _COARSE_MEMO:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _COARSE_MEMO[sf_dir], _ = kmeans_fit(
+            emb, k=_IVFPQ_COARSE_K, iterations=_IVFPQ_COARSE_ITERS
+        )
+    return _COARSE_MEMO[sf_dir]
+
+
+def _ivfpq_oracle() -> str:
+    parts, cents = _pq_parts()
+    # coarse quantizer replay (identical arithmetic to the kmeans_cells gate)
+    kparts, kfinal = replay_ctes(_IVFPQ_COARSE_K, _IVFPQ_COARSE_ITERS, 64, prefix="kk")
+    parts.extend(kparts)
+    parts.append(f"""ca AS (
+        SELECT e.vec_id AS id, cr.cell,
+               SUM((e.embedding[cr.pos + 1]::DOUBLE - cr.m) * (e.embedding[cr.pos + 1]::DOUBLE - cr.m)) AS d2
+        FROM embeddings e JOIN {kfinal} cr ON true
+        GROUP BY e.vec_id, cr.cell
+    )""")
+    parts.append("""cc AS (
+        SELECT id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rk FROM ca
+        ) WHERE rk = 1
+    )""")
+    parts.append(f"""qp AS (
+        SELECT id AS query_id, cell FROM (
+            SELECT id, cell, row_number() OVER (PARTITION BY id ORDER BY d2, cell) AS rk FROM ca
+            WHERE id < {_N_Q}
+        ) WHERE rk <= {_IVFPQ_PROBE}
+    )""")
+    for m in range(_M):
+        off = m * _SUB
+        parts.append(f"""pt{m} AS (
+        SELECT q.vec_id AS query_id, cr.cell,
+               SUM((q.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m) * (q.embedding[cr.pos + 1 + {off}]::DOUBLE - cr.m)) AS t
+        FROM embeddings q JOIN {cents[m]} cr ON true
+        WHERE q.vec_id < {_N_Q}
+        GROUP BY q.vec_id, cr.cell
+    )""")
+    code_joins = " ".join(f"JOIN f{m} ON f{m}.id = cand.id" for m in range(_M))
+    tab_joins = " ".join(
+        f"JOIN pt{m} ON pt{m}.query_id = cand.query_id AND pt{m}.cell = f{m}.cell"
+        for m in range(_M)
+    )
+    dist = " + ".join(f"pt{m}.t" for m in range(_M))
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    cand AS (
+        SELECT DISTINCT qp.query_id, cc.id
+        FROM qp JOIN cc ON cc.cell = qp.cell
+        WHERE cc.id != qp.query_id
+    ),
+    dist AS (
+        SELECT cand.query_id, cand.id AS neighbor_id, ROUND({dist}, 6) AS adc_dist
+        FROM cand {code_joins} {tab_joins}
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank::INT AS rank FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_dist, neighbor_id) AS rank
+        FROM dist
+    ) WHERE rank <= {_TOPK}
+    """
+    )
+
+
+@register("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ serving architecture (the production vector-store
+    layout): an L2-trained coarse quantizer (k=8, 3 Lloyd iterations —
+    the exact kmeans_cells arithmetic) routes each query to its
+    _IVFPQ_PROBE nearest cells, and ONLY those cells' members are scored,
+    via PQ-ADC table lookups over the 4-code corpus representation.
+
+    Scale shape: candidate generation is an equi-join of the slim
+    (id, cell) index against the tiny probed-cell list; ADC scoring
+    touches candidates only, so per-query cost is E[cell size]×probes
+    table lookups — independent of both corpus size (IVF) and vector
+    dimension (PQ). Everything (coarse replay, codebooks, codes, tables,
+    lookups, ranking) is hash-replayed by the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = _coarse_centroids(spark, sf_dir)
+
+    # corpus cell index (argmin) + query probes (top-_IVFPQ_PROBE cells)
+    cc = assign_cells(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
+        coarse,
+        emb_col="emb",
+    ).select("id", "cell")
+    cframe = F.broadcast(
+        spark.createDataFrame([(coarse,)], "__kc: array<array<double>>")
+    )
+    qp = (
+        emb.filter(F.col("vec_id") < _N_Q)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(cframe)
+        .withColumn(
+            "__ranked",
+            F.slice(
+                F.array_sort(
+                    F.expr(
+                        "transform(__kc, (c, i) -> struct("
+                        "aggregate(zip_with(embedding, c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), 0.0D, (acc, v) -> acc + v) AS d2, "
+                        "i AS cell))"
+                    )
+                ),
+                1,
+                _IVFPQ_PROBE,
+            ),
+        )
+        .select("query_id", F.explode("__ranked").alias("__c"))
+        .select("query_id", F.col("__c.cell").alias("cell"))
+    )
+    cand = (
+        cc.join(F.broadcast(qp), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "id")
+        .distinct()
+    )
+
+    # PQ codes + per-query ADC tables (shared builders with sim_adc_topk_pq)
+    codes: DataFrame | None = None
+    books: list[list[list[float]]] = []
+    for m in range(_M):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
+        )
+        codebook = _trained_codebook(spark, sf_dir, m, sliced)
+        books.append(codebook)
+        assigned = assign_cells(
+            sliced.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
+            codebook,
+            emb_col="emb",
+        ).select("id", F.col("cell").alias(f"code{m}"))
+        codes = assigned if codes is None else codes.join(assigned, "id")
+
+    cb = F.broadcast(
+        spark.createDataFrame([(books,)], "__cb: array<array<array<double>>>")
+    )
+    qt = emb.filter(F.col("vec_id") < _N_Q).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).crossJoin(cb)
+
+    def _table_fn(sub_col):
+        return lambda c: F.aggregate(
+            F.zip_with(
+                sub_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    for m in range(_M):
+        sub = F.slice("embedding", m * _SUB + 1, _SUB)
+        qt = qt.withColumn(
+            f"__t{m}", F.transform(F.element_at("__cb", m + 1), _table_fn(sub))
+        )
+    qtabs = qt.select("query_id", *[f"__t{m}" for m in range(_M)])
+
+    dist = F.round(
+        sum(
+            (F.element_at(F.col(f"__t{m}"), F.col(f"code{m}") + 1) for m in range(1, _M)),
+            F.element_at(F.col("__t0"), F.col("code0") + 1),
+        ),
+        6,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        cand.join(codes, "id")
+        .join(F.broadcast(qtabs), "query_id")
+        .select("query_id", F.col("id").alias("neighbor_id"), dist.alias("adc_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

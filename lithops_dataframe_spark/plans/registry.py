@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "emb_pq_encode",
     "events_ewma_user_value",
     "sim_adc_topk_pq",
+    "sim_ivfpq_topk",
     "graph_triangle_count",
     # r02 driver-green proofs rotated out this round (re-prove first)
     "q01_pricing_summary",
