@@ -86,6 +86,9 @@ R3_ADDITIONS = [
     "emb_pq_encode",
     "events_ewma_user_value",
     "sim_adc_topk_pq",
+    "sim_ivfpq_topk",
+    "graph_triangle_count",
+    "stream_pyds_jsonl_sink",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -84,6 +84,10 @@ HEADLINE = [
     "sql_recursive_cte",
     "pyds_synthetic_source",
     "scalar_variant_props",
+    "sim_adc_topk_pq",
+    "sim_ivfpq_topk",
+    "events_ewma_user_value",
+    "graph_triangle_count",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
@@ -120,6 +124,11 @@ ALLOW_ONE_ROW_BROADCAST = {
     # one-row broadcast frames
     "text_bm25_search",
     "emb_pq_encode",
+    # codebook / coarse-centroid / ADC-table frames and the final
+    # scalar-count crossJoins are one-row broadcasts
+    "sim_adc_topk_pq",
+    "sim_ivfpq_topk",
+    "graph_triangle_count",
 }
 
 
