@@ -11,8 +11,9 @@ Layout
 - :mod:`~lithops_dataframe_spark.catalog`   — fixture/table loaders for the star schema
 - :mod:`~lithops_dataframe_spark.sources`   — readers/writers (CSV with the pandas option surface, parquet/json/orc)
 - :mod:`~lithops_dataframe_spark.frame`     — pandas-flavored veneer (reductions with skipna/min_count/ddof, apply, map_partitions)
-- :mod:`~lithops_dataframe_spark.operators` — joins (as-of/range), dedup, similarity search, text analysis, top-k, multimodal
-- :mod:`~lithops_dataframe_spark.plans`     — relational query library (TPC-H-shaped star-schema queries over the fixtures)
+- :mod:`~lithops_dataframe_spark.operators` — joins (as-of/range), dedup, similarity search (LSH/IVF/PQ/ADC), sketches (Bloom/CMS), clustering, multimodal, Z-order layout
+- :mod:`~lithops_dataframe_spark.functions` — hashing, text features, pure-stdlib media codecs (PNG/BMP/GIF/PPM/WAV)
+- :mod:`~lithops_dataframe_spark.plans`     — registered query library (TPC-H shapes, LLM-pipeline ops, each paired with a DuckDB oracle)
 - :mod:`~lithops_dataframe_spark.streaming` — Structured Streaming slice over the events table
 
 The reference's capability surface is documented in SURVEY.md; each module
