@@ -129,6 +129,9 @@ ALLOW_ONE_ROW_BROADCAST = {
     "sim_adc_topk_pq",
     "sim_ivfpq_topk",
     "graph_triangle_count",
+    # the GK-sketch answers ride as a one-row no-key aggregate broadcast
+    # into the rank-window predicate gate (round-3 tolerance oracle)
+    "frame_describe_approx",
 }
 
 
