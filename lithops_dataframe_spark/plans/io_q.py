@@ -331,3 +331,70 @@ def io_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(z).alias("min_z"),
         F.max(z).alias("max_z"),
     )
+
+
+_OPTIMIZE_ORACLE = """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+           TRUE AS compacted_ok,
+           TRUE AS clustered_ok
+    FROM lineitem
+"""
+
+
+@register("io_optimize_compact_zorder", oracle=_OPTIMIZE_ORACLE)
+def io_optimize_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style table maintenance (Delta ``OPTIMIZE ... ZORDER BY``
+    analog): a fragmented landing zone (48 tiny files) rewrites into a
+    handful of Z-order-clustered files in ONE pass — compaction and
+    multi-dimensional clustering are the same shuffle, so the maintenance
+    job costs one read + one range-exchange + one write.
+
+    The audit frame proves all three properties under the hash gate:
+    row/value conservation (n_rows/key_sum vs the oracle), file-count
+    reduction (compacted_ok), and genuine clustering — at least half the
+    output files must be fully disjoint from a 2-D predicate box on their
+    (min, max) stats (clustered_ok), which is what enables scan pruning.
+    Both booleans are computed from the actual written files and pinned
+    TRUE by the oracle, so a silent layout regression fails the sweep."""
+    import glob
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    frag_dir = os.path.join(_scratch("optfrag"), "li_frag")
+    li.repartition(48).write.mode("overwrite").parquet(frag_dir)
+    n_frag = len(glob.glob(os.path.join(frag_dir, "*.parquet")))
+
+    opt_dir = os.path.join(_scratch("optimized"), "li_zorder")
+    write_zordered(
+        spark.read.parquet(frag_dir), "l_partkey", "l_suppkey", opt_dir, n_files=8
+    )
+    n_opt = len(glob.glob(os.path.join(opt_dir, "*.parquet")))
+
+    back = spark.read.parquet(opt_dir)
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("l_partkey").alias("min_p"),
+            F.max("l_partkey").alias("max_p"),
+            F.min("l_suppkey").alias("min_s"),
+            F.max("l_suppkey").alias("max_s"),
+        )
+    )
+    # predicate box from io_zorder_roundtrip; a file is prunable iff its
+    # stats box misses the predicate box on either dimension
+    prunable = stats.filter(
+        (F.col("max_p") < _Z_PK[0])
+        | (F.col("min_p") > _Z_PK[1])
+        | (F.col("max_s") < _Z_SK[0])
+        | (F.col("min_s") > _Z_SK[1])
+    ).count()
+    n_files = stats.count()
+
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").cast("long").alias("key_sum"),
+        F.lit(n_opt < n_frag).alias("compacted_ok"),
+        F.lit(prunable * 2 >= n_files).alias("clustered_ok"),
+    )

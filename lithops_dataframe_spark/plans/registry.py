@@ -133,6 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "scalar_variant_props",
     # round-3 Z-order clustered layout (operators/layout.py)
     "io_zorder_roundtrip",
+    "io_optimize_compact_zorder",
     # round-3 retrieval + warehouse maintenance (plans/retrieval_q.py)
     "text_bm25_search",
     "scd2_customer_dim",
