@@ -75,3 +75,61 @@ def test_random_filter_group_agg_equivalence(spark, duck, spec):
         sql = f"SELECT {', '.join(sql_aggs)} FROM lineitem WHERE {' AND '.join(conds)}"
 
     assert_df_equal(result, duck.sql(sql))
+
+
+_join_spec = st.fixed_dictionaries(
+    {
+        "join_type": st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+        "bal_lo": st.integers(-999, 9000),
+        "status": st.sampled_from([None, "O", "F", "P"]),
+    }
+)
+
+_SQL_JOIN = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "left_semi": "SEMI JOIN",
+    "left_anti": "ANTI JOIN",
+}
+
+
+@settings(max_examples=20, deadline=None)
+@given(spec=_join_spec)
+def test_random_join_equivalence(spark, duck, spec):
+    """Random customer⋈orders joins across four join types with random
+    filters on both sides, reduced to integer-exact aggregates."""
+    cust = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_acctbal") >= spec["bal_lo"]
+    )
+    orders = load_table(spark, SF_SMOKE, "orders")
+    o_cond = "TRUE"
+    if spec["status"] is not None:
+        orders = orders.filter(F.col("o_orderstatus") == spec["status"])
+        o_cond = f"o_orderstatus = '{spec['status']}'"
+
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, spec["join_type"])
+    if spec["join_type"] in ("left_semi", "left_anti"):
+        result = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+        )
+        sql = (
+            f"SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum "
+            f"FROM customer {_SQL_JOIN[spec['join_type']]} "
+            f"(SELECT * FROM orders WHERE {o_cond}) o ON o.o_custkey = c_custkey "
+            f"WHERE c_acctbal >= {spec['bal_lo']}"
+        )
+    else:
+        result = joined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c_custkey").cast("long").alias("key_sum"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        sql = (
+            f"SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum, "
+            f"COUNT(o_orderkey) AS n_orders "
+            f"FROM (SELECT * FROM customer WHERE c_acctbal >= {spec['bal_lo']}) c "
+            f"{_SQL_JOIN[spec['join_type']]} "
+            f"(SELECT * FROM orders WHERE {o_cond}) o ON o.o_custkey = c.c_custkey"
+        )
+    assert_df_equal(result, duck.sql(sql))
