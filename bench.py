@@ -112,6 +112,11 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "sketch_filter": ["decontaminate_bloom_prefilter"],
     "lm": ["text_bigram_lm_quality"],
     "behavioral": ["events_sessionize_gap"],
+    # ADC serving: corpus codes scale linearly, query tables are constant.
+    # (graph_triangle_count is excluded like the pair ops: the 10x fixture
+    # multiplies the sampled co-activity clique, so the OUTPUT grows
+    # cubically for data reasons, which would measure the fixture.)
+    "pq_serving": ["sim_adc_topk_pq"],
 }
 SCALE_EXP_FLAG = 1.15
 SCALE_COPIES = 10
