@@ -108,6 +108,12 @@ PRIORITY: tuple[str, ...] = (
     "q02_min_cost_supplier",  # most complex never-gated TPC-H shape
     "q18_large_volume_customers",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # ROUND-4 ROTATION PLAN: the ~24 round-3 queries below (codecs,
+    # sketches, LM/privacy/behavioral, connectors, layout, retrieval,
+    # DQ, PQ/ADC/IVF-PQ, EWMA, triangles) have never had a driver row —
+    # promote them into slots 21-50 next round (keeping the 20 family
+    # anchors above) so CORRECTNESS_r04 hard-gates them; the r3-promoted
+    # singles they displace return to this block.
     # round-3 real-codec proofs (pure-stdlib PNG/BMP/PPM/GIF/JPEG/WAV
     # decoders, plans/codecs_q.py) — newest, so first in the 51+ block
     "mm_codec_probe",
