@@ -178,6 +178,7 @@ def scale_curve(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -236,7 +237,15 @@ def main() -> None:
         ),
         "r3_additions_total": round(sum(r3.values()), 4),
     }
-    if not os.environ.get("LDS_BENCH_NO_SCALE"):
+    # the curve costs extra minutes (10x fixture build + re-timings); skip
+    # it when the main passes already ran long (slow host / contention) so
+    # the ONE-json-line contract is met well inside any caller timeout
+    elapsed = time.perf_counter() - t_start
+    if os.environ.get("LDS_BENCH_NO_SCALE"):
+        pass
+    elif elapsed > 480:
+        out["scale_curve_skipped"] = f"main passes took {round(elapsed)}s"
+    else:
         out["scale_curve"] = scale_curve(spark, sf_dir, timings)
     print(json.dumps(out))
 
