@@ -46,16 +46,19 @@ def query_names() -> list[str]:
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries()
 # in dict order (round-1/2 evidence: CORRECTNESS_r0{1,2}.json are exactly
-# registry positions 1-50). Round-3 rotation (VERDICT_r02 task 1): slots
-# 1-20 keep one proven combined family-proof per SURVEY §2 family — plus
-# every query whose implementation CHANGES this round (csv_roundtrip,
-# sim_cosine_topk_lsh/ivf, mm_phash_neardup, frame_describe_approx), which
-# must re-prove under the hard gate — and slots 21-50 promote 30 queries
-# that have never had a driver row (previously verified only by the local
-# tools/driver_sim.py battery). Displaced r02-green queries move to 51+;
-# they remain covered by the local full-battery run.
+# registry positions 1-50). Round-4 rotation (VERDICT_r03 task 2): slots
+# 1-20 keep the 20 family anchors (one proven combined family-proof per
+# SURVEY §2 family; csv_roundtrip re-proves because read_csv gains bounded
+# skiprows this round). Slots 21-50 promote the 30 queries that have never
+# had a driver row: the 28 round-3 additions (codecs, sketches,
+# LM/privacy/behavioral, Python Data Source connectors, VARIANT, Z-order
+# layout, BM25/SCD2, recursive CTE, DQ suite, PQ/ADC/IVF-PQ, EWMA,
+# triangles) plus join_bucketed_colocated and agg_approx_count_distinct
+# (pass(L)-only since r1). The r3-promoted singles they displace return to
+# the 51+ block; they remain covered by the local tools/driver_sim.py
+# full-battery run.
 PRIORITY: tuple[str, ...] = (
-    # --- kept family anchors (r02 driver-green; zero-regression set) ---
+    # --- kept family anchors (driver-green r2+r3; zero-regression set) ---
     "q03_shipping_priority",  # core relational: scan/filter/join/agg/top-k
     "red_stats_combined",  # §2.4 reductions
     "join_types_combined",  # §2.3 left/right/full/semi/anti/cross/theta
@@ -66,56 +69,20 @@ PRIORITY: tuple[str, ...] = (
     "agg_percentiles_approx",  # §2.4 percentile scale path
     "scalar_funcs_combined",  # §2.8 string/date/math/array
     "scalar_json_map_events",  # §2.8 json+map (round-1 FAIL-env canary)
-    "csv_roundtrip",  # §2.1 sources — MODIFIED r3 (kwarg tail)
+    "csv_roundtrip",  # §2.1 sources — MODIFIED r4 (bounded skiprows)
     "udtf_long_token_index",  # §2.9 UDTF
     "stream_session_windows",  # §2.10 streaming
     "dedup_minhash_lsh_pairs",  # LLM dedup flagship
-    "sim_cosine_topk_lsh",  # ANN — MODIFIED r3 (multi-probe)
-    "sim_cosine_topk_ivf",  # ANN — MODIFIED r3 (trained centroids)
+    "sim_cosine_topk_lsh",  # ANN
+    "sim_cosine_topk_ivf",  # ANN (trained centroids)
     "kmeans_cells",  # clustering (IVF trainer)
     "text_hashed_tfidf",  # text flagship
-    "mm_phash_neardup",  # multimodal — MODIFIED r3 (non-vacuous pairs)
+    "mm_phash_neardup",  # multimodal near-dup
     "pipeline_clean_corpus",  # end-to-end composition
-    # --- 30 promotions: first-ever driver rows (r02 pass(L) only) ---
-    "red_stats_moments",  # grouped corr/covar/var/skew/kurt/median
-    "red_sum_axis1",  # axis-1 narrow reduction family
-    "dedup_fuzzy_levenshtein_pairs",
-    "chunk_documents_overlap",
-    "decontaminate_ngram_overlap",
-    "sample_k_per_stratum",
-    "stream_stateful_running_totals",  # real readStream + applyInPandasWithState
-    "mm_binaryfile_source",
-    "udf_map_in_arrow",
-    "sql_grouping_sets",
-    "sql_correlated_subquery",
-    "sql_cte_window_topn",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_math_funcs",
-    "scalar_array_funcs",
-    "join_left_outer_order_counts",
-    "join_full_outer_nation_coverage",
-    "join_theta_price_band",
-    "win_lag_lead_daily_revenue",
-    "win_cumsum_per_supplier",
-    "frame_apply_axis1",
-    "frame_map_partitions",
-    "frame_describe_approx",  # MODIFIED r3 (rank-tolerance oracle)
-    "io_compact_small_files",
-    "events_gapfill_daily",
-    "events_funnel",
-    "rollup_continuous_aggregate",
-    "q02_min_cost_supplier",  # most complex never-gated TPC-H shape
-    "q18_large_volume_customers",
-    # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-4 ROTATION PLAN: the ~24 round-3 queries below (codecs,
-    # sketches, LM/privacy/behavioral, connectors, layout, retrieval,
-    # DQ, PQ/ADC/IVF-PQ, EWMA, triangles) have never had a driver row —
-    # promote them into slots 21-50 next round (keeping the 20 family
-    # anchors above) so CORRECTNESS_r04 hard-gates them; the r3-promoted
-    # singles they displace return to this block.
+    # --- 30 promotions: first-ever driver rows ---
     # round-3 real-codec proofs (pure-stdlib PNG/BMP/PPM/GIF/JPEG/WAV
-    # decoders, plans/codecs_q.py) — newest, so first in the 51+ block
+    # decoders, plans/codecs_q.py) — GIF/BMP decoders MODIFIED r4
+    # (LZW width-boundary fix, descriptor-dim reshape, core-header BMP)
     "mm_codec_probe",
     "mm_codec_pixel_stats",
     "mm_codec_resize_real",
@@ -124,7 +91,8 @@ PRIORITY: tuple[str, ...] = (
     "decontaminate_bloom_prefilter",
     "sketch_cms_token_freq",
     "sketch_hll_union_by_type",
-    # round-3 LM/privacy/behavioral proofs (plans/lm_q.py)
+    # round-3 LM/privacy/behavioral proofs (plans/lm_q.py) —
+    # events_sessionize_gap re-proves if its 10x-exponent fix lands r4
     "text_bigram_lm_quality",
     "bpe_top_pairs",
     "text_pii_redaction",
@@ -152,7 +120,43 @@ PRIORITY: tuple[str, ...] = (
     "sim_adc_topk_pq",
     "sim_ivfpq_topk",
     "graph_triangle_count",
-    # r02 driver-green proofs rotated out this round (re-prove first)
+    # never-gated scale-path proofs (pass(L) since r1/r2)
+    "join_bucketed_colocated",
+    "agg_approx_count_distinct",
+    # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # r3-promoted singles rotated out this round (driver-green in
+    # CORRECTNESS_r03; still covered by the local full-battery run)
+    "red_stats_moments",
+    "red_sum_axis1",
+    "dedup_fuzzy_levenshtein_pairs",
+    "chunk_documents_overlap",
+    "decontaminate_ngram_overlap",
+    "sample_k_per_stratum",
+    "stream_stateful_running_totals",
+    "mm_binaryfile_source",
+    "udf_map_in_arrow",
+    "sql_grouping_sets",
+    "sql_correlated_subquery",
+    "sql_cte_window_topn",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "join_left_outer_order_counts",
+    "join_full_outer_nation_coverage",
+    "join_theta_price_band",
+    "win_lag_lead_daily_revenue",
+    "win_cumsum_per_supplier",
+    "frame_apply_axis1",
+    "frame_map_partitions",
+    "frame_describe_approx",
+    "io_compact_small_files",
+    "events_gapfill_daily",
+    "events_funnel",
+    "rollup_continuous_aggregate",
+    "q02_min_cost_supplier",
+    "q18_large_volume_customers",
+    # r02 driver-green proofs (rotated out in r3)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
@@ -195,14 +199,12 @@ PRIORITY: tuple[str, ...] = (
     "scalar_map_funcs",
     "split_stratified_rebalance",
     "join_salted_skew",
-    "join_bucketed_colocated",
     "win_rank_dense_ntile",
     "win_percent_cume",
     "join_cross_region_segment",
     "dedup_exact_fingerprint",
     "agg_percentiles",
     "agg_count_distinct",
-    "agg_approx_count_distinct",
     "agg_unpivot_melt",
     "agg_rollup_status_priority",
     "agg_cube_flag_status",
