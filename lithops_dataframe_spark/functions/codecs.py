@@ -338,9 +338,15 @@ def encode_png(arr: np.ndarray) -> bytes:
 
 def _decode_bmp(data: bytes) -> np.ndarray:
     pixel_off = struct.unpack_from("<I", data, 10)[0]
-    w, h_signed = struct.unpack_from("<ii", data, 18)
-    bpp = struct.unpack_from("<H", data, 28)[0]
-    compression = struct.unpack_from("<I", data, 30)[0]
+    dib_size = struct.unpack_from("<I", data, 14)[0]
+    if dib_size >= 40:  # BITMAPINFOHEADER and later
+        w, h_signed = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+    else:  # BITMAPCOREHEADER: 16-bit dims, no compression field (BI_RGB)
+        w, h_signed = struct.unpack_from("<hh", data, 18)
+        bpp = struct.unpack_from("<H", data, 24)[0]
+        compression = 0
     if compression != 0:
         raise NotImplementedError(f"bmp: compression {compression} unsupported")
     if bpp not in (24, 32):
@@ -552,8 +558,10 @@ def _decode_gif(data: bytes) -> np.ndarray:
             raise ValueError("gif: no image block")
         else:
             raise ValueError("gif: bad block")
-    _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, i + 1)
+    left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, i + 1)
     i += 10
+    if left + iw > w or top + ih > h:
+        raise ValueError("gif: image block exceeds logical screen")
     if ipacked & 0x40:
         raise NotImplementedError("gif: interlace unsupported")
     if ipacked & 0x80:  # local color table
@@ -613,12 +621,22 @@ def _decode_gif(data: bytes) -> np.ndarray:
             dyn.append(entry)
         else:
             raise ValueError("gif: invalid LZW code")
-        # mirror the encoder: widen immediately after the add
-        if prev is not None and n_base + 2 + len(dyn) > (1 << width) and width < 12:
+        # Widen when the NEXT code the encoder may emit would not fit:
+        # the decoder's table lags the encoder's by one entry, so the
+        # check is >= (at table size 2^width the encoder has already
+        # switched to width+1 for the code we are about to read).
+        if prev is not None and n_base + 2 + len(dyn) >= (1 << width) and width < 12:
             width += 1
         out += entry
         prev = entry
-    px = np.frombuffer(bytes(out[: w * h]), dtype=np.uint8).reshape(h, w)
+    # reshape with the image DESCRIPTOR's dims; an image smaller than or
+    # offset within the logical screen composes onto a background-index
+    # canvas (header byte 11 = background color index)
+    px = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8).reshape(ih, iw)
+    if (left, top, iw, ih) != (0, 0, w, h):
+        canvas = np.full((h, w), data[11], dtype=np.uint8)
+        canvas[top : top + ih, left : left + iw] = px
+        px = canvas
     rgb = gct[px]
     if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all():
         return np.ascontiguousarray(rgb[:, :, 0])  # grayscale palette

@@ -28,6 +28,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lithops_dataframe_spark import cache
+
 from lithops_dataframe_spark.functions import hashing as H
 from lithops_dataframe_spark.operators.util import ensure_parallelism
 
@@ -113,7 +115,7 @@ def minhash_lsh_pairs(
         # driver sessions).
         from pyspark import StorageLevel
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = cache.track(base.persist(StorageLevel.MEMORY_AND_DISK))
     # Slim postings: the band self-join shuffles only (id, band_idx,
     # band_key) — never the shingle arrays. Shingles rejoin AFTER candidate
     # dedup, so payload movement is O(candidates), not O(docs × bands).
@@ -274,6 +276,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    cache.track(labels)  # final labels frame backs the returned plan
     return labels.select("id", "cluster")
 
 
@@ -312,6 +315,7 @@ def simhash_pairs(
     base = with_simhash(ensure_parallelism(df.select(id_col, text_col)), text_col).select(
         F.col(id_col).alias("id"), F.col("__simhash").alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    cache.track(base)
     # persisted: the 60-bit fingerprint (60 per-bit votes over the token
     # hashes) feeds both sides of the block self-join — compute it once.
     blocks = base.select(
@@ -371,6 +375,7 @@ def ngram_jaccard_pairs(
     base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"), H.word_shingles(F.col(text_col), shingle_n).alias("sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    cache.track(base)
     # persisted: shingle arrays feed four lineages (both join sides of the
     # postings self-join + both size joins)
     sizes = base.select("id", F.size("sh").alias("n_sh"))

@@ -43,6 +43,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+
+from lithops_dataframe_spark import cache
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.operators.util import ensure_parallelism
@@ -557,6 +559,7 @@ def phash_neardup_pairs(media: DataFrame, *, max_hamming: int = PHASH_HAM_T) -> 
         .select("doc_id", "phash_blocks")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cache.track(imgs)
     post = imgs.select(
         "doc_id",
         F.posexplode("phash_blocks").alias("k", "blk"),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lithops_dataframe_spark import cache
+
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators.util import ensure_parallelism
 from lithops_dataframe_spark.plans.registry import register
@@ -414,6 +416,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    cache.track(e)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))

@@ -27,15 +27,30 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a query builder and its oracle SQL under ``name``."""
+    """Decorator: register a query builder and its oracle SQL under ``name``.
+
+    Each builder is wrapped to evict the PREVIOUS builder's tracked
+    persists on entry (see :mod:`lithops_dataframe_spark.cache`), so a
+    sequential many-query sweep never accumulates cached blocks beyond
+    one query's working set.
+    """
+    import functools
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from lithops_dataframe_spark import cache
+
+            cache.release_all()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lithops_dataframe_spark import cache
+
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import hashing as H
 from lithops_dataframe_spark.operators import sketches as SK
@@ -60,13 +62,15 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", H.word_shingles(F.col("text"), 3).alias("sh"))
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)  # feeds eval + probe sides
+    sh = cache.track(sh.persist(StorageLevel.MEMORY_AND_DISK))  # feeds eval + probe sides
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     ev = sh.filter(is_eval).select(F.explode("sh").alias("s")).distinct()
     # the filter frame is ≤ m/32 rows (~32k longs); persist so the k
     # broadcast probes reuse one build instead of recomputing the agg
-    bloom = SK.bloom_build(ev, "s", m_bits=_BLOOM_M, k=_BLOOM_K).persist(
-        StorageLevel.MEMORY_AND_DISK
+    bloom = cache.track(
+        SK.bloom_build(ev, "s", m_bits=_BLOOM_M, k=_BLOOM_K).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     train = sh.filter(~is_eval).select("doc_id", F.explode("sh").alias("s"))
     cand = SK.bloom_probe_hits(

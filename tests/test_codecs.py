@@ -232,6 +232,109 @@ def test_gif_lzw_compressed_stream_kwkwk():
     np.testing.assert_array_equal(out, np.array([[10, 10, 10]], dtype=np.uint8))
 
 
+def _pack_lsb(codes):
+    """Pack (code, width) pairs LSB-first into GIF LZW payload bytes."""
+    acc = n = 0
+    payload = bytearray()
+    for code, wd in codes:
+        acc |= code << n
+        n += wd
+        while n >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        payload.append(acc & 0xFF)
+    return bytes(payload)
+
+
+def _greedy_gif(img):
+    """Encode (h, w) uint8 via the CANONICAL greedy GIF-LZW (string table,
+    variable width, NO periodic clears) — the stream shape real encoders
+    emit, unlike encode_gif's literals-only scheme."""
+    import struct as st
+
+    h, w = img.shape
+    min_code = 8
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    codes = [(clear, width)]
+    s = b""
+    for px in img.flatten().tolist():
+        ns = s + bytes([px])
+        if ns in table:
+            s = ns
+            continue
+        codes.append((table[s], width))
+        table[ns] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        s = bytes([px])
+    codes.append((table[s], width))
+    codes.append((end, width))
+    payload = _pack_lsb(codes)
+    head = b"GIF89a" + st.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0)
+    blocks = bytearray([min_code])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + gct + bytes(desc) + bytes(blocks) + b"\x3b"
+
+
+def test_gif_greedy_lzw_width_boundary():
+    # 40x40 de-correlated 256-color image, greedy-compressed with no
+    # clears: the string table crosses the 9->10 (512) and 10->11 (1024)
+    # width boundaries — the decoder must widen when its NEXT free slot
+    # reaches 2^width (one entry before the naive > check fires), else it
+    # desyncs right at code 512.
+    img = ((np.arange(1600) * 193 + 71) % 256).astype(np.uint8).reshape(40, 40)
+    out = C.decode_image(_greedy_gif(img))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_gif_subimage_offset_compose():
+    # image descriptor smaller than + offset within the logical screen:
+    # decode must reshape with the DESCRIPTOR dims and compose onto a
+    # background-index canvas at (left, top)
+    import struct as st
+
+    inner = np.array([[5, 6], [7, 8]], dtype=np.uint8)
+    head = b"GIF89a" + st.pack("<HHBBB", 4, 3, 0xF7, 2, 0)  # bg index 2
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2c" + st.pack("<HHHHB", 1, 1, 2, 2, 0)  # left=1, top=1, 2x2
+    min_code = 8
+    codes = [(256, 9)] + [(int(p), 9) for p in inner.flatten()] + [(257, 9)]
+    payload = _pack_lsb(codes)
+    data = head + gct + desc + bytes([min_code, len(payload)]) + payload + b"\x00\x3b"
+    out = C.decode_image(data)
+    expect = np.full((3, 4), 2, dtype=np.uint8)
+    expect[1:3, 1:3] = inner
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_bmp_core_header_decode():
+    # BITMAPCOREHEADER (dib_size 12): 16-bit dims, bpp at offset 24, no
+    # compression field — previously misparsed with INFOHEADER offsets
+    import struct as st
+
+    img = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)  # 1x2 RGB
+    row = bytes([30, 20, 10, 60, 50, 40])  # BGR
+    row += b"\x00" * ((-len(row)) % 4)
+    core = st.pack("<IhhHH", 12, 2, 1, 1, 24)
+    hdr = st.pack("<2sIHHI", b"BM", 14 + 12 + len(row), 0, 0, 14 + 12)
+    out = C.decode_image(hdr + core + row)
+    np.testing.assert_array_equal(out, img)
+    info = C.probe_media(hdr + core + row)
+    assert (info["format"], info["width"], info["height"]) == ("bmp", 2, 1)
+
+
 def test_unknown_payloads_probe_none():
     assert C.probe_media(b"key agg row scan slow fast table") is None
     assert C.probe_media(b"") is None
