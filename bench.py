@@ -93,7 +93,9 @@ R3_ADDITIONS = [
 
 # Round-4 additions: same composition-stability rule — new queries this
 # round get timed and summed under their own key.
-R4_ADDITIONS: list[str] = []
+R4_ADDITIONS: list[str] = [
+    "join_asof_global_market_mark",
+]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent

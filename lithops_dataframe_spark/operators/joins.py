@@ -47,10 +47,19 @@ def asof_join(
     attributed to); when None the bookkeeping column is dropped.
 
     Implementation: tag and union both sides, sort within key partitions by
-    the ``on`` column, and carry the last-seen right-side values forward with
-    ``last(..., ignorenulls=True)`` over an unbounded-preceding window —
-    a single shuffle on ``by`` (or a global range partition when ``by`` is
-    None), linear work, no join explosion.
+    the ``on`` column, and carry the last-seen right ROW (an atomic struct,
+    so a matched row's own nulls are carried as-is rather than mixed with
+    older rows' values) forward with ``last(..., ignorenulls=True)`` over an
+    unbounded-preceding window — a single shuffle on ``by``, linear work,
+    no join explosion.
+
+    ``by=None`` (global as-of) cannot use ``Window.orderBy`` alone — that
+    is a single task. Instead: range-partition the union on ``on`` (equal
+    keys land in one partition, so tie handling stays intra-partition),
+    carry within each partition, then patch rows that precede their
+    partition's first right row with the previous partitions' carry-out —
+    a second tiny pass over one boundary row per partition. Two parallel
+    shuffles total; no single-task stage.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -83,21 +92,61 @@ def asof_join(
         order = [F.col(on).asc(), tie]
     else:
         order = [F.col(on).desc(), tie]
-    w = (
-        Window.partitionBy(*by_cols).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-        if by_cols
-        else Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    # the matched right row travels as ONE struct (its own nulls included)
+    rstruct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            *[F.col(rmap[c]) for c in rcols], F.col(on).alias("__matched_on")
+        ),
     )
 
-    carried = unioned.select(
+    if by_cols:
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        carried = unioned.withColumn("__r", F.last(rstruct, ignorenulls=True).over(w))
+    else:
+        # global as-of: range-partition so equal `on` values co-locate,
+        # carry per partition, then cumulate per-partition carry-outs
+        # (one tiny row each) into carry-ins for the partition after them
+        sort_col = F.col(on).asc() if direction == "backward" else F.col(on).desc()
+        part = unioned.repartitionByRange(sort_col).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        wp = (
+            Window.partitionBy("__pid")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = part.withColumn("__r", F.last(rstruct, ignorenulls=True).over(wp))
+        # Per-partition carry-out as a map-side-combinable aggregate (not a
+        # second full window): the right row with the extreme `on` per pid;
+        # max_by/min_by ignore the null keys left rows contribute, and a
+        # pid with no right rows keeps a row with a NULL carry-out (so the
+        # cumulative carry-in below skips over it, not past it).
+        pick = F.max_by if direction == "backward" else F.min_by
+        bounds = part.groupBy("__pid").agg(
+            pick(rstruct, F.when(F.col("__is_left") == 0, F.col(on))).alias("__co")
+        )
+        wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        carry_in = bounds.select(
+            "__pid", F.last("__co", ignorenulls=True).over(wcum).alias("__ci")
+        )
+        carried = (
+            local.join(F.broadcast(carry_in), "__pid", "left")
+            .withColumn("__r", F.coalesce(F.col("__r"), F.col("__ci")))
+            .drop("__pid", "__ci")
+        )
+
+    out = carried.filter(F.col("__is_left") == 1).select(
         *by_cols,
         on,
-        "__is_left",
         *[F.col(c) for c in lcols],
-        *[F.last(rmap[c], ignorenulls=True).over(w).alias(rmap[c]) for c in rcols],
-        F.last(F.when(F.col("__is_left") == 0, F.col(on)), ignorenulls=True).over(w).alias("__asof_" + on),
+        *[F.col("__r")[rmap[c]].alias(rmap[c]) for c in rcols],
+        F.col("__r")["__matched_on"].alias("__asof_" + on),
     )
-    out = carried.filter(F.col("__is_left") == 1).drop("__is_left")
     if matched_on is not None:
         out = out.withColumnRenamed("__asof_" + on, matched_on)
     else:

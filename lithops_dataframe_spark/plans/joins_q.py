@@ -147,6 +147,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_global_market_mark",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS mark_ts, c.mark_value
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT ts, ROUND(MAX(value), 4) AS mark_value
+                    FROM events WHERE event_type = 'click' GROUP BY ts) c
+      ON p.ts >= c.ts
+    """,
+)
+def join_asof_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL as-of (``by=None``): attach to every purchase the most recent
+    click-mark anywhere in the stream. Exercises the range-partitioned
+    two-pass carry in :func:`asof_join` — no single-task window. The right
+    side is deduped to one row per ts so the nearest match is unique and
+    the DuckDB ASOF JOIN oracle is deterministic."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    marks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("ts")
+        .agg(F.round(F.max("value"), 4).alias("mark_value"))
+    )
+    return asof_join(purchases, marks, on="ts", matched_on="mark_ts")
+
+
+@register(
     "join_range_value_bands",
     oracle="""
     SELECT b.band_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value

@@ -68,10 +68,10 @@ def query_names() -> list[str]:
 # had a driver row: the 28 round-3 additions (codecs, sketches,
 # LM/privacy/behavioral, Python Data Source connectors, VARIANT, Z-order
 # layout, BM25/SCD2, recursive CTE, DQ suite, PQ/ADC/IVF-PQ, EWMA,
-# triangles) plus join_bucketed_colocated and agg_approx_count_distinct
-# (pass(L)-only since r1). The r3-promoted singles they displace return to
-# the 51+ block; they remain covered by the local tools/driver_sim.py
-# full-battery run.
+# triangles) plus the NEW global as-of query (two-pass carry lands this
+# round) and join_bucketed_colocated (pass(L)-only since r2). The
+# r3-promoted singles they displace return to the 51+ block; they remain
+# covered by the local tools/driver_sim.py full-battery run.
 PRIORITY: tuple[str, ...] = (
     # --- kept family anchors (driver-green r2+r3; zero-regression set) ---
     "q03_shipping_priority",  # core relational: scan/filter/join/agg/top-k
@@ -135,10 +135,14 @@ PRIORITY: tuple[str, ...] = (
     "sim_adc_topk_pq",
     "sim_ivfpq_topk",
     "graph_triangle_count",
-    # never-gated scale-path proofs (pass(L) since r1/r2)
+    # NEW r4: global as-of via range-partitioned two-pass carry (by=None
+    # previously degraded to a single-task window — VERDICT_r03 task 5)
+    "join_asof_global_market_mark",
+    # never-gated scale-path proof (pass(L) since r2)
     "join_bucketed_colocated",
-    "agg_approx_count_distinct",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # next first-ever driver row candidate for round 5
+    "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in
     # CORRECTNESS_r03; still covered by the local full-battery run)
     "red_stats_moments",

@@ -84,3 +84,52 @@ def test_range_join_matches_bruteforce(spark):
     exp = pts.merge(iv, how="cross")
     exp = exp[(exp["p"] >= exp["lo"]) & (exp["p"] < exp["hi"])]
     assert sorted(zip(got["pid"], got["iid"])) == sorted(zip(exp["pid"], exp["iid"]))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_global_multi_partition(spark, direction):
+    """by=None at scale: the union is range-partitioned (here forced to 6
+    partitions well below row count) and carried in two passes — results
+    must still match pandas merge_asof exactly, including left rows whose
+    match lives in an EARLIER partition (carry-in patch path)."""
+    rng = np.random.RandomState(11)
+    l = pd.DataFrame({"t": np.sort(rng.uniform(0, 1000, 400)), "lv": np.arange(400)})
+    # sparse right side => long runs of left rows (and whole partitions)
+    # with no local right row, exercising the boundary carry
+    r = pd.DataFrame({"t": np.sort(rng.uniform(0, 1000, 7)), "rv": np.arange(7)})
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    old_coalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "6")
+    # AQE would legitimately coalesce this tiny shuffle back to 1 task;
+    # disable so the test actually runs the multi-partition carry path
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        sdf = asof_join(
+            spark.createDataFrame(l).repartition(6),
+            spark.createDataFrame(r).repartition(3),
+            on="t",
+            direction=direction,
+        )
+        assert sdf.rdd.getNumPartitions() > 1
+        got = sdf.toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
+    exp = pd.merge_asof(l, r, on="t", direction=direction)
+    got = got.sort_values("lv").reset_index(drop=True)
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+
+
+def test_asof_carries_matched_rows_own_nulls(spark):
+    """The matched right row travels as one struct: a null in the nearest
+    right row must NOT be backfilled from an older right row (pandas
+    semantics), which per-column last(ignorenulls) would get wrong."""
+    l = pd.DataFrame({"t": [5.0], "g": ["a"]})
+    r = pd.DataFrame(
+        {"t": [1.0, 3.0], "g": ["a", "a"], "rv": [111.0, None], "rw": [7.0, 8.0]}
+    )
+    out = asof_join(
+        spark.createDataFrame(l), spark.createDataFrame(r), on="t", by="g"
+    ).toPandas()
+    assert out["rw"].tolist() == [8.0]
+    assert pd.isna(out["rv"]).all(), "nearest row's null must be carried as-is"
