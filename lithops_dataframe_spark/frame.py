@@ -604,14 +604,26 @@ class LDFrame:
         aggregate: Callable[[pd.DataFrame], pd.DataFrame],
         meta: T.StructType | str,
         chunk_meta: T.StructType | str | None = None,
+        combine: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
+        split_every: int | None = None,
     ) -> DataFrame:
-        """Generic chunk→aggregate tree reduction (reference core.py:15-144).
+        """Generic chunk→combine→aggregate tree reduction (reference
+        core.py:15-144, defaults at core.py:59).
 
-        ``chunk`` runs per partition (map-side, Arrow-batched); the partial
-        frames are coalesced and ``aggregate`` runs once over their concat.
-        Spark's exchange replaces the reference's ``split_every`` combine
-        tree — on a cluster the partials are tiny (one row-group per
-        partition), so a single final task is the right shape.
+        ``chunk`` runs per partition (map-side, Arrow-batched). When
+        ``combine``/``split_every`` are given, partials are reduced through
+        tree levels of ``combine`` — each level groups ``split_every``
+        upstream partitions' partials into one ``combine`` call (a shuffle
+        of the tiny partial rows, not the data) — until at most
+        ``split_every`` partials remain; then ``aggregate`` runs once over
+        their concat. With neither given, partials feed ``aggregate``
+        directly (the reference's ``split_every=False``) — the right shape
+        while partials are one row per partition; pass ``combine`` when
+        chunk output is wide enough that a single final task would bottleneck.
+
+        ``combine`` defaults to ``aggregate`` (reference contract), which
+        requires ``meta == chunk_meta``; intermediate combine output must
+        conform to ``chunk_meta``.
         """
         chunk_schema = chunk_meta or meta
         cs = chunk_schema if isinstance(chunk_schema, T.StructType) else T._parse_datatype_string(chunk_schema)
@@ -627,4 +639,19 @@ class LDFrame:
             yield aggregate(pd.concat(allp, ignore_index=True) if allp else pd.DataFrame())
 
         partials = self._df.mapInPandas(run_chunk, cs)
+        if combine is not None or split_every:
+            se = int(split_every) if split_every else 8
+            if se < 2:
+                raise ValueError("split_every must be >= 2")
+            comb = combine if combine is not None else aggregate
+
+            def run_combine(pdf: pd.DataFrame) -> pd.DataFrame:
+                return comb(pdf.drop(columns=["__gid"]))
+
+            n = self._df.rdd.getNumPartitions()
+            while n > se:
+                partials = partials.withColumn(
+                    "__gid", (F.spark_partition_id() / F.lit(se)).cast("long")
+                ).groupBy("__gid").applyInPandas(run_combine, cs)
+                n = -(-n // se)  # ceil: groups remaining after this level
         return partials.coalesce(1).mapInPandas(run_agg, fs)

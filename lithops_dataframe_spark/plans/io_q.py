@@ -43,7 +43,9 @@ def _scratch(name: str) -> str:
                AS n_cats,
            CAST(SUM(p_size * 1000) AS BIGINT) AS msize_sum,
            ROUND(SUM(p_retailprice), 2) AS eu_price_sum,
-           COUNT(DISTINCT lower(p_type)) AS n_type_lower
+           COUNT(DISTINCT lower(p_type)) AS n_type_lower,
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_nations,
+           CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS nation_key_sum
     FROM part
     """,
 )
@@ -116,6 +118,26 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         decimal=",",
         converters={"p_type_up": str.lower},
     )
+    # bounded-skiprows leg (r4): a SINGLE file with a 2-line junk preamble
+    # then header then the 25-row nation table (driver-written — bounded);
+    # read_csv(skiprows=2) must skip the junk, take the header from line 2,
+    # and driver-side-infer the schema
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .toPandas()
+    )
+    sp = os.path.join(_scratch("csvskip"), "nation_preamble.csv")
+    with open(sp, "w") as f:
+        f.write("# legacy export, do not parse\ngenerated: long ago\n")
+        f.write("n_nationkey,n_name\n")
+        for r in nat.itertuples():
+            f.write(f"{r.n_nationkey},{r.n_name}\n")
+    skip_agg = read_csv(spark, sp, skiprows=2).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("nation_key_sum"),
+    )
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("p_partkey").alias("key_sum"),
@@ -128,7 +150,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_msize").alias("msize_sum"),
         F.round(F.sum("p_euprice"), 2).alias("eu_price_sum"),
         F.countDistinct("p_type_up").alias("n_type_lower"),
-    )
+    ).crossJoin(skip_agg)
 
 
 @register(

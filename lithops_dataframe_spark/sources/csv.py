@@ -52,6 +52,27 @@ _PANDAS_TO_SPARK_DTYPE = {
 }
 
 
+def _snoop_head(spark: SparkSession, filepath: str, nbytes: int = 262144) -> bytes:
+    """Driver-side bounded read of a file's first ``nbytes`` — local paths
+    directly, anything with a scheme through the Hadoop FS API (so the
+    same code path serves s3a/gs/abfss)."""
+    if "://" not in filepath:
+        with open(filepath, "rb") as f:
+            return f.read(nbytes)
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(filepath)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(path)
+    try:
+        arr = spark.sparkContext._gateway.new_array(jvm.byte, nbytes)
+        n = stream.read(arr, 0, nbytes)
+        if n <= 0:
+            return b""
+        return bytes(bytearray((b & 0xFF) for b in arr[:n]))
+    finally:
+        stream.close()
+
+
 def read_csv(
     spark: SparkSession,
     filepath: str,
@@ -93,8 +114,19 @@ def read_csv(
     regexp_replace before the numeric cast — affected columns read as raw
     strings), and ``converters`` (one Arrow-batched mapInPandas pass over
     raw tokens; results re-stringified, combine with ``dtype`` to type
-    them). ``skiprows`` still raises: a parallel scan has no stable row
-    order to skip from.
+    them).
+
+    ``skiprows=n`` (int) is honored for SINGLE-file inputs (the
+    header-junk-preamble case a pandas porter actually hits): the first
+    ``n`` physical lines are skipped, the header — when present — is read
+    from line ``n`` (snooped driver-side with a bounded read through the
+    Hadoop FS API, so object-store paths work too), and the distributed
+    scan drops the preamble rows via a ``monotonically_increasing_id``
+    prefix filter (partition 0 of a single-file scan is the file head).
+    Globs/directories still raise — a multi-file parallel scan has no
+    stable global row order to skip from — as do list-valued ``skiprows``
+    and preamble lines containing unbalanced quotes (they would swallow
+    following lines in the line-splitting scan).
     """
     reader = spark.read
     opts: dict[str, str] = {
@@ -131,6 +163,61 @@ def read_csv(
         opts["nullValue"] = na_values[0]
     opts.update(extra_options)
 
+    skip_total = 0
+    if skiprows:
+        if not isinstance(skiprows, int) or isinstance(skiprows, bool):
+            raise ValueError(
+                "skiprows: only a bounded int is supported distributed "
+                "(a list of row indices has no stable global row order)"
+            )
+        if any(ch in filepath for ch in "*?[") or "," in filepath:
+            raise ValueError(
+                "skiprows requires a single concrete file: a multi-file scan "
+                "has no stable global row order to skip from"
+            )
+        import csv as _csvmod
+        import io as _io
+
+        head = _snoop_head(spark, filepath).decode(encoding or "utf-8", errors="replace")
+        lines = head.splitlines()
+        if len(lines) <= skiprows:
+            raise ValueError(f"skiprows={skiprows} exceeds the snooped file head ({len(lines)} lines)")
+        for ln in lines[:skiprows]:
+            if quotechar and ln.count(quotechar) % 2:
+                raise ValueError(
+                    "skiprows: preamble line contains an unbalanced quote — it "
+                    "would swallow following lines in the line-splitting scan"
+                )
+        body = lines[skiprows:]
+        if names is None:
+            if not has_header:
+                raise ValueError("skiprows without a header line requires names=")
+            names = next(_csvmod.reader(_io.StringIO(body[0]), delimiter=sep, quotechar=quotechar))
+        if dtype is None:
+            import pandas as _pd
+
+            # bounded driver-side type inference over the post-preamble
+            # sample (the distributed reader can't infer — it would fold
+            # the junk lines into every column's type)
+            sample = "\n".join(body[:-1] if len(body) > 1 else body)
+            pdf = _pd.read_csv(
+                _io.StringIO(sample),
+                sep=sep,
+                header=0 if has_header else None,
+                names=None if has_header else list(names),
+                quotechar=quotechar,
+                nrows=1000,
+            )
+            dtype = {
+                str(names[i]): str(pdf.dtypes.iloc[i]) for i in range(len(names))
+            }
+        # the distributed read now runs header=false with the explicit
+        # (names, dtype) schema; the preamble (+ header line, when present)
+        # rows are dropped by a monotonic-id prefix filter below
+        skip_total = skiprows + (1 if has_header else 0)
+        has_header = False
+        opts["header"] = "false"
+
     schema: T.StructType | None = None
     deferred: set[str] = set()  # columns read as string for post-processing
     if names is not None and dtype is not None:
@@ -166,6 +253,14 @@ def read_csv(
         opts["inferSchema"] = str(sample_infer and not raw_needed).lower()
 
     df = reader.options(**opts).csv(filepath)
+
+    if skip_total:
+        from pyspark.sql import functions as F
+
+        # single-file scan: partition 0 is the file head (splits are taken
+        # in offset order for one file), so ids 0..skip_total-1 are exactly
+        # the preamble + header rows; later partitions' ids start at 2^33
+        df = df.filter(F.monotonically_increasing_id() >= F.lit(skip_total))
 
     if names is not None and schema is None:
         if len(names) != len(df.columns):
@@ -242,8 +337,6 @@ def read_csv(
     if parse_dates and schema is None:
         for c in parse_dates:
             df = df.withColumn(c, df[c].cast("timestamp"))
-    if skiprows:
-        raise ValueError("skiprows is not supported distributed (no stable row order in a parallel scan)")
     if usecols is not None:
         df = df.select(*usecols)
     if nrows is not None:

@@ -139,6 +139,48 @@ def test_generic_reduction(ldf):
     assert out[0]["total"] == int(EDGE["c"].sum()) and out[0]["rows"] == len(EDGE)
 
 
+def test_reduction_combine_tree(spark):
+    """combine/split_every (reference core.py:15-144): partials flow
+    through tree levels of `combine` before the final `aggregate`; the
+    result must equal the no-tree answer and the plan must actually
+    contain the grouped combine stages."""
+    big = pd.DataFrame({"c": range(1, 101)})
+    ldf9 = LDFrame(spark.createDataFrame(big).repartition(9))
+    out = ldf9.reduction(
+        chunk=lambda pdf: pd.DataFrame({"s": [pdf["c"].sum()], "n": [len(pdf)]}),
+        combine=lambda pdf: pd.DataFrame({"s": [pdf["s"].sum()], "n": [pdf["n"].sum()]}),
+        aggregate=lambda pdf: pd.DataFrame(
+            {
+                "mean_c": [float(pdf["s"].sum()) / int(pdf["n"].sum())],
+                "rows": [int(pdf["n"].sum())],
+            }
+        ),
+        meta="mean_c double, rows long",
+        chunk_meta="s long, n long",
+        split_every=3,
+    )
+    # 9 partitions, split_every=3 -> one combine level (9 -> 3, then <=
+    # split_every partials remain and aggregate takes over)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    row = out.collect()[0]
+    assert row["rows"] == 100 and _close(row["mean_c"], 50.5)
+
+
+def test_reduction_combine_defaults_to_aggregate(spark):
+    """combine omitted but split_every set: aggregate serves as combine
+    (requires meta == chunk_meta), matching the reference default."""
+    big = pd.DataFrame({"c": range(1, 41)})
+    ldf8 = LDFrame(spark.createDataFrame(big).repartition(8))
+    out = ldf8.reduction(
+        chunk=lambda pdf: pd.DataFrame({"s": [pdf["c"].sum()]}),
+        aggregate=lambda pdf: pd.DataFrame({"s": [pdf["s"].sum()]}),
+        meta="s long",
+        split_every=4,
+    ).collect()
+    assert out[0]["s"] == sum(range(1, 41))
+
+
 def test_groupby_describe_matches_pandas(spark):
     """groupby().describe() (flat columns) matches the pandas equivalent on
     the smoke fixture for count/mean/std/min/max; the sketch median is

@@ -80,9 +80,42 @@ def test_read_csv_names_header0_dtype_schema(spark, tmp_path):
     assert sorted(map(tuple, df.collect())) == [(1, 1.5), (2, 2.5)]
 
 
-def test_read_csv_skiprows_rejected(spark, csv_path):
-    with pytest.raises(ValueError, match="skiprows"):
-        read_csv(spark, csv_path, skiprows=2)
+def test_read_csv_skiprows_preamble_matches_pandas(spark, tmp_path):
+    """Bounded skiprows on a single file: junk preamble, then header, then
+    data — must equal pandas read_csv(skiprows=n) including inferred types."""
+    import pandas as pd
+
+    p = tmp_path / "junk.csv"
+    p.write_text("# exported 2024-05-01\nsource: legacy system\n" + CSV_BODY)
+    df = read_csv(spark, str(p), skiprows=2)
+    exp = pd.read_csv(p, skiprows=2)
+    assert df.columns == list(exp.columns)
+    assert [f.dataType.simpleString() for f in df.schema.fields][:2] == ["bigint", "string"]
+    got = sorted((r["a"], r["b"]) for r in df.collect())
+    assert got == sorted(zip(exp["a"].tolist(), exp["b"].fillna("").map(lambda v: v or None)))
+
+
+def test_read_csv_skiprows_names_header0(spark, tmp_path):
+    import pandas as pd
+
+    p = tmp_path / "junk2.csv"
+    p.write_text("junk line\n" + CSV_BODY)
+    names = ["c1", "c2", "c3", "c4"]
+    df = read_csv(spark, str(p), skiprows=1, header=0, names=names, dtype={"c1": "int64"})
+    exp = pd.read_csv(p, skiprows=1, header=0, names=names)
+    assert df.columns == names
+    assert sorted(r["c1"] for r in df.collect()) == sorted(exp["c1"].tolist())
+
+
+def test_read_csv_skiprows_rejected_forms(spark, csv_path, tmp_path):
+    with pytest.raises(ValueError, match="single concrete file"):
+        read_csv(spark, str(tmp_path / "*.csv"), skiprows=2)
+    with pytest.raises(ValueError, match="bounded int"):
+        read_csv(spark, csv_path, skiprows=[0, 2])
+    p = tmp_path / "badquote.csv"
+    p.write_text('it"s junk\n' + CSV_BODY)
+    with pytest.raises(ValueError, match="unbalanced quote"):
+        read_csv(spark, str(p), skiprows=1)
 
 
 def test_write_parquet_roundtrip(spark, tmp_path):
