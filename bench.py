@@ -128,7 +128,18 @@ SCALE_EXP_FLAG = 1.15
 SCALE_COPIES = 10
 
 
-def scale_curve(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
+def _run_noop(df) -> None:
+    """Materialize every row through Spark's no-op sink: full scan /
+    shuffle / window / agg work, zero driver transfer. The curve measures
+    ENGINE scaling — a .collect() here would instead measure py4j row
+    serialization of result sets that legitimately grow with the data
+    (r3 lesson: events_sessionize_gap 'exponent 1.11' was 6 s of
+    collecting 950k session rows over a 0.97 s compute; at 100 TB results
+    are written to a sink, not collected)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def scale_curve(spark, sf_dir: str) -> dict:
     import math
     import tempfile
 
@@ -140,15 +151,23 @@ def scale_curve(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
     build(spark, sf_dir, out_dir, copies=SCALE_COPIES)
 
     names = [n for fam in SCALE_FAMILIES.values() for n in fam if n in _Q]
+    # base and 10x BOTH timed through the noop sink (same action shape on
+    # both ends of the ratio; the main-pass collect timings stay the
+    # headline metric, this curve isolates plan scaling)
+    tb: dict[str, float] = {}
     t10: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
-        _Q[name](spark, out_dir).collect()
+        _run_noop(_Q[name](spark, sf_dir))
+        tb[name] = round(time.perf_counter() - start, 4)
+    for name in names:
+        start = time.perf_counter()
+        _run_noop(_Q[name](spark, out_dir))
         t10[name] = round(time.perf_counter() - start, 4)
 
     per_q: dict[str, dict] = {}
     for name in names:
-        t1 = base_timings.get(name)
+        t1 = tb.get(name)
         exp = (
             round(math.log10(t10[name] / t1) / math.log10(SCALE_COPIES), 3)
             if t1 and t1 > 0.05
@@ -156,11 +175,14 @@ def scale_curve(spark, sf_dir: str, base_timings: dict[str, float]) -> dict:
         )
         per_q[name] = {"t_base": t1, "t_10x": t10[name], "exponent": exp}
     # a lone timing is exposed to the host's rare multi-second freezes:
-    # re-time anything flagged and keep the min before judging it
+    # re-time anything flagged (both ends) and keep the min before judging
     for name, d in per_q.items():
         if d["exponent"] is not None and d["exponent"] > SCALE_EXP_FLAG and d["t_10x"] > 1.0:
             start = time.perf_counter()
-            _Q[name](spark, out_dir).collect()
+            _run_noop(_Q[name](spark, sf_dir))
+            d["t_base"] = round(min(d["t_base"], time.perf_counter() - start), 4)
+            start = time.perf_counter()
+            _run_noop(_Q[name](spark, out_dir))
             d["t_10x"] = round(min(d["t_10x"], time.perf_counter() - start), 4)
             d["exponent"] = round(
                 math.log10(d["t_10x"] / d["t_base"]) / math.log10(SCALE_COPIES), 3
@@ -265,7 +287,7 @@ def main() -> None:
     elif elapsed > 480:
         full["scale_curve_skipped"] = f"main passes took {round(elapsed)}s"
     else:
-        curve = scale_curve(spark, sf_dir, timings)
+        curve = scale_curve(spark, sf_dir)
         full["scale_curve"] = curve
         with open(os.path.join(repo, "SCALECURVE.json"), "w") as f:
             json.dump(curve, f, indent=1)
