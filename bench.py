@@ -95,6 +95,7 @@ R3_ADDITIONS = [
 # round get timed and summed under their own key.
 R4_ADDITIONS: list[str] = [
     "join_asof_global_market_mark",
+    "mm_codec_jpeg_roundtrip",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -51,6 +51,8 @@ __all__ = [
     "encode_gif",
     "encode_gif_header",
     "encode_jpeg_header",
+    "encode_jpeg",
+    "decode_jpeg",
     "resize_nearest",
     "ahash_bits",
 ]
@@ -202,9 +204,9 @@ def decode_image(data: bytes) -> np.ndarray:
     """Decode a PNG / BMP / PPM / PGM payload to a uint8 numpy array of
     shape ``(h, w)`` (grayscale) or ``(h, w, channels)``.
 
-    Raises ``NotImplementedError`` for probe-only formats (JPEG/GIF pixel
-    data needs entropy decoders unavailable here) and ``ValueError`` for
-    unrecognized or malformed payloads.
+    Raises ``NotImplementedError`` for unsupported encodings (progressive
+    JPEG, PNG Adam7, …) and ``ValueError`` for unrecognized or malformed
+    payloads.
     """
     info = probe_media(data)
     if info is None:
@@ -218,6 +220,10 @@ def decode_image(data: bytes) -> np.ndarray:
         return _decode_pnm(data)
     if fmt == "gif":
         return _decode_gif(data)
+    if fmt == "jpeg":
+        from lithops_dataframe_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"decode_image: {fmt} is probe-only in this environment (no entropy decoder)"
     )
@@ -641,6 +647,9 @@ def _decode_gif(data: bytes) -> np.ndarray:
     if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all():
         return np.ascontiguousarray(rgb[:, :, 0])  # grayscale palette
     return np.ascontiguousarray(rgb)
+
+
+from lithops_dataframe_spark.functions.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
 
 
 def encode_jpeg_header(w: int, h: int) -> bytes:

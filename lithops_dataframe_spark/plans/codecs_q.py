@@ -154,3 +154,66 @@ def mm_codec_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     amplitude mean/RMS over exact integer sums must match the oracle's
     arithmetic replay of the sample formula."""
     return M.wav_pcm_stats(_payloads(spark, sf_dir))
+
+
+_JPEG_ORACLE = f"""
+    SELECT doc_id,
+           (8 + doc_id % 13)::INT AS width,
+           (8 + (doc_id * 7) % 11)::INT AS height,
+           3::INT AS channels,
+           TRUE AS gray_within_1,
+           TRUE AS rgb444_within_3,
+           TRUE AS rgb420_within_4
+    FROM documents WHERE doc_id % 6 = 4
+"""
+
+
+@register("mm_codec_jpeg_roundtrip", oracle=_JPEG_ORACLE)
+def mm_codec_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode (functions/jpeg.py — from-scratch Huffman
+    entropy decode + IDCT, round 4; upgrades r3's header-probe-only path).
+    Per 'jpeg' document three encode→decode legs run executor-side:
+    grayscale with restart intervals (tolerance ±1: all-ones quant tables
+    leave only DCT float rounding), RGB 4:4:4 (±3: adds the YCbCr
+    transform), and RGB 4:2:0 on a smooth gradient (±4: adds chroma
+    averaging + replication upsample). Lossy decode can't be replayed
+    arithmetically in SQL, so the oracle pins the tolerance booleans TRUE
+    and checks dims/channels exactly — the sketch-query pattern."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 6 = 4").select("doc_id")
+
+    def fn(batches):
+        from lithops_dataframe_spark.functions.jpeg import decode_jpeg, encode_jpeg
+        from lithops_dataframe_spark.operators.multimodal import _codec_pixels
+
+        for pdf in batches:
+            rows = []
+            for d in (int(v) for v in pdf["doc_id"]):
+                g = _codec_pixels(d)
+                h, w = g.shape
+                out_g = decode_jpeg(encode_jpeg(g, restart_interval=2))
+                gray_ok = int(np.abs(out_g.astype(int) - g.astype(int)).max()) <= 1
+                rgb = np.stack([g, np.roll(g, 1, 0), np.roll(g, 2, 1)], axis=2)
+                out_c = decode_jpeg(encode_jpeg(rgb))
+                rgb_ok = int(np.abs(out_c.astype(int) - rgb.astype(int)).max()) <= 3
+                yy, xx = np.mgrid[0:h, 0:w]
+                smooth = (2 * xx + 3 * yy + d % 100).astype(np.uint8)
+                sm = np.stack([smooth, smooth + 10, smooth + 20], axis=2).astype(np.uint8)
+                out_s = decode_jpeg(encode_jpeg(sm, subsample=True, restart_interval=2))
+                sub_ok = int(np.abs(out_s.astype(int) - sm.astype(int)).max()) <= 4
+                rows.append((d, out_c.shape[1], out_c.shape[0], out_c.shape[2], gray_ok, rgb_ok, sub_ok))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "channels",
+                    "gray_within_1", "rgb444_within_3", "rgb420_within_4",
+                ],
+            )
+
+    return docs.mapInPandas(
+        fn,
+        "doc_id long, width int, height int, channels int, "
+        "gray_within_1 boolean, rgb444_within_3 boolean, rgb420_within_4 boolean",
+    )

@@ -135,13 +135,14 @@ PRIORITY: tuple[str, ...] = (
     "sim_adc_topk_pq",
     "sim_ivfpq_topk",
     "graph_triangle_count",
+    # NEW r4: real baseline JPEG decode (Huffman+IDCT, functions/jpeg.py)
+    "mm_codec_jpeg_roundtrip",
     # NEW r4: global as-of via range-partitioned two-pass carry (by=None
     # previously degraded to a single-task window — VERDICT_r03 task 5)
     "join_asof_global_market_mark",
-    # never-gated scale-path proof (pass(L) since r2)
-    "join_bucketed_colocated",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # next first-ever driver row candidate for round 5
+    # next first-ever driver row candidates for round 5
+    "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in
     # CORRECTNESS_r03; still covered by the local full-battery run)

@@ -191,8 +191,6 @@ def test_gif_and_jpeg_probe():
     assert (info["format"], info["width"], info["height"]) == ("gif", 321, 99)
     info = C.probe_media(C.encode_jpeg_header(640, 480))
     assert (info["format"], info["width"], info["height"]) == ("jpeg", 640, 480)
-    with pytest.raises(NotImplementedError):
-        C.decode_image(C.encode_jpeg_header(4, 4))
 
 
 def test_gif_roundtrip():
@@ -370,3 +368,66 @@ def test_ahash_real_pixels_neardup():
     ham_far = bin(h1 ^ far).count("1")
     assert ham_near <= 2
     assert ham_far > 10
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpeg.py — round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_gray_near_lossless():
+    # all-ones quant tables: only DCT float rounding remains
+    img = gradient(40, 56, 9)
+    out = C.decode_image(C.encode_jpeg(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_roundtrip_random_gray():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (17, 23)).astype(np.uint8)  # non-multiple-of-8
+    out = C.decode_jpeg(C.encode_jpeg(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_roundtrip_rgb444():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 31, 3)).astype(np.uint8)
+    out = C.decode_jpeg(C.encode_jpeg(img))
+    assert out.shape == img.shape
+    # YCbCr forward+inverse adds ~1 count on top of DCT rounding
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_jpeg_restart_intervals():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (40, 40)).astype(np.uint8)  # 25 MCUs, RSTn cycle
+    data = C.encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xdd" in data  # DRI emitted
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    out = C.decode_jpeg(data)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_subsample_420_smooth():
+    y, x = np.mgrid[0:33, 0:34]
+    g = (2 * x + 3 * y + 17).astype(np.uint8)
+    img = np.stack([g, g + 10, g + 20], axis=2).astype(np.uint8)
+    out = C.decode_jpeg(C.encode_jpeg(img, subsample=True, restart_interval=2))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_probe_consistency_and_errors():
+    img = gradient(16, 16, 1)
+    data = C.encode_jpeg(img)
+    info = C.probe_media(data)
+    assert (info["format"], info["width"], info["height"]) == ("jpeg", 16, 16)
+    # header-only stream (no scan) now fails with ValueError, not probe-only
+    with pytest.raises(ValueError, match="no scan data"):
+        C.decode_image(C.encode_jpeg_header(4, 4))
+    # progressive SOF2 is a declared capability boundary
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        C.decode_jpeg(prog)
