@@ -39,8 +39,14 @@ def asof_join(
     matched_on: str | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` semantics: for each left row, attach the single
-    nearest right row with ``right.on <= left.on`` (backward) or
-    ``right.on >= left.on`` (forward), optionally within ``by`` groups.
+    nearest right row with ``right.on <= left.on`` (backward), ``right.on
+    >= left.on`` (forward), or closest in absolute distance with backward
+    winning ties (nearest), optionally within ``by`` groups.
+
+    ``nearest`` runs the backward and forward passes and picks per left
+    row by distance (ties and one-sided misses resolve like pandas); the
+    ``on`` column must be numeric, date, or timestamp for the distance
+    comparison.
 
     ``matched_on``: when given, the output carries the matched right row's
     ``on`` value under this name (e.g. the click timestamp a purchase was
@@ -61,8 +67,18 @@ def asof_join(
     a second tiny pass over one boundary row per partition. Two parallel
     shuffles total; no single-task stage.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
+    if direction == "nearest":
+        return _asof_nearest(
+            left,
+            right,
+            on,
+            by,
+            suffix=suffix,
+            allow_exact_matches=allow_exact_matches,
+            matched_on=matched_on,
+        )
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
     lcols = [c for c in left.columns if c != on and c not in by_cols]
@@ -146,6 +162,71 @@ def asof_join(
         *[F.col(c) for c in lcols],
         *[F.col("__r")[rmap[c]].alias(rmap[c]) for c in rcols],
         F.col("__r")["__matched_on"].alias("__asof_" + on),
+    )
+    if matched_on is not None:
+        out = out.withColumnRenamed("__asof_" + on, matched_on)
+    else:
+        out = out.drop("__asof_" + on)
+    return out
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | Sequence[str] | None,
+    *,
+    suffix: str,
+    allow_exact_matches: bool,
+    matched_on: str | None,
+) -> DataFrame:
+    """``direction='nearest'``: run the backward and forward carries and
+    pick per left row by absolute distance (backward wins ties — pandas).
+    Left rows are keyed by a monotonic id so the two passes re-join
+    exactly; the matched row is chosen ATOMICALLY (all columns from one
+    side), never mixed."""
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    lcols = [c for c in left.columns if c != on and c not in by_cols]
+    rcols = [c for c in right.columns if c != on and c not in by_cols]
+    rmap = {c: (c + suffix if c in lcols else c) for c in rcols}
+
+    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    kwargs = dict(suffix=suffix, allow_exact_matches=allow_exact_matches)
+    b = asof_join(lid, right, on, by, direction="backward", matched_on="__mb", **kwargs)
+    f = asof_join(lid, right, on, by, direction="forward", matched_on="__mf", **kwargs).select(
+        "__lid",
+        F.col("__mf"),
+        *[F.col(rmap[c]).alias("__f_" + rmap[c]) for c in rcols],
+    )
+    j = b.join(f, "__lid")
+
+    def _num(col: Column) -> Column:
+        # distance needs a numeric axis; date/timestamp go through the
+        # epoch-seconds double (dates cast cleanly via timestamp)
+        dt = dict(lid.dtypes)[on]
+        if dt in ("date",):
+            return col.cast("timestamp").cast("double")
+        if dt.startswith("timestamp"):
+            return col.cast("double")
+        return col.cast("double")
+
+    choose_b = (
+        F.when(F.col("__mf").isNull(), F.lit(True))
+        .when(F.col("__mb").isNull(), F.lit(False))
+        .otherwise(
+            (_num(F.col(on)) - _num(F.col("__mb")))
+            <= (_num(F.col("__mf")) - _num(F.col(on)))
+        )
+    )
+    out = j.select(
+        *by_cols,
+        on,
+        *[F.col(c) for c in lcols],
+        *[
+            F.when(choose_b, F.col(rmap[c])).otherwise(F.col("__f_" + rmap[c])).alias(rmap[c])
+            for c in rcols
+        ],
+        F.when(choose_b, F.col("__mb")).otherwise(F.col("__mf")).alias("__asof_" + on),
     )
     if matched_on is not None:
         out = out.withColumnRenamed("__asof_" + on, matched_on)

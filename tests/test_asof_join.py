@@ -133,3 +133,32 @@ def test_asof_carries_matched_rows_own_nulls(spark):
     ).toPandas()
     assert out["rw"].tolist() == [8.0]
     assert pd.isna(out["rv"]).all(), "nearest row's null must be carried as-is"
+
+
+@pytest.mark.parametrize("by", [None, "g"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+def test_asof_nearest_matches_pandas(spark, by, allow_exact):
+    got = _spark_asof(spark, by, "nearest", allow_exact)
+    exp = _pandas_asof(by, "nearest", allow_exact)
+    assert got == exp, f"by={by} exact={allow_exact}"
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    l = pd.DataFrame({"t": [5.0], "lv": [1]})
+    r = pd.DataFrame({"t": [3.0, 7.0], "rv": [10, 20]})  # equidistant
+    out = asof_join(
+        spark.createDataFrame(l), spark.createDataFrame(r), on="t", direction="nearest"
+    ).toPandas()
+    exp = pd.merge_asof(l, r, on="t", direction="nearest")
+    assert out["rv"].tolist() == exp["rv"].tolist() == [10]
+
+
+def test_asof_nearest_random_differential(spark):
+    rng = np.random.RandomState(23)
+    l = pd.DataFrame({"t": np.sort(rng.uniform(0, 100, 150)), "lv": np.arange(150)})
+    r = pd.DataFrame({"t": np.sort(rng.uniform(-10, 110, 30)), "rv": np.arange(30)})
+    got = asof_join(
+        spark.createDataFrame(l), spark.createDataFrame(r), on="t", direction="nearest"
+    ).toPandas().sort_values("lv")
+    exp = pd.merge_asof(l, r, on="t", direction="nearest")
+    assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()

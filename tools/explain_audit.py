@@ -58,6 +58,9 @@ HEADLINE = [
     "pack_training_sequences",
     "emb_int8_quantize",
     "frame_describe_approx",
+    # round-4 additions
+    "join_asof_global_market_mark",
+    "mm_codec_jpeg_roundtrip",
     "agg_winsorized_stats",
     "sample_temperature_weights",
     "mm_phash_neardup",
