@@ -280,7 +280,7 @@ CODEC_FORMATS = ["png", "bmp", "ppm", "gif", "jpeg", "wav"]
 #: stays cheap at sf0.1 (≤ 20×18 px/doc)
 IMG_W = "8 + doc_id % 13"
 IMG_H = "8 + (doc_id * 7) % 11"
-#: header-only (jpeg) dims: realistic magnitudes, probe never decodes
+#: legacy header-only dims (kept for hand-built probe tests)
 HDR_W = "64 + doc_id % 512"
 HDR_H = "64 + (doc_id * 3) % 512"
 #: gradient pixel value at (y, x)
@@ -315,7 +315,10 @@ def _codec_payload(doc_id: int) -> bytes:
             return codecs.encode_gif(g)  # real LZW-packed image block
         return codecs.encode_ppm(g)
     if fmt == "jpeg":
-        return codecs.encode_jpeg_header(64 + doc_id % 512, 64 + (doc_id * 3) % 512)
+        # real baseline JPEG raster (r4 — was a header-only stream before
+        # functions/jpeg.py existed); same gradient formula as the other
+        # image formats, restart intervals on to exercise that path
+        return codecs.encode_jpeg(_codec_pixels(doc_id), restart_interval=4)
     n = 160 + (doc_id % 50) * 4
     i = np.arange(n, dtype=np.int64)
     samples = ((doc_id * 31 + i * 17) % 4096 - 2048).astype(np.int16)

@@ -33,11 +33,11 @@ _FMT = (
     "CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' "
     "WHEN 3 THEN 'gif' WHEN 4 THEN 'jpeg' ELSE 'wav' END"
 )
-# dims per the shared formulas (operators/multimodal.py IMG_*/HDR_*):
-# png/bmp/ppm/gif carry real decodable rasters at IMG dims; jpeg is the
-# one header-only format (HDR dims, no entropy decoder here)
-_W = f"CASE WHEN doc_id % 6 <= 3 THEN {M.IMG_W} WHEN doc_id % 6 = 4 THEN {M.HDR_W} END"
-_H = f"CASE WHEN doc_id % 6 <= 3 THEN {M.IMG_H} WHEN doc_id % 6 = 4 THEN {M.HDR_H} END"
+# dims per the shared formulas (operators/multimodal.py IMG_*): every
+# image format — jpeg included since r4's real baseline codec — carries a
+# decodable raster at IMG dims
+_W = f"CASE WHEN doc_id % 6 <= 4 THEN {M.IMG_W} END"
+_H = f"CASE WHEN doc_id % 6 <= 4 THEN {M.IMG_H} END"
 _WAV_N = M.WAV_N
 
 _PROBE_ORACLE = f"""

@@ -154,7 +154,14 @@ def plan_string(spark, df) -> str:
 
 
 def main() -> None:
-    names = sys.argv[1:] or HEADLINE
+    args = sys.argv[1:]
+    if args == ["--all"]:
+        # every registered query: ~6 min at sf0.1 because some builders do
+        # eager work (training collects, sink writes) while constructing
+        # the frame; plan inspection itself is free
+        names = sorted(QUERIES)
+    else:
+        names = args or HEADLINE
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark("explain-audit")
     bad = 0
