@@ -96,6 +96,8 @@ R3_ADDITIONS = [
 R4_ADDITIONS: list[str] = [
     "join_asof_global_market_mark",
     "mm_codec_jpeg_roundtrip",
+    "sketch_theta_overlap_estimate",
+    "sketch_kll_quantiles_by_type",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -86,7 +86,11 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    # the expected series ARE the two filtered types — a literal frame
+    # (LocalTableScan), not a distinct over the data: gapfill's contract
+    # is "emit the buckets you expect", and a data-derived distinct would
+    # silently drop a type that produced no events at all
+    types = spark.createDataFrame([("purchase",), ("signup",)], "event_type string")
     spine = days.crossJoin(F.broadcast(types))
     return spine.join(daily, ["day", "event_type"], "left").select(
         "day",

@@ -141,7 +141,10 @@ PRIORITY: tuple[str, ...] = (
     # previously degraded to a single-task window — VERDICT_r03 task 5)
     "join_asof_global_market_mark",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # next first-ever driver row candidates for round 5
+    # next first-ever driver row candidates for round 5 (incl. the r4
+    # theta/KLL sketch queries added after the 50-slot gate was set)
+    "sketch_theta_overlap_estimate",
+    "sketch_kll_quantiles_by_type",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in

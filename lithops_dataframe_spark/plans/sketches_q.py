@@ -193,3 +193,133 @@ def sketch_hll_union_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         tol(F.col("est"), F.col("exact_users")).alias("est_ok"),
     )
     return t_rows.unionAll(all_row)
+
+
+# ---------------------------------------------------------------------------
+# Theta sketches — set-operation cardinality estimation (round 4)
+# ---------------------------------------------------------------------------
+
+_THETA_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_SH3} AS sh FROM documents),
+    ev AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT DISTINCT unnest(sh) AS s FROM t WHERE doc_id % {_EVAL_MOD} != 0)
+    SELECT (SELECT COUNT(*) FROM ev)::BIGINT AS exact_eval,
+           (SELECT COUNT(*) FROM tr)::BIGINT AS exact_train,
+           (SELECT COUNT(*) FROM ev JOIN tr USING (s))::BIGINT AS exact_overlap,
+           TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+"""
+
+
+@register("sketch_theta_overlap_estimate", oracle=_THETA_ORACLE)
+def sketch_theta_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination overlap ESTIMATION via Datasketches theta sketches
+    (Spark 4 theta_sketch_agg / theta_intersection / theta_union /
+    theta_difference): |train ∩ eval|, |train ∪ eval| and |eval \\ train|
+    shingle cardinalities from two fixed-size sketches — no join between
+    the sides at all. This is the triage step before the exact
+    (bloom-prefiltered) decontamination join at 100 TB: sketches are a few
+    KB per side and mergeable across partitions/days, so "how contaminated
+    is this dump?" costs two scans and a constant-size merge. Gate: each
+    estimate within 15% + 10 of the exact set-op cardinality. The
+    intersection bound is the loose one BY THEORY: when the larger side
+    samples at θ, a small true intersection I is observed as ~I·θ items,
+    so RSE ≈ 1/sqrt(I·θ) — at this fixture (I≈146, train≈16k) the default
+    lgNomEntries=12 gave ~17% error, hence lgNomEntries=14 and the wide
+    gate; the oracle recomputes the exact cardinalities and pins the
+    booleans."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(H.word_shingles(F.col("text"), 3)).alias("s"))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = sh.filter(is_eval).select("s")
+    tr = sh.filter(~is_eval).select("s")
+    sks = (
+        ev.agg(F.theta_sketch_agg("s", 14).alias("ske"))
+        .crossJoin(tr.agg(F.theta_sketch_agg("s", 14).alias("skt")))
+    )
+    est = sks.select(
+        F.theta_sketch_estimate(F.theta_intersection("ske", "skt")).alias("inter_est"),
+        F.theta_sketch_estimate(F.theta_union("ske", "skt")).alias("union_est"),
+        F.theta_sketch_estimate(F.theta_difference("ske", "skt")).alias("diff_est"),
+    )
+    evd, trd = ev.distinct(), tr.distinct()
+    exact = (
+        evd.agg(F.count(F.lit(1)).alias("exact_eval"))
+        .crossJoin(trd.agg(F.count(F.lit(1)).alias("exact_train")))
+        .crossJoin(evd.join(trd, "s").agg(F.count(F.lit(1)).alias("exact_overlap")))
+    )
+    tol = lambda est, ex: F.abs(est - ex) <= F.greatest(  # noqa: E731
+        F.lit(10.0), F.lit(0.15) * ex
+    )
+    return exact.crossJoin(est).select(
+        "exact_eval",
+        "exact_train",
+        "exact_overlap",
+        tol(F.col("inter_est"), F.col("exact_overlap")).alias("inter_ok"),
+        tol(
+            F.col("union_est"),
+            F.col("exact_eval") + F.col("exact_train") - F.col("exact_overlap"),
+        ).alias("union_ok"),
+        tol(F.col("diff_est"), F.col("exact_eval") - F.col("exact_overlap")).alias(
+            "diff_ok"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketches — mergeable distribution summaries (round 4)
+# ---------------------------------------------------------------------------
+
+_KLL_EPS = 0.013  # k=200 default: normalized rank error ~1.3% (one-sided)
+
+_KLL_ORACLE = """
+    SELECT event_type,
+           COUNT(value)::BIGINT AS n,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok
+    FROM events GROUP BY event_type
+"""
+
+
+@register("sketch_kll_quantiles_by_type", oracle=_KLL_ORACLE)
+def sketch_kll_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles via Spark 4 KLL sketches: one
+    kll_sketch_agg_double per event_type, quantiles read off the sketch —
+    the rollup-friendly alternative to approx_percentile (KLL partials
+    merge across days/partitions with kll_merge_agg, so a year of daily
+    sketches answers any window's quantiles without rescanning). Gate: the
+    NORMALIZED RANK of each sketch quantile — rank(est)/n, computed
+    exactly against the data — must sit within 3× the k=200 rank error
+    (±3.9%) of the target fraction; the oracle pins the booleans and
+    hash-checks the group counts."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("v").alias("sk"), F.count("v").alias("n")
+    )
+    qs = sk.select(
+        "event_type",
+        "n",
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(f)).alias(f"q{int(f*100)}")
+            for f in (0.25, 0.50, 0.75)
+        ],
+    )
+    # exact normalized rank of each estimated quantile, one aggregate pass
+    ranked = ev.join(F.broadcast(qs), "event_type").groupBy("event_type").agg(
+        *[
+            (F.sum(F.when(F.col("v") <= F.col(f"q{p}"), 1).otherwise(0)) / F.count(F.lit(1))).alias(
+                f"r{p}"
+            )
+            for p in (25, 50, 75)
+        ]
+    )
+    eps = 3 * _KLL_EPS
+    out = qs.join(ranked, "event_type").select(
+        "event_type",
+        "n",
+        *[
+            (F.abs(F.col(f"r{p}") - F.lit(p / 100.0)) <= F.lit(eps)).alias(f"q{p}_ok")
+            for p in (25, 50, 75)
+        ],
+    )
+    return out

@@ -102,6 +102,9 @@ ALLOW_NESTED_LOOP = {
     "sim_cosine_topk_bruteforce",
     "sim_knn_label_vote",
     "join_types_combined",
+    # the deliberate SURVEY §2.3 cross-join query: 5-row region frame ×
+    # bounded segment frame, cross by definition
+    "join_cross_region_segment",
 }
 
 # Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
@@ -135,6 +138,19 @@ ALLOW_ONE_ROW_BROADCAST = {
     # the GK-sketch answers ride as a one-row no-key aggregate broadcast
     # into the rank-window predicate gate (round-3 tolerance oracle)
     "frame_describe_approx",
+    # round-4 --all sweep: crossJoins of single-row global aggregates —
+    # csv_roundtrip combines the kwarg-tail agg with the skiprows-leg agg;
+    # the axis-0 reduction singles stitch per-column scalar aggregates
+    "csv_roundtrip",
+    "red_all_any",
+    "red_prod",
+    "red_stats_combined",
+    # theta sketches + exact counts are single-row global aggregates
+    # crossJoined into the one gate row
+    "sketch_theta_overlap_estimate",
+    # 30-day generated date spine × (<=2)-type distinct frame: bounded by
+    # construction (time_bucket_gapfill analog), never data-sized
+    "events_gapfill_daily",
 }
 
 
