@@ -98,6 +98,7 @@ R4_ADDITIONS: list[str] = [
     "mm_codec_jpeg_roundtrip",
     "sketch_theta_overlap_estimate",
     "sketch_kll_quantiles_by_type",
+    "rollup_sketch_hll_daily",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -145,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     # theta/KLL sketch queries added after the 50-slot gate was set)
     "sketch_theta_overlap_estimate",
     "sketch_kll_quantiles_by_type",
+    "rollup_sketch_hll_daily",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in

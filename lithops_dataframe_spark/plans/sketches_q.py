@@ -323,3 +323,70 @@ def sketch_kll_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sketch-partial rollup — the production cardinality pattern (round 4)
+# ---------------------------------------------------------------------------
+
+_SK_ROLLUP_ORACLE = """
+    SELECT event_type,
+           COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS est_ok
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-21'
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__all__', COUNT(DISTINCT user_id)::BIGINT, TRUE
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-21'
+"""
+
+
+@register("rollup_sketch_hll_daily", oracle=_SK_ROLLUP_ORACLE)
+def rollup_sketch_hll_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production distinct-count rollup: (day, event_type) HLL sketch
+    PARTIALS are materialized once into a parquet rollup table (binary
+    sketch column — proves the Datasketches payload survives the
+    writer/reader round trip), and an arbitrary date window is then
+    answered by hll_union_agg over the partials ONLY — the raw events are
+    never rescanned at query time. At 100 TB this turns "distinct users,
+    any window, any grouping rollup" into a scan of a few thousand
+    kilobyte-sized rows. Gate: window estimates per type and overall
+    within 8% + 5 of the exact distinct counts (recomputed from raw for
+    the gate; the oracle replays them and pins est_ok TRUE)."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    path = os.path.join(tempfile.mkdtemp(prefix="lds_skrollup_"), "daily_hll")
+    daily.write.mode("overwrite").parquet(path)
+
+    lo, hi = F.lit("2024-01-05").cast("timestamp"), F.lit("2024-01-21").cast("timestamp")
+    part = spark.read.parquet(path).filter((F.col("day") >= lo) & (F.col("day") < hi))
+    per_type = part.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    overall = part.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).select(F.lit("__all__").alias("event_type"), "est")
+
+    win = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+    exact_t = win.groupBy("event_type").agg(F.count_distinct("user_id").alias("exact_users"))
+    exact_all = win.agg(F.count_distinct("user_id").alias("exact_users")).select(
+        F.lit("__all__").alias("event_type"), "exact_users"
+    )
+
+    tol = lambda est, ex: F.abs(est - ex) <= F.greatest(  # noqa: E731
+        F.lit(5.0), F.lit(0.08) * ex
+    )
+    t_rows = per_type.join(exact_t, "event_type").select(
+        "event_type", "exact_users", tol(F.col("est"), F.col("exact_users")).alias("est_ok")
+    )
+    a_row = overall.join(exact_all, "event_type").select(
+        "event_type", "exact_users", tol(F.col("est"), F.col("exact_users")).alias("est_ok")
+    )
+    return t_rows.unionAll(a_row)

@@ -148,6 +148,9 @@ ALLOW_ONE_ROW_BROADCAST = {
     # theta sketches + exact counts are single-row global aggregates
     # crossJoined into the one gate row
     "sketch_theta_overlap_estimate",
+    # the __all__ row joins two one-row global aggregates on a literal
+    # key, which Catalyst folds to a one-row BNLJ
+    "rollup_sketch_hll_daily",
     # 30-day generated date spine × (<=2)-type distinct frame: bounded by
     # construction (time_bucket_gapfill analog), never data-sized
     "events_gapfill_daily",
