@@ -48,6 +48,44 @@ def pyds_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PUSH_LO, _PUSH_HI = 1200, 3800
+
+_PUSHDOWN_ORACLE = f"""
+    WITH d AS (SELECT unnest(range({_PUSH_LO}, {_PUSH_HI})) AS doc_id)
+    SELECT doc_id::BIGINT AS doc_id,
+           ROUND((doc_id * 37 % 1000) / 1000.0, 4) AS score,
+           md5(doc_id::VARCHAR) AS fingerprint
+    FROM d WHERE 'cat' || (doc_id % 7)::VARCHAR = 'cat3'
+"""
+
+
+@register("pyds_pushdown_source", oracle=_PUSHDOWN_ORACLE)
+def pyds_pushdown_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python Data Source API (Spark 4.1
+    ``pushFilters``): the doc_id range predicates reach the reader and
+    PRUNE PARTITIONS (the [lo, hi) id range is tightened before partition
+    planning — at 100 TB this is the difference between scanning a shard
+    and scanning the store), and the category equality is consumed
+    row-side inside the reader. Correctness is the full value-hash oracle
+    over the filtered rows; the pruning itself is asserted by unit tests
+    driving pushFilters()/partitions() directly."""
+    register_sources(spark)
+    docs = (
+        spark.read.format("lds_docs")
+        .option("n", _N_DOCS)
+        .option("n_parts", _N_PARTS)
+        .load()
+    )
+    return (
+        docs.filter(
+            (F.col("doc_id") >= _PUSH_LO)
+            & (F.col("doc_id") < _PUSH_HI)
+            & (F.col("category") == "cat3")
+        )
+        .select("doc_id", F.round("score", 4).alias("score"), "fingerprint")
+    )
+
+
 _N_STREAM = 1000
 
 _STREAM_ORACLE = f"""

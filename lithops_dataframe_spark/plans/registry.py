@@ -146,6 +146,7 @@ PRIORITY: tuple[str, ...] = (
     "sketch_theta_overlap_estimate",
     "sketch_kll_quantiles_by_type",
     "rollup_sketch_hll_daily",
+    "pyds_pushdown_source",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in

@@ -62,19 +62,69 @@ class _DocsReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.n_parts = int(options.get("n_parts", 8))
+        # pushdown state (Spark 4.1 pushFilters): id range + category set
+        self.lo = 0
+        self.hi = self.n
+        self.cats: set[str] | None = None
+
+    def pushFilters(self, filters):
+        """Filter pushdown (Spark 4.1): range predicates on ``doc_id``
+        tighten the generated id range — PARTITION PRUNING for a synthetic
+        / paginated source (fewer partition descriptors planned, less data
+        ever materialized); ``category`` equality/IN is consumed row-side
+        in :meth:`read`. Anything else is yielded back for Spark to apply.
+        A pushed filter must be honored EXACTLY — Spark won't re-check."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("doc_id",) and isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif attr == ("doc_id",) and isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif attr == ("doc_id",) and isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif attr == ("doc_id",) and isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif attr == ("doc_id",) and isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif attr == ("category",) and isinstance(f, EqualTo):
+                self.cats = {str(f.value)} if self.cats is None else self.cats & {str(f.value)}
+            elif attr == ("category",) and isinstance(f, In):
+                vals = {str(v) for v in f.value}
+                self.cats = vals if self.cats is None else self.cats & vals
+            else:
+                yield f  # unsupported: Spark re-applies it
 
     def partitions(self):
-        # planner emits cheap descriptors; data materializes task-side
-        step = (self.n + self.n_parts - 1) // self.n_parts
+        # planner emits cheap descriptors; data materializes task-side.
+        # The (possibly filter-tightened) [lo, hi) range is split here, so
+        # pushdown prunes PARTITIONS, not just rows.
+        lo, hi = self.lo, max(self.lo, self.hi)
+        total = hi - lo
+        if total <= 0:
+            return [_DocsPartition(0, 0, 0)]
+        step = (total + self.n_parts - 1) // self.n_parts
         return [
-            _DocsPartition(i, i * step, min((i + 1) * step, self.n))
+            _DocsPartition(i, lo + i * step, min(lo + (i + 1) * step, hi))
             for i in range(self.n_parts)
-            if i * step < self.n
+            if lo + i * step < hi
         ]
 
     def read(self, partition: _DocsPartition):
         for doc_id in range(partition.start, partition.end):
-            yield _doc_row(doc_id, partition.index)
+            row = _doc_row(doc_id, partition.index)
+            if self.cats is not None and row[2] not in self.cats:
+                continue  # consumed category pushdown — exact, not advisory
+            yield row
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -242,6 +292,10 @@ class JsonlDirSinkDataSource(DataSource):
 
 def register_sources(spark) -> None:
     """Idempotently register all custom formats on the session."""
+    # pushFilters() on a Python reader hard-errors unless this (dynamic
+    # SQL) conf is on; set here so the external driver's session — whose
+    # build we don't control — gets it before any lds_docs scan plans
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(BinDirDataSource)
     spark.dataSource.register(CounterStreamDataSource)

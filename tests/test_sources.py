@@ -267,3 +267,48 @@ def test_read_csv_converter_then_dtype(spark, tmp_path):
         spark, str(p), converters={"v": lambda s: int(s) * 3}, dtype={"v": "int64"}
     )
     assert sorted(r["v"] for r in df.collect()) == [30, 60]
+
+
+def test_pyds_push_filters_prune_partitions(spark):
+    """pushFilters contract (Spark 4.1): doc_id range predicates tighten
+    the generated id range BEFORE partition planning; category equality is
+    consumed; anything else is yielded back for Spark to re-apply."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull, LessThan
+
+    from lithops_dataframe_spark.sources.pyds import _DocsReader
+
+    r = _DocsReader({"n": "1000", "n_parts": "8"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 300),
+                LessThan(("doc_id",), 420),
+                EqualTo(("category",), "cat3"),
+                IsNotNull(("score",)),  # unsupported -> returned
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["IsNotNull"]
+    parts = r.partitions()
+    assert min(p.start for p in parts) == 300
+    assert max(p.end for p in parts) == 420
+    # rows materialized only from the pruned range, category consumed
+    rows = [row for p in parts for row in r.read(p)]
+    assert all(300 <= row[0] < 420 for row in rows)
+    assert all(row[2] == "cat3" for row in rows)
+    assert len(rows) == sum(1 for d in range(300, 420) if d % 7 == 3)
+
+
+def test_pyds_pushdown_end_to_end(spark):
+    from lithops_dataframe_spark.sources.pyds import register_sources
+
+    register_sources(spark)
+    df = (
+        spark.read.format("lds_docs")
+        .option("n", 1000)
+        .option("n_parts", 4)
+        .load()
+        .filter("doc_id >= 100 AND doc_id < 150 AND category = 'cat1'")
+    )
+    got = sorted(r["doc_id"] for r in df.collect())
+    assert got == [d for d in range(100, 150) if d % 7 == 1]
