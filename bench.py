@@ -100,6 +100,7 @@ R4_ADDITIONS: list[str] = [
     "sketch_kll_quantiles_by_type",
     "rollup_sketch_hll_daily",
     "pyds_pushdown_source",
+    "udf_cogroup_reconcile",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

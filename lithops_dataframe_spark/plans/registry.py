@@ -147,6 +147,7 @@ PRIORITY: tuple[str, ...] = (
     "sketch_kll_quantiles_by_type",
     "rollup_sketch_hll_daily",
     "pyds_pushdown_source",
+    "udf_cogroup_reconcile",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in

@@ -256,3 +256,71 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(fn, "doc_id long, n_chars long, n_bytes long, n_spaces long")
+
+
+_COGROUP_ORACLE = """
+    WITH p AS (
+        SELECT user_id, COUNT(*) AS n_purch,
+               SUM(ROUND(value * 100)::BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    c AS (
+        SELECT user_id, COUNT(*) AS n_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           COALESCE(p.n_purch, 0)::BIGINT AS n_purch,
+           COALESCE(c.n_click, 0)::BIGINT AS n_click,
+           ROUND((COALESCE(p.cents, 0) / 100.0)
+                 / GREATEST(COALESCE(c.n_click, 0), 1), 4) AS spend_per_click
+    FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
+"""
+
+
+@register("udf_cogroup_reconcile", oracle=_COGROUP_ORACLE)
+def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map ``applyInPandas`` (SURVEY §2.9 — the two-frame sibling
+    of grouped-map): purchases and clicks cogroup per user_id; each task
+    receives BOTH sides' rows for its keys as pandas frames and emits the
+    per-user reconciliation. One co-partitioned shuffle of the two inputs
+    (FlatMapCoGroupsInPandas) — the Arrow analog of a full outer
+    join+aggregate, which is exactly what the oracle replays. Spend sums
+    as exact integer cents in pandas; the division chain and the final
+    round run JVM-side so both engines execute the identical IEEE ops
+    (Python round() is banker's — never comparable)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        n_purch = len(left)
+        n_click = len(right)
+        # exact integer cents (fixture values are 2-decimal), one division
+        cents = (
+            int((left["value"] * 100).round().astype("int64").sum()) if n_purch else 0
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purch": [n_purch],
+                "n_click": [n_click],
+                "spend_cents": [cents],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_purch long, n_click long, spend_cents long",
+        )
+        .select(
+            "user_id",
+            "n_purch",
+            "n_click",
+            F.round(
+                (F.col("spend_cents") / 100.0) / F.greatest(F.col("n_click"), F.lit(1)), 4
+            ).alias("spend_per_click"),
+        )
+    )
