@@ -101,6 +101,7 @@ R4_ADDITIONS: list[str] = [
     "rollup_sketch_hll_daily",
     "pyds_pushdown_source",
     "udf_cogroup_reconcile",
+    "dedup_cdc_chunks",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

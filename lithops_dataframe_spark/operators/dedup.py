@@ -401,3 +401,108 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash CDC) — sub-document dedup
+# ---------------------------------------------------------------------------
+
+_CDC_B = 31  # rolling-hash base
+_CDC_W = 8  # window (chars)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    *,
+    mask: int = 63,
+) -> DataFrame:
+    """Content-defined chunking via a fixed-window polynomial rolling hash
+    (the Rabin-Karp/FastCDC family): a chunk boundary falls AFTER position
+    ``p`` whenever the 16-bit Knuth mix of ``H(s[p-W+1..p])`` lands in the
+    low ``1/(mask+1)`` slice, with ``H = Σ code(c_j)·B^(W-j)`` (the
+    polynomial's own low bits mix poorly — 31² ≡ 1 mod 64 — and the 16-bit
+    mix keeps every intermediate product inside BIGINT for both engines).
+    Boundaries move WITH the content, so an insertion early in a document
+    only reshuffles the chunks it touches; byte-offset chunking would
+    shift every later chunk and defeat dedup. Returns
+    (id, chunk_idx, chunk_len, chunk_md5) — one row per chunk.
+
+    All boundary math is JVM-side expression work, O(len·W) per document;
+    avg chunk ≈ mask+1 chars. Text is sanitized to printable ASCII first
+    so Spark's ``ascii()`` and DuckDB's ``ord()`` agree on every code
+    point. Sub-document dedup at 100 TB: chunk hashes (16 B) are the only
+    shuffle payload, never the text.
+
+    Implementation note — the two O(n²) traps this code dodges:
+    ``substring(s, p, 1)`` per position is an O(p) UTF-8 offset scan, so
+    char codes are materialized into an array once; and Catalyst's
+    CollapseProject inlines plain projected columns INTO higher-order
+    lambdas, recomputing that whole array per position probed (measured:
+    a 10 KB doc took minutes) — so both the codes array and the bounds
+    array are LAMBDA-BOUND via the wrap-in-array + transform let-binding,
+    and the per-chunk substrings run after a posexplode, a real operator
+    barrier.
+    """
+    powers = [_CDC_B**j for j in range(_CDC_W - 1, -1, -1)]
+    s = F.regexp_replace(F.col(text_col), r"[^\x20-\x7e]", "")
+    base = df.select(F.col(id_col).alias("id"), s.alias("s")).withColumn(
+        "n", F.length("s")
+    )
+
+    def whash(codes, p):
+        total = None
+        for j in range(_CDC_W):
+            term = F.element_at(codes, p - _CDC_W + j + 1) * F.lit(powers[j])
+            total = term if total is None else total + term
+        return total
+
+    def bounds_of(codes):
+        # boundaries strictly inside the doc, plus n so the last chunk closes
+        n = F.size(codes)
+        pos = F.filter(
+            F.sequence(F.lit(_CDC_W), n),
+            lambda p: (whash(codes, p) % F.lit(65536) * F.lit(40503)) % F.lit(65536)
+            < F.lit(65536 // (mask + 1)),
+        )
+        return F.concat(F.filter(pos, lambda p: p < n), F.array(n))
+
+    def pairs_of(bounds):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(bounds)),
+            lambda i: F.struct(
+                (
+                    F.when(i == 1, F.lit(0)).otherwise(F.element_at(bounds, i - 1))
+                ).alias("start"),
+                F.element_at(bounds, i).alias("end"),
+            ),
+        )
+
+    codes_expr = F.transform(F.split(F.col("s"), ""), F.ascii)
+    chunk_pairs = F.element_at(
+        F.transform(
+            F.array(codes_expr),
+            lambda codes: F.element_at(
+                F.transform(F.array(bounds_of(codes)), pairs_of), 1
+            ),
+        ),
+        1,
+    )
+    exploded = (
+        base.filter(F.col("n") > 0)
+        .select("id", "s", F.posexplode(chunk_pairs).alias("chunk_idx", "b"))
+        .select(
+            "id",
+            "chunk_idx",
+            F.substring(
+                F.col("s"), F.col("b.start") + 1, F.col("b.end") - F.col("b.start")
+            ).alias("chunk"),
+        )
+    )
+    return exploded.filter(F.length("chunk") > 0).select(
+        "id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )

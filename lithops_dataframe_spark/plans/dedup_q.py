@@ -205,3 +205,82 @@ def dedup_fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     shingle Jaccard underweights."""
     docs = load_table(spark, sf_dir, "documents")
     return D.levenshtein_blocked_pairs(docs, "text", "doc_id", prefix_len=16, max_dist=40)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash CDC) — sub-document dedup (round 4)
+# ---------------------------------------------------------------------------
+
+# DuckDB replay of operators/dedup.py::cdc_chunks — identical integer
+# arithmetic: printable-ASCII sanitize, 8-char window polynomial hash
+# (base 31), 16-bit Knuth mix, boundary when mix < 65536/64
+_CDC_POWERS = [31**j for j in range(7, -1, -1)]
+_CDC_HASH = " + ".join(
+    f"ord(substr(s, p - 8 + {j} + 1, 1)) * {_CDC_POWERS[j]}::BIGINT" for j in range(8)
+)
+_CDC_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, regexp_replace(text, '[^\\x20-\\x7e]', '', 'g') AS s
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, s, length(s) AS n,
+               list_append(
+                   list_filter(
+                       list_filter(range(8, length(s) + 1),
+                                   p -> ((({_CDC_HASH}) % 65536) * 40503) % 65536 < 1024),
+                       p -> p < length(s)),
+                   length(s)) AS bounds
+        FROM d
+    ),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(bounds) + 1), i ->
+                   substr(s,
+                          (CASE WHEN i = 1 THEN 0 ELSE bounds[i - 1] END) + 1,
+                          bounds[i] - (CASE WHEN i = 1 THEN 0 ELSE bounds[i - 1] END))
+               )) AS chunk
+        FROM b
+    ),
+    chunks AS (
+        SELECT doc_id, md5(chunk) AS chunk_md5, length(chunk) AS chunk_len
+        FROM ch WHERE length(chunk) > 0
+    )
+    SELECT chunk_md5,
+           chunk_len::INT AS chunk_len,
+           COUNT(*)::BIGINT AS n_occurrences,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM chunks
+    GROUP BY chunk_md5, chunk_len
+    HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_cdc_chunks", oracle=_CDC_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document dedup via content-defined chunking: a fixed-window
+    rolling hash (base-31 polynomial + 16-bit Knuth mix, avg chunk ≈ 64
+    chars) places chunk boundaries that move WITH the content, so shared
+    passages hash to identical chunks even when their byte offsets differ
+    between documents (the property byte-offset chunking lacks). Emits
+    every chunk duplicated across the corpus with its occurrence and
+    document counts — the candidate list a chunk-level dedup/dedup-aware
+    packer consumes. All boundary math is JVM expression work; only
+    16-byte chunk hashes shuffle. Full value-hash oracle: DuckDB replays
+    the identical integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = D.cdc_chunks(docs, "text", "doc_id", mask=63)
+    return (
+        ch.groupBy("chunk_md5", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "chunk_md5",
+            F.col("chunk_len").cast("int").alias("chunk_len"),
+            "n_occurrences",
+            "n_docs",
+        )
+    )

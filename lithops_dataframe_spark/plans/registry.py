@@ -148,6 +148,7 @@ PRIORITY: tuple[str, ...] = (
     "rollup_sketch_hll_daily",
     "pyds_pushdown_source",
     "udf_cogroup_reconcile",
+    "dedup_cdc_chunks",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in

@@ -57,3 +57,50 @@ def test_cms_exact_when_width_large(spark):
     qs = items.distinct()
     est = {r.token: r.cms_est for r in SK.cms_estimate(qs, "token", cms, depth=4, width=4096).collect()}
     assert est == {f"w{i}": 10 for i in range(5)}
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_lossless_partition(spark):
+    """Chunks partition the sanitized text exactly: lengths sum to the
+    document length and indexes are contiguous from 0."""
+    from lithops_dataframe_spark.operators.dedup import cdc_chunks
+
+    text = " ".join(f"tok{i * 17 % 101}" for i in range(300))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(cdc_chunks(df, "text").collect(), key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+    assert sum(r["chunk_len"] for r in rows) == len(text)
+    assert len(rows) > 2  # boundaries actually fire
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    """THE content-defined property: an insertion near the front leaves
+    the vast majority of downstream chunks bit-identical, where
+    byte-offset chunking would invalidate every one of them."""
+    from lithops_dataframe_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"w{i * 29 % 997}" for i in range(400))
+    edited = base[:60] + "XYZZY INSERTED PASSAGE " + base[60:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, "text").collect()
+    h1 = {r["chunk_md5"] for r in rows if r["id"] == 1}
+    h2 = {r["chunk_md5"] for r in rows if r["id"] == 2}
+    assert len(h1) >= 10
+    shared = len(h1 & h2)
+    assert shared >= len(h1) - 3, f"only {shared}/{len(h1)} chunks survived the edit"
+
+
+def test_cdc_chunk_sizes_near_target(spark):
+    from lithops_dataframe_spark.operators.dedup import cdc_chunks
+
+    text = " ".join(f"z{i * 13 % 389}" for i in range(2000))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = cdc_chunks(df, "text", mask=63).collect()
+    mean = sum(r["chunk_len"] for r in rows) / len(rows)
+    assert 30 <= mean <= 130, f"mean chunk len {mean} far from the ~64 target"
