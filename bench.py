@@ -102,6 +102,7 @@ R4_ADDITIONS: list[str] = [
     "pyds_pushdown_source",
     "udf_cogroup_reconcile",
     "dedup_cdc_chunks",
+    "bpe_train_merges",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

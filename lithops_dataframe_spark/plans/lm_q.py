@@ -426,3 +426,86 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = act.select("user_id").distinct().agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (round 4) — the full merge-learning loop
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+_BPE_MAX_WORDS = 2000
+
+
+def _bpe_oracle(n_merges: int, max_words: int) -> str:
+    """Unrolled DuckDB replay of operators/bpe.py::bpe_train: the same
+    word-frequency table, then per iteration the same pair-count argmax
+    (ties: count desc, pair asc) and the same run-parity greedy merge
+    application, expressed with identical windowed SQL."""
+    sql = f"""
+    WITH w AS MATERIALIZED (
+        SELECT word, COUNT(*)::BIGINT AS cnt FROM (
+            SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents
+        ) WHERE length(word) > 0
+        GROUP BY word ORDER BY cnt DESC, word LIMIT {max_words}
+    ),
+    tok0 AS MATERIALIZED (
+        SELECT word AS wid, cnt, i AS pos, substr(word, i, 1) AS sym
+        FROM w, UNNEST(range(1, length(word) + 1)) AS t(i)
+    )"""
+    for k in range(n_merges):
+        sql += f""",
+    p{k} AS MATERIALIZED (
+        SELECT a.sym AS s1, b.sym AS s2, SUM(a.cnt) AS c
+        FROM tok{k} a JOIN tok{k} b ON a.wid = b.wid AND b.pos = a.pos + 1
+        GROUP BY 1, 2
+    ),
+    top{k} AS MATERIALIZED (SELECT s1, s2, c FROM p{k} ORDER BY c DESC, s1, s2 LIMIT 1),
+    m{k} AS MATERIALIZED (
+        SELECT a.wid, a.pos
+        FROM tok{k} a JOIN tok{k} b ON a.wid = b.wid AND b.pos = a.pos + 1, top{k} t
+        WHERE a.sym = t.s1 AND b.sym = t.s2
+    ),
+    keep{k} AS MATERIALIZED (
+        SELECT wid, pos FROM (
+            SELECT wid, pos,
+                   ROW_NUMBER() OVER (PARTITION BY wid, run ORDER BY pos) - 1 AS r
+            FROM (SELECT wid, pos,
+                         pos - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS run
+                  FROM m{k})
+        ) WHERE r % 2 = 0
+    ),
+    tok{k + 1} AS MATERIALIZED (
+        SELECT wid, cnt, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym
+        FROM (
+            SELECT t.wid, t.cnt, t.pos,
+                   CASE WHEN kh.pos IS NOT NULL
+                        THEN (SELECT s1 || s2 FROM top{k}) ELSE t.sym END AS sym
+            FROM tok{k} t
+            LEFT JOIN keep{k} kh ON kh.wid = t.wid AND kh.pos = t.pos
+            LEFT JOIN keep{k} kp ON kp.wid = t.wid AND kp.pos = t.pos - 1
+            WHERE kp.pos IS NULL
+        )
+    )"""
+    finals = [
+        f"SELECT {k} AS step, s1 AS left_sym, s2 AS right_sym, "
+        f"s1 || s2 AS merged, c::BIGINT AS pair_count FROM top{k}"
+        for k in range(n_merges)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle(_BPE_MERGES, _BPE_MAX_WORDS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (upgrades r3's single-step
+    bpe_top_pairs): six merge-learning iterations over the word-frequency
+    table, each adopting the most frequent adjacent symbol pair and
+    applying it corpus-wide with greedy left-to-right semantics (see
+    operators/bpe.py for the run-parity relational formulation and the
+    100 TB cost argument: after the initial word count, every iteration's
+    cost depends on the vocabulary, not the corpus). Every learned rule
+    is hash-verified against a DuckDB replay of the identical algorithm."""
+    from lithops_dataframe_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)

@@ -149,6 +149,7 @@ PRIORITY: tuple[str, ...] = (
     "pyds_pushdown_source",
     "udf_cogroup_reconcile",
     "dedup_cdc_chunks",
+    "bpe_train_merges",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in

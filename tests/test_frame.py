@@ -233,3 +233,51 @@ def test_observe_metrics_ride_the_query(spark):
     assert m["null_texts"] == 0
     assert m["avg_chars"] > 0
     assert sum(r["count"] for r in out) == m["n_rows"]
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train vs a straightforward sequential-Python BPE trainer on a
+    corpus with overlapping runs ('aaaa') and count ties — rules, order,
+    and pair counts must match exactly."""
+    from lithops_dataframe_spark.operators.bpe import bpe_train
+
+    texts = [
+        "aaaa aaaa banana banana banana bandana",
+        "aaaa banana cabana cabana",
+        "na na na banana",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [
+        (r["step"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in sorted(bpe_train(df, n_merges=5).collect(), key=lambda r: r["step"])
+    ]
+
+    # reference: greedy sequential BPE over the word-frequency table
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            words[w] += 1
+    vocab = {w: list(w) for w in words}
+    exp = []
+    for step in range(5):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += words[w]
+        if not pairs:
+            break
+        (s1, s2), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((step, s1, s2, s1 + s2, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == s1 and syms[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == exp
