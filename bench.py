@@ -103,6 +103,7 @@ R4_ADDITIONS: list[str] = [
     "udf_cogroup_reconcile",
     "dedup_cdc_chunks",
     "bpe_train_merges",
+    "classifier_lr_train",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -150,6 +150,7 @@ PRIORITY: tuple[str, ...] = (
     "udf_cogroup_reconcile",
     "dedup_cdc_chunks",
     "bpe_train_merges",
+    "classifier_lr_train",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in
