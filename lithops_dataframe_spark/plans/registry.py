@@ -141,8 +141,12 @@ PRIORITY: tuple[str, ...] = (
     # previously degraded to a single-task window — VERDICT_r03 task 5)
     "join_asof_global_market_mark",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # next first-ever driver row candidates for round 5 (incl. the r4
-    # theta/KLL sketch queries added after the 50-slot gate was set)
+    # ROUND-5 ROTATION PLAN: the 10 queries below have never had a driver
+    # row (the r4 additions landed after the 50-slot gate was already
+    # full of the r3 promotions) — promote them into slots 21-50 next
+    # round, keeping the 20 family anchors; the r4-promoted singles they
+    # displace return to this block, still covered by the local
+    # full-battery run.
     "sketch_theta_overlap_estimate",
     "sketch_kll_quantiles_by_type",
     "rollup_sketch_hll_daily",
