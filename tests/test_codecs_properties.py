@@ -83,3 +83,22 @@ def test_resize_nearest_property(img, ow, oh):
     # spot-check the index map on the corners
     assert out[0, 0] == img[0, 0]
     assert out[oh - 1, ow - 1] == img[((oh - 1) * h) // oh, ((ow - 1) * w) // ow]
+
+
+@given(arrays(40))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_gray_roundtrip_property(img):
+    """Any gray image round-trips within ±1 count under the all-ones
+    quant tables (DCT float rounding is the only loss source)."""
+    out = C.decode_jpeg(C.encode_jpeg(img))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+@given(arrays(24), st.integers(0, 4))
+@settings(max_examples=20, deadline=None)
+def test_jpeg_rgb_roundtrip_property(gray, ri):
+    img = np.stack([gray, np.roll(gray, 1, 0), np.roll(gray, 1, 1)], axis=2)
+    out = C.decode_jpeg(C.encode_jpeg(img, restart_interval=ri))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 3
