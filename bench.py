@@ -104,6 +104,7 @@ R4_ADDITIONS: list[str] = [
     "dedup_cdc_chunks",
     "bpe_train_merges",
     "classifier_lr_train",
+    "emb_pca_power_iteration",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

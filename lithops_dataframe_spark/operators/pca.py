@@ -1,0 +1,113 @@
+"""Distributed PCA by power iteration — the embedding-whitening /
+dimensionality-analysis preprocessing step of a similarity-search
+pipeline, in the k-means/BPE/LR iterative shape.
+
+Each iteration multiplies the (implicit, never materialized) covariance
+matrix into the current direction: one scan computes per-row centered
+dots ``d_i = (x_i - μ)·v`` and accumulates ``w = Σ (x_i - μ)·d_i`` as a
+(dim)-keyed aggregate — map-side combinable, dim×1 driver state, no
+dim×dim matrix anywhere. At 100 TB an iteration is exactly one scan.
+
+Cross-engine replay discipline (the k-means rules, applied to linear
+algebra): the mean and every per-dim accumulation round to 6 decimals
+IN-ENGINE (Spark F.round ≡ DuckDB ROUND — never Python's banker's
+round); per-row dot products fold left-to-right with the first element
+as seed (matching DuckDB's ``list_reduce`` seeding); λ and the
+normalized direction derive from the ROUNDED accumulators through
+fixed-order expressions, so both engines see identical doubles at every
+step and the whole trajectory value-hashes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold_sum(arr):
+    """Left fold seeded from the first element — DuckDB list_reduce
+    semantics (lesson: its lambda has no init parameter)."""
+    return F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, y: acc + y,
+    )
+
+
+def pca_power_iteration(
+    embs: DataFrame,
+    emb_col: str = "embedding",
+    *,
+    iterations: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Top principal direction of the embedding cloud; returns one row per
+    iteration: (iter, lam, var_explained, v array<double>)."""
+    spark = embs.sparkSession
+    x = embs.select(F.col(emb_col).cast("array<double>").alias("x")).localCheckpoint(
+        eager=True
+    )
+    mu_rows = (
+        x.select(F.posexplode("x").alias("j", "val"))
+        .groupBy("j")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dim
+    for r in mu_rows:
+        mu[r["j"]] = float(r["m"])
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+
+    # total centered sum of squares (variance-explained denominator)
+    c_expr = F.zip_with(F.col("x"), mu_lit, lambda a, m: a - m)
+    totss = float(
+        x.select(
+            F.round(
+                F.sum(_fold_sum(F.transform(c_expr, lambda a: a * a))), 4
+            ).alias("t")
+        ).collect()[0]["t"]
+    )
+
+    v = [round(1.0 / math.sqrt(dim), 6)] * dim  # exact literal both engines
+    out_rows = []
+    for it in range(iterations):
+        v_lit = F.array(*[F.lit(c) for c in v])
+        centered = x.select(
+            c_expr.alias("c"),
+        ).select(
+            "c",
+            _fold_sum(F.zip_with(F.col("c"), v_lit, lambda a, b: a * b)).alias("d"),
+        )
+        w_rows = (
+            centered.select(F.posexplode("c").alias("j", "cj"), "d")
+            .groupBy("j")
+            .agg(F.round(F.sum(F.col("cj") * F.col("d")), 6).alias("w"))
+        )
+        d2 = centered.agg(F.round(F.sum(F.col("d") * F.col("d")), 4).alias("s")).collect()
+        w = [0.0] * dim
+        for r in w_rows.collect():
+            w[r["j"]] = float(r["w"])
+        # λ + normalization from the ROUNDED w, computed IN-ENGINE so the
+        # rounding mode matches DuckDB (Python round() is banker's)
+        w_lit = F.array(*[F.lit(c) for c in w])
+        one = spark.range(1).select(
+            F.round(F.sqrt(_fold_sum(F.transform(w_lit, lambda a: a * a))), 6).alias(
+                "lam"
+            )
+        )
+        norm_row = one.select(
+            "lam",
+            F.transform(w_lit, lambda a: F.round(a / F.col("lam"), 6)).alias("v"),
+        ).collect()[0]
+        lam = float(norm_row["lam"])
+        v = [float(c) for c in norm_row["v"]]
+        ve_row = spark.range(1).select(
+            F.round(F.lit(float(d2[0]["s"])) / F.lit(totss), 6).alias("ve")
+        ).collect()[0]
+        out_rows.append((it, lam, float(ve_row["ve"]), v))
+
+    return spark.createDataFrame(
+        out_rows, "iter int, lam double, var_explained double, v array<double>"
+    )

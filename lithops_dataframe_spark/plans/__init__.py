@@ -28,6 +28,7 @@ from lithops_dataframe_spark.plans import multimodal_q  # noqa: F401
 from lithops_dataframe_spark.plans import codecs_q  # noqa: F401
 from lithops_dataframe_spark.plans import sketches_q  # noqa: F401
 from lithops_dataframe_spark.plans import classifier_q  # noqa: F401
+from lithops_dataframe_spark.plans import pca_q  # noqa: F401
 from lithops_dataframe_spark.plans import lm_q  # noqa: F401
 from lithops_dataframe_spark.plans import pyds_q  # noqa: F401
 from lithops_dataframe_spark.plans import retrieval_q  # noqa: F401
