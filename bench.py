@@ -105,6 +105,7 @@ R4_ADDITIONS: list[str] = [
     "bpe_train_merges",
     "classifier_lr_train",
     "emb_pca_power_iteration",
+    "join_interval_overlap_windows",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -300,3 +300,48 @@ def range_join(
         & (p[point_col] < iv[upper_col])
     )
     return p.join(iv, cond, how).drop(p["__bucket"]).drop(iv["__bucket"])
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    *,
+    bucket_width: float,
+) -> DataFrame:
+    """Join interval rows that OVERLAP: ``l.lo < r.hi AND r.lo < l.hi``
+    (half-open intervals), scalably — the interval×interval sibling of
+    :func:`range_join`.
+
+    Both sides explode to every bucket their interval touches; candidate
+    pairs equi-join on bucket id. A pair overlapping across k shared
+    buckets would surface k times, so each pair is attributed ONLY to the
+    bucket containing the overlap's start ``greatest(l.lo, r.lo)`` —
+    duplicate-free by construction, no distinct needed. Cost is
+    Σ ceil(len/width) postings per side; a plain theta join is a
+    broadcast nested loop.
+    """
+    def buckets(df, lo, hi):
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket_width).cast("long"),
+                    F.floor(F.col(hi) / bucket_width).cast("long"),
+                )
+            ),
+        )
+
+    l = buckets(left, left_lo, left_hi).alias("l")
+    r = buckets(right, right_lo, right_hi).alias("r")
+    start = F.greatest(F.col("l." + left_lo), F.col("r." + right_lo))
+    cond = (
+        (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (F.col("l." + left_lo) < F.col("r." + right_hi))
+        & (F.col("r." + right_lo) < F.col("l." + left_hi))
+        & (F.floor(start / bucket_width).cast("long") == F.col("l.__bucket"))
+    )
+    return l.join(r, cond).drop("__bucket")

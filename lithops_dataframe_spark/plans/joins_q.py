@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
-from lithops_dataframe_spark.operators.joins import asof_join, range_join
+from lithops_dataframe_spark.operators.joins import asof_join, interval_overlap_join, range_join
 from lithops_dataframe_spark.plans.registry import register
 
 
@@ -370,3 +370,61 @@ def join_types_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     for piece in (anti, left, full, cross, theta):
         out = out.unionByName(piece)
     return out
+
+
+_OVERLAP_ORACLE = """
+    WITH win AS (
+        SELECT w, 100 + 200 * w AS w_lo, 190 + 200 * w AS w_hi
+        FROM (SELECT unnest(range(12)) AS w)
+    ),
+    iv AS (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               date_diff('day', DATE '1992-01-01', l_shipdate) AS lo,
+               date_diff('day', DATE '1992-01-01', l_shipdate)
+                   + 5 + (l_linenumber * 7) % 25 AS hi
+        FROM lineitem WHERE l_orderkey <= 600
+    )
+    SELECT win.w AS window_id,
+           COUNT(*)::BIGINT AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM iv JOIN win ON iv.lo < win.w_hi AND win.w_lo < iv.hi
+    GROUP BY win.w
+"""
+
+
+@register("join_interval_overlap_windows", oracle=_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (the missing sibling of the
+    point-in-interval range_join): shipping intervals
+    [l_shipdate, l_receiptdate) against 12 maintenance windows, both sides
+    bucketed so candidates meet on an equi-join with each pair attributed
+    to the bucket holding the overlap's start (duplicate-free by
+    construction — no distinct). The oracle runs the plain theta join;
+    the fixture has no receipt date, so the interval end is a
+    deterministic 5-29 day shipping window derived from the line
+    number."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 600)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date")).alias("lo"),
+            (
+                F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+                + 5
+                + (F.col("l_linenumber") * 7) % 25
+            ).alias("hi"),
+        )
+    )
+    win = spark.range(12).select(
+        F.col("id").cast("int").alias("w"),
+        (100 + 200 * F.col("id")).cast("int").alias("w_lo"),
+        (190 + 200 * F.col("id")).cast("int").alias("w_hi"),
+    )
+    joined = interval_overlap_join(li, win, "lo", "hi", "w_lo", "w_hi", bucket_width=64.0)
+    return joined.groupBy(F.col("w").alias("window_id")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -141,7 +141,7 @@ PRIORITY: tuple[str, ...] = (
     # previously degraded to a single-task window — VERDICT_r03 task 5)
     "join_asof_global_market_mark",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-5 ROTATION PLAN: the 11 queries below have never had a driver
+    # ROUND-5 ROTATION PLAN: the 12 queries below have never had a driver
     # row (the r4 additions landed after the 50-slot gate was already
     # full of the r3 promotions) — promote them into slots 21-50 next
     # round, keeping the 20 family anchors; the r4-promoted singles they
@@ -156,6 +156,7 @@ PRIORITY: tuple[str, ...] = (
     "bpe_train_merges",
     "classifier_lr_train",
     "emb_pca_power_iteration",
+    "join_interval_overlap_windows",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in

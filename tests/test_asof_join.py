@@ -162,3 +162,29 @@ def test_asof_nearest_random_differential(spark):
     ).toPandas().sort_values("lv")
     exp = pd.merge_asof(l, r, on="t", direction="nearest")
     assert got["rv"].fillna(-1).tolist() == exp["rv"].fillna(-1).tolist()
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketed interval-overlap join equals the brute-force theta join,
+    duplicate-free, across bucket boundaries and containments."""
+    from lithops_dataframe_spark.operators.joins import interval_overlap_join
+
+    rng = np.random.RandomState(13)
+    l = pd.DataFrame(
+        {"llo": rng.uniform(0, 100, 80), "lw": rng.uniform(0.5, 30, 80), "lid": range(80)}
+    )
+    l["lhi"] = l["llo"] + l["lw"]
+    r = pd.DataFrame(
+        {"rlo": rng.uniform(-10, 110, 30), "rw": rng.uniform(0.5, 50, 30), "rid": range(30)}
+    )
+    r["rhi"] = r["rlo"] + r["rw"]
+    got = interval_overlap_join(
+        spark.createDataFrame(l[["llo", "lhi", "lid"]]),
+        spark.createDataFrame(r[["rlo", "rhi", "rid"]]),
+        "llo", "lhi", "rlo", "rhi",
+        bucket_width=8.0,
+    ).toPandas()
+    exp = l.merge(r, how="cross")
+    exp = exp[(exp["llo"] < exp["rhi"]) & (exp["rlo"] < exp["lhi"])]
+    assert sorted(zip(got["lid"], got["rid"])) == sorted(zip(exp["lid"], exp["rid"]))
+    assert len(got) == len(set(zip(got["lid"], got["rid"]))), "duplicates emitted"
