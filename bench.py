@@ -106,6 +106,7 @@ R4_ADDITIONS: list[str] = [
     "classifier_lr_train",
     "emb_pca_power_iteration",
     "join_interval_overlap_windows",
+    "mm_wav_spectral_features",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -141,7 +141,7 @@ PRIORITY: tuple[str, ...] = (
     # previously degraded to a single-task window — VERDICT_r03 task 5)
     "join_asof_global_market_mark",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-5 ROTATION PLAN: the 12 queries below have never had a driver
+    # ROUND-5 ROTATION PLAN: the 13 queries below have never had a driver
     # row (the r4 additions landed after the 50-slot gate was already
     # full of the r3 promotions) — promote them into slots 21-50 next
     # round, keeping the 20 family anchors; the r4-promoted singles they
@@ -157,6 +157,7 @@ PRIORITY: tuple[str, ...] = (
     "classifier_lr_train",
     "emb_pca_power_iteration",
     "join_interval_overlap_windows",
+    "mm_wav_spectral_features",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
     # r3-promoted singles rotated out this round (driver-green in
