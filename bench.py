@@ -298,6 +298,10 @@ def main() -> None:
         pass
     elif elapsed > 480:
         full["scale_curve_skipped"] = f"main passes took {round(elapsed)}s"
+        # overwrite the side artifact too — a stale curve from an earlier
+        # run must not masquerade as this run's measurement
+        with open(os.path.join(repo, "SCALECURVE.json"), "w") as f:
+            json.dump({"skipped": full["scale_curve_skipped"]}, f)
     else:
         curve = scale_curve(spark, sf_dir)
         full["scale_curve"] = curve

@@ -650,8 +650,18 @@ class LDFrame:
 
             n = self._df.rdd.getNumPartitions()
             while n > se:
-                partials = partials.withColumn(
-                    "__gid", (F.spark_partition_id() / F.lit(se)).cast("long")
-                ).groupBy("__gid").applyInPandas(run_combine, cs)
                 n = -(-n // se)  # ceil: groups remaining after this level
+                # repartition to exactly n partitions FIRST, then one
+                # combine per physical partition: after the first level
+                # partials are hash-scattered across shuffle partitions,
+                # so dividing raw spark_partition_id by se would group
+                # partitions (mostly empty), not partials, and the
+                # "<= split_every reach aggregate" contract would not
+                # actually hold
+                partials = (
+                    partials.repartition(n)
+                    .withColumn("__gid", F.spark_partition_id().cast("long"))
+                    .groupBy("__gid")
+                    .applyInPandas(run_combine, cs)
+                )
         return partials.coalesce(1).mapInPandas(run_agg, fs)

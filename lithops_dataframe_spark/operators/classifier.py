@@ -77,10 +77,21 @@ def lr_train(
     rows = []
     for epoch in range(epochs):
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w)))
-        grad = feats.agg(
+        grad_agg = feats.agg(
             *[F.sum(F.col(f"x{j}") * (F.col("y") - p)).alias(f"g{j}") for j in range(N_FEATURES)]
+        )
+        # weight update rounded IN-ENGINE: Spark F.round (HALF_UP) matches
+        # DuckDB ROUND; Python's round() is banker's and can diverge on
+        # representable 6-decimal ties, compounding through later epochs
+        upd = grad_agg.select(
+            *[
+                F.round(F.lit(w[j]) + F.lit(lr) * F.col(f"g{j}") / F.lit(float(n)), 6).alias(
+                    f"w{j}"
+                )
+                for j in range(N_FEATURES)
+            ]
         ).collect()[0]
-        w = [round(w[j] + lr * float(grad[f"g{j}"]) / n, 6) for j in range(N_FEATURES)]
+        w = [float(upd[f"w{j}"]) for j in range(N_FEATURES)]
         n_correct = feats.filter(
             ((margin(w) > 0).cast("int") == F.col("y"))
         ).count()

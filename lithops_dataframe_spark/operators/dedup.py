@@ -459,13 +459,20 @@ def cdc_chunks(
         return total
 
     def bounds_of(codes):
-        # boundaries strictly inside the doc, plus n so the last chunk closes
+        # boundaries strictly inside the doc, plus n so the last chunk
+        # closes. Docs shorter than the window have no interior positions
+        # — and F.sequence(8, n) would count DOWN for n < 8, probing
+        # element_at at 0/negative indices (error / silently wrong hash)
         n = F.size(codes)
-        pos = F.filter(
-            F.sequence(F.lit(_CDC_W), n),
-            lambda p: (whash(codes, p) % F.lit(65536) * F.lit(40503)) % F.lit(65536)
-            < F.lit(65536 // (mask + 1)),
-        )
+        pos = F.when(
+            n >= _CDC_W,
+            F.filter(
+                F.sequence(F.lit(_CDC_W), n),
+                lambda p: (whash(codes, p) % F.lit(65536) * F.lit(40503))
+                % F.lit(65536)
+                < F.lit(65536 // (mask + 1)),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
         return F.concat(F.filter(pos, lambda p: p < n), F.array(n))
 
     def pairs_of(bounds):

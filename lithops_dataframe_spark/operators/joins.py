@@ -23,6 +23,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+
+from lithops_dataframe_spark import cache
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -128,8 +130,13 @@ def asof_join(
         # carry per partition, then cumulate per-partition carry-outs
         # (one tiny row each) into carry-ins for the partition after them
         sort_col = F.col(on).asc() if direction == "backward" else F.col(on).desc()
-        part = unioned.repartitionByRange(sort_col).withColumn(
-            "__pid", F.spark_partition_id()
+        # part feeds BOTH the window carry and the bounds aggregate; the
+        # tracked persist stops the union scan + range shuffle running
+        # twice (the round-3 multi-branch lesson)
+        part = cache.persist_tracked(
+            unioned.repartitionByRange(sort_col).withColumn(
+                "__pid", F.spark_partition_id()
+            )
         )
         wp = (
             Window.partitionBy("__pid")
@@ -190,7 +197,13 @@ def _asof_nearest(
     rcols = [c for c in right.columns if c != on and c not in by_cols]
     rmap = {c: (c + suffix if c in lcols else c) for c in rcols}
 
-    lid = left.withColumn("__lid", F.monotonically_increasing_id())
+    # the id frame MUST be materialized before branching: the backward
+    # and forward passes otherwise re-evaluate monotonically_increasing_id
+    # independently, and with any shuffle in `left`'s lineage the two
+    # evaluations can number rows differently (silently wrong pairing)
+    lid = left.withColumn(
+        "__lid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     kwargs = dict(suffix=suffix, allow_exact_matches=allow_exact_matches)
     b = asof_join(lid, right, on, by, direction="backward", matched_on="__mb", **kwargs)
     f = asof_join(lid, right, on, by, direction="forward", matched_on="__mf", **kwargs).select(

@@ -287,10 +287,12 @@ def mm_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 6 = 5").select("doc_id")
-    payloads = M.synthesize_codec_payloads(
-        load_table(spark, sf_dir, "documents")
-    ).filter(F.col("fmt") == "wav")
+    # synthesize payloads for the wav docs ONLY: the synthesizer derives
+    # format/content from doc_id, so pre-filtering drops the 5/6 of
+    # payloads (including pure-Python JPEG encodes) a post-filter would
+    # build and discard
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 6 = 5")
+    payloads = M.synthesize_codec_payloads(docs)
 
     N, B = _DFT_N, _DFT_BINS
 

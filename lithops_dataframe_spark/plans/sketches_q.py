@@ -304,10 +304,14 @@ def sketch_kll_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in (0.25, 0.50, 0.75)
         ],
     )
-    # exact normalized rank of each estimated quantile, one aggregate pass
-    ranked = ev.join(F.broadcast(qs), "event_type").groupBy("event_type").agg(
+    # exact normalized rank of each estimated quantile, one aggregate
+    # pass; null values are excluded on BOTH ends (the sketch never saw
+    # them, and count(v) is the oracle's COUNT(value) denominator)
+    ranked = ev.filter(F.col("v").isNotNull()).join(
+        F.broadcast(qs), "event_type"
+    ).groupBy("event_type").agg(
         *[
-            (F.sum(F.when(F.col("v") <= F.col(f"q{p}"), 1).otherwise(0)) / F.count(F.lit(1))).alias(
+            (F.sum(F.when(F.col("v") <= F.col(f"q{p}"), 1).otherwise(0)) / F.count("v")).alias(
                 f"r{p}"
             )
             for p in (25, 50, 75)
