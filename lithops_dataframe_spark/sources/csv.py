@@ -126,7 +126,12 @@ def read_csv(
     Globs/directories still raise — a multi-file parallel scan has no
     stable global row order to skip from — as do list-valued ``skiprows``
     and preamble lines containing unbalanced quotes (they would swallow
-    following lines in the line-splitting scan).
+    following lines in the line-splitting scan). Known divergence from
+    pandas: without an explicit ``dtype``, types are inferred from the
+    snooped HEAD sample only, so a column whose first non-conforming
+    token appears deep in a large file reads those cells as NULL
+    (PERMISSIVE) instead of widening the whole column — pass ``dtype``
+    for mixed-typed columns.
     """
     reader = spark.read
     opts: dict[str, str] = {
