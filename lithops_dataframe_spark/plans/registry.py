@@ -61,19 +61,22 @@ def query_names() -> list[str]:
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries()
 # in dict order (round-1/2 evidence: CORRECTNESS_r0{1,2}.json are exactly
-# registry positions 1-50). Round-4 rotation (VERDICT_r03 task 2): slots
-# 1-20 keep the 20 family anchors (one proven combined family-proof per
-# SURVEY §2 family; csv_roundtrip re-proves because read_csv gains bounded
-# skiprows this round). Slots 21-50 promote the 30 queries that have never
-# had a driver row: the 28 round-3 additions (codecs, sketches,
-# LM/privacy/behavioral, Python Data Source connectors, VARIANT, Z-order
-# layout, BM25/SCD2, recursive CTE, DQ suite, PQ/ADC/IVF-PQ, EWMA,
-# triangles) plus the NEW global as-of query (two-pass carry lands this
-# round) and join_bucketed_colocated (pass(L)-only since r2). The
-# r3-promoted singles they displace return to the 51+ block; they remain
-# covered by the local tools/driver_sim.py full-battery run.
+# registry positions 1-50). Round-5 rotation (VERDICT_r04 tasks 1+3):
+# slots 1-20 keep the 20 family anchors (one proven combined family-proof
+# per SURVEY §2 family; csv_roundtrip re-proves because _snoop_head gains
+# the short-read accumulation loop this round). Slots 21-33 promote the
+# 13 queries the r4 verdict staged (CDC chunking, BPE/LR/PCA training
+# loops, theta/KLL sketches, HLL-partial rollup, pyds pushdown, cogroup
+# reconcile, interval-overlap join, WAV spectral, bucketed co-located
+# join, approx_count_distinct). Slots 34-50 promote 17 more from the
+# never-driver-gated tail (ANN singles, text-analysis singles, multimodal
+# features/frame-sample, trimmed-mean UDAF, streaming batch-twins, the
+# three most distinctive never-gated TPC-H shapes, frame_profile,
+# stratified rebalance). The r4-promoted singles they displace return to
+# the 51+ block; they remain covered by the local tools/driver_sim.py
+# full-battery run.
 PRIORITY: tuple[str, ...] = (
-    # --- kept family anchors (driver-green r2+r3; zero-regression set) ---
+    # --- kept family anchors (driver-green r2+r3+r4) ---
     "q03_shipping_priority",  # core relational: scan/filter/join/agg/top-k
     "red_stats_combined",  # §2.4 reductions
     "join_types_combined",  # §2.3 left/right/full/semi/anti/cross/theta
@@ -84,7 +87,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_percentiles_approx",  # §2.4 percentile scale path
     "scalar_funcs_combined",  # §2.8 string/date/math/array
     "scalar_json_map_events",  # §2.8 json+map (round-1 FAIL-env canary)
-    "csv_roundtrip",  # §2.1 sources — MODIFIED r4 (bounded skiprows)
+    "csv_roundtrip",  # §2.1 sources — MODIFIED r5 (short-read-safe head snoop)
     "udtf_long_token_index",  # §2.9 UDTF
     "stream_session_windows",  # §2.10 streaming
     "dedup_minhash_lsh_pairs",  # LLM dedup flagship
@@ -95,58 +98,7 @@ PRIORITY: tuple[str, ...] = (
     "mm_phash_neardup",  # multimodal near-dup
     "pipeline_clean_corpus",  # end-to-end composition
     # --- 30 promotions: first-ever driver rows ---
-    # round-3 real-codec proofs (pure-stdlib PNG/BMP/PPM/GIF/JPEG/WAV
-    # decoders, plans/codecs_q.py) — GIF/BMP decoders MODIFIED r4
-    # (LZW width-boundary fix, descriptor-dim reshape, core-header BMP)
-    "mm_codec_probe",
-    "mm_codec_pixel_stats",
-    "mm_codec_resize_real",
-    "mm_codec_wav_stats",
-    # round-3 sketch/filter proofs (plans/sketches_q.py)
-    "decontaminate_bloom_prefilter",
-    "sketch_cms_token_freq",
-    "sketch_hll_union_by_type",
-    # round-3 LM/privacy/behavioral proofs (plans/lm_q.py) —
-    # events_sessionize_gap re-proves if its 10x-exponent fix lands r4
-    "text_bigram_lm_quality",
-    "bpe_top_pairs",
-    "text_pii_redaction",
-    "events_retention_cohorts",
-    "events_sessionize_gap",
-    # round-3 Python Data Source API connectors (plans/pyds_q.py)
-    "pyds_synthetic_source",
-    "pyds_bindir_source",
-    "stream_pyds_counter_source",
-    "stream_pyds_jsonl_sink",
-    # round-3 Spark 4 VARIANT semi-structured path
-    "scalar_variant_props",
-    # round-3 Z-order clustered layout (operators/layout.py)
-    "io_zorder_roundtrip",
-    "io_optimize_compact_zorder",
-    # round-3 retrieval + warehouse maintenance (plans/retrieval_q.py)
-    "text_bm25_search",
-    "scd2_customer_dim",
-    # round-3 Spark 4 recursive CTE (plans/sql_q.py)
-    "sql_recursive_cte",
-    # round-3 data-quality suite + product quantization
-    "dq_constraint_suite",
-    "emb_pq_encode",
-    "events_ewma_user_value",
-    "sim_adc_topk_pq",
-    "sim_ivfpq_topk",
-    "graph_triangle_count",
-    # NEW r4: real baseline JPEG decode (Huffman+IDCT, functions/jpeg.py)
-    "mm_codec_jpeg_roundtrip",
-    # NEW r4: global as-of via range-partitioned two-pass carry (by=None
-    # previously degraded to a single-task window — VERDICT_r03 task 5)
-    "join_asof_global_market_mark",
-    # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-5 ROTATION PLAN: the 13 queries below have never had a driver
-    # row (the r4 additions landed after the 50-slot gate was already
-    # full of the r3 promotions) — promote them into slots 21-50 next
-    # round, keeping the 20 family anchors; the r4-promoted singles they
-    # displace return to this block, still covered by the local
-    # full-battery run.
+    # the 13 staged by the r4 verdict (r4 additions, never gated)
     "sketch_theta_overlap_estimate",
     "sketch_kll_quantiles_by_type",
     "rollup_sketch_hll_daily",
@@ -160,8 +112,83 @@ PRIORITY: tuple[str, ...] = (
     "mm_wav_spectral_features",
     "join_bucketed_colocated",
     "agg_approx_count_distinct",
-    # r3-promoted singles rotated out this round (driver-green in
-    # CORRECTNESS_r03; still covered by the local full-battery run)
+    # 17 more from the never-gated tail (r1/r2-era singles)
+    "sim_cosine_neardup_lsh",
+    "sim_cosine_topk_bruteforce",
+    "sim_knn_label_vote",
+    "sim_label_centroids",
+    "text_token_stats",
+    "text_langid_confusion",
+    "text_fingerprint_stats",
+    "mm_media_features",
+    "mm_frame_sample",
+    "udf_grouped_trimmed_mean",
+    "stream_tumbling_counts",
+    "stream_dedup_events",
+    "q13_customer_order_distribution",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+    "frame_profile",
+    "split_stratified_rebalance",
+    # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # ROUND-6 ROTATION PLAN: after the r5 sweep the queries below
+    # are the ONLY ones never driver-gated (18) plus one whose
+    # oracle changed r5 (events_gapfill_daily: literal spine per
+    # ADVICE r4) — promote them into slots 21+ next round, keeping
+    # the 20 anchors; remaining slots go to any r6-modified
+    # queries. That EXHAUSTS the never-gated tail: every
+    # registered query will have had a hard driver row by r6.
+    "q04_priority_with_late_lines",
+    "q08_market_share",
+    "q10_returned_items_topk",
+    "q11_important_parts",
+    "q12_late_line_priorities",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q19_brand_quantity_bands",
+    "q22_global_sales_opportunity",
+    "sim_cosine_neardup_exact",
+    "text_top_tokens",
+    "mm_resize_images",
+    "frame_describe",
+    "frame_describe_by_group",
+    "join_salted_skew",
+    "win_percent_cume",
+    "stream_sliding_activity",
+    "stream_daily_type_revenue",
+    "events_gapfill_daily",
+    # driver-green in an earlier round, rotated out; still covered
+    # by the local full-battery run
+    "mm_codec_probe",
+    "mm_codec_pixel_stats",
+    "mm_codec_resize_real",
+    "mm_codec_wav_stats",
+    "decontaminate_bloom_prefilter",
+    "sketch_cms_token_freq",
+    "sketch_hll_union_by_type",
+    "text_bigram_lm_quality",
+    "bpe_top_pairs",
+    "text_pii_redaction",
+    "events_retention_cohorts",
+    "events_sessionize_gap",
+    "pyds_synthetic_source",
+    "pyds_bindir_source",
+    "stream_pyds_counter_source",
+    "stream_pyds_jsonl_sink",
+    "scalar_variant_props",
+    "io_zorder_roundtrip",
+    "io_optimize_compact_zorder",
+    "text_bm25_search",
+    "scd2_customer_dim",
+    "sql_recursive_cte",
+    "dq_constraint_suite",
+    "emb_pq_encode",
+    "events_ewma_user_value",
+    "sim_adc_topk_pq",
+    "sim_ivfpq_topk",
+    "graph_triangle_count",
+    "mm_codec_jpeg_roundtrip",
+    "join_asof_global_market_mark",
     "red_stats_moments",
     "red_sum_axis1",
     "dedup_fuzzy_levenshtein_pairs",
@@ -187,12 +214,10 @@ PRIORITY: tuple[str, ...] = (
     "frame_map_partitions",
     "frame_describe_approx",
     "io_compact_small_files",
-    "events_gapfill_daily",
     "events_funnel",
     "rollup_continuous_aggregate",
     "q02_min_cost_supplier",
     "q18_large_volume_customers",
-    # r02 driver-green proofs (rotated out in r3)
     "q01_pricing_summary",
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
@@ -223,20 +248,12 @@ PRIORITY: tuple[str, ...] = (
     "agg_winsorized_stats",
     "sample_temperature_weights",
     "text_zipf_slope",
-    # remaining local-only queries
-    "sim_cosine_neardup_lsh",
-    "sim_knn_label_vote",
-    "sim_label_centroids",
-    "frame_describe",
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "win_top3_orders_per_customer",
     "scalar_json_events",
     "scalar_map_funcs",
-    "split_stratified_rebalance",
-    "join_salted_skew",
     "win_rank_dense_ntile",
-    "win_percent_cume",
     "join_cross_region_segment",
     "dedup_exact_fingerprint",
     "agg_percentiles",
@@ -257,10 +274,6 @@ PRIORITY: tuple[str, ...] = (
     "red_prod",
     "red_max_axis1",
     "red_mean_axis1",
-    "stream_tumbling_counts",
-    "stream_sliding_activity",
-    "stream_dedup_events",
-    "stream_daily_type_revenue",
 )
 
 
