@@ -310,7 +310,14 @@ def main() -> None:
     with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
     line = json.dumps(out)
-    assert len(line) < 1900, f"bench line {len(line)}B would overflow driver tail"
+    if len(line) >= 1900:
+        # never abort a completed run over output size (ADVICE r4): degrade
+        # by dropping per-query timings (they live in BENCH_FULL.json) and
+        # keep a valid driver-parseable line with the totals
+        slim = dict(out)
+        slim["queries"] = {}
+        slim["queries_dropped"] = f"line was {len(line)}B; see detail file"
+        line = json.dumps(slim)
     print(line)
 
 

@@ -39,6 +39,7 @@ def asof_join(
     suffix: str = "_right",
     allow_exact_matches: bool = True,
     matched_on: str | None = None,
+    left_key: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` semantics: for each left row, attach the single
     nearest right row with ``right.on <= left.on`` (backward), ``right.on
@@ -48,7 +49,16 @@ def asof_join(
     ``nearest`` runs the backward and forward passes and picks per left
     row by distance (ties and one-sided misses resolve like pandas); the
     ``on`` column must be numeric, date, or timestamp for the distance
-    comparison.
+    comparison. The two passes re-join per left row: ``left_key`` names
+    column(s) already unique per left row (cheapest — used as-is); when
+    None a deterministic key is DERIVED from the row's own content
+    (xxhash64 over all columns + a row_number within each hash bucket),
+    costing one extra hash-partition shuffle of the left side but no
+    materialization. Only if a left column is an unhashable type (map)
+    does the path fall back to an eager ``localCheckpoint`` pinning
+    ``monotonically_increasing_id`` — the one variant that copies the
+    left side to executor-local storage first (avoid at scale by
+    supplying ``left_key``).
 
     ``matched_on``: when given, the output carries the matched right row's
     ``on`` value under this name (e.g. the click timestamp a purchase was
@@ -68,6 +78,14 @@ def asof_join(
     partition's first right row with the previous partitions' carry-out —
     a second tiny pass over one boundary row per partition. Two parallel
     shuffles total; no single-task stage.
+
+    Resource note (ADVICE r4): the ``by=None`` path persists the
+    range-partitioned union via :func:`cache.persist_tracked`. Inside the
+    query registry that persist is evicted automatically when the next
+    builder starts; DIRECT library callers in a long-lived session should
+    call :func:`lithops_dataframe_spark.cache.release_all` once the
+    result has been materialized, or persisted unions accumulate in
+    executor memory across repeated calls.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
@@ -80,6 +98,7 @@ def asof_join(
             suffix=suffix,
             allow_exact_matches=allow_exact_matches,
             matched_on=matched_on,
+            left_key=left_key,
         )
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
@@ -186,32 +205,58 @@ def _asof_nearest(
     suffix: str,
     allow_exact_matches: bool,
     matched_on: str | None,
+    left_key: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """``direction='nearest'``: run the backward and forward carries and
     pick per left row by absolute distance (backward wins ties — pandas).
-    Left rows are keyed by a monotonic id so the two passes re-join
-    exactly; the matched row is chosen ATOMICALLY (all columns from one
-    side), never mixed."""
+    The two passes re-join on a per-left-row key; the matched row is
+    chosen ATOMICALLY (all columns from one side), never mixed.
+
+    Key strategy (VERDICT r4 task 4 — no eager full-left materialization):
+
+    1. ``left_key`` supplied → trust it (caller guarantees uniqueness).
+    2. Otherwise DERIVE a deterministic key from row content:
+       ``xxhash64(all columns)`` plus a ``row_number`` within each hash
+       bucket ordered by all columns. Re-evaluating the left lineage per
+       branch is then harmless: the ordering is content-determined up to
+       TRUE duplicate rows, and true duplicates are interchangeable — any
+       consistent numbering pairs each copy with *a* copy carrying
+       identical values. Cost: one hash-partition shuffle of the left
+       side (vs. the old eager ``localCheckpoint``, which copied the
+       whole left frame to executor-local storage before either pass).
+    3. Only when a left column's type is unhashable/unorderable (map) do
+       we fall back to ``monotonically_increasing_id`` pinned by an eager
+       ``localCheckpoint`` (two independent lineage evaluations may
+       otherwise number rows differently — silently wrong pairing).
+    """
     by_cols = [by] if isinstance(by, str) else list(by or [])
     lcols = [c for c in left.columns if c != on and c not in by_cols]
     rcols = [c for c in right.columns if c != on and c not in by_cols]
     rmap = {c: (c + suffix if c in lcols else c) for c in rcols}
 
-    # the id frame MUST be materialized before branching: the backward
-    # and forward passes otherwise re-evaluate monotonically_increasing_id
-    # independently, and with any shuffle in `left`'s lineage the two
-    # evaluations can number rows differently (silently wrong pairing)
-    lid = left.withColumn(
-        "__lid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    if left_key is not None:
+        key_cols = [left_key] if isinstance(left_key, str) else list(left_key)
+        lid = left
+    elif not any("map<" in dt for _, dt in left.dtypes):
+        h = F.xxhash64(*[F.col(c) for c in left.columns])
+        wn = Window.partitionBy(h).orderBy(*[F.col(c) for c in left.columns])
+        lid = left.withColumn("__lh", h).withColumn(
+            "__ln", F.row_number().over(wn)
+        )
+        key_cols = ["__lh", "__ln"]
+    else:
+        lid = left.withColumn(
+            "__lid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        key_cols = ["__lid"]
     kwargs = dict(suffix=suffix, allow_exact_matches=allow_exact_matches)
     b = asof_join(lid, right, on, by, direction="backward", matched_on="__mb", **kwargs)
     f = asof_join(lid, right, on, by, direction="forward", matched_on="__mf", **kwargs).select(
-        "__lid",
+        *key_cols,
         F.col("__mf"),
         *[F.col(rmap[c]).alias("__f_" + rmap[c]) for c in rcols],
     )
-    j = b.join(f, "__lid")
+    j = b.join(f, key_cols)
 
     def _num(col: Column) -> Column:
         # distance needs a numeric axis; date/timestamp go through the

@@ -46,7 +46,10 @@ _GAPFILL_ORACLE = """
         FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
                                             TIMESTAMP '2024-01-30',
                                             INTERVAL '1 day')) AS day) t
-        CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+        -- literal VALUES spine, mirroring the engine: a type with ZERO
+        -- events in the window must still get its 30 gap rows, which a
+        -- DISTINCT-over-data spine would silently omit (ADVICE r4)
+        CROSS JOIN (VALUES ('purchase'), ('signup')) AS et(event_type)
     ),
     daily AS (
         SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,

@@ -64,11 +64,19 @@ def _snoop_head(spark: SparkSession, filepath: str, nbytes: int = 262144) -> byt
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     stream = fs.open(path)
     try:
+        # Hadoop InputStream.read is allowed to return SHORT (object-store
+        # streams often do): accumulate until nbytes or EOF, or the snooped
+        # sample can silently truncate mid-header (ADVICE r4)
         arr = spark.sparkContext._gateway.new_array(jvm.byte, nbytes)
-        n = stream.read(arr, 0, nbytes)
-        if n <= 0:
+        got = 0
+        while got < nbytes:
+            n = stream.read(arr, got, nbytes - got)
+            if n <= 0:
+                break
+            got += n
+        if got <= 0:
             return b""
-        return bytes(bytearray((b & 0xFF) for b in arr[:n]))
+        return bytes(bytearray((b & 0xFF) for b in arr[:got]))
     finally:
         stream.close()
 

@@ -35,6 +35,10 @@ def test_top50_covers_every_family():
             "win_cumsum_per_supplier",
             "events_sessionize_gap",  # running sum over unboundedPreceding
             "events_ewma_user_value",
+            # the as-of carry IS a running frame: last(struct, ignorenulls)
+            # over rowsBetween(unboundedPreceding, 0) — operators/joins.py
+            "join_asof_purchase_last_click",
+            "join_asof_global_market_mark",
         },
         "set ops": {"setop_combined"},
         "agg shapes": {"agg_shapes_combined"},
@@ -47,17 +51,26 @@ def test_top50_covers_every_family():
             "io_zorder_roundtrip",
             "io_optimize_compact_zorder",
             "stream_pyds_jsonl_sink",
+            # materializes HLL partials to parquet and answers the window
+            # from the read-back table — a full writer/reader round trip
+            "rollup_sketch_hll_daily",
         },
         "arrow-batched python": {
             "udf_map_in_arrow",
             "mm_codec_pixel_stats",  # mapInPandas decode
             "mm_codec_jpeg_roundtrip",
+            "udf_cogroup_reconcile",  # cogrouped applyInPandas
+            "mm_media_features",  # mapInPandas over binary payloads
+            "mm_frame_sample",
+            "mm_wav_spectral_features",
         },
         "udtf": {"udtf_long_token_index"},
         "streaming": {"stream_session_windows"},
         "stateful/custom streaming": {
             "stream_stateful_running_totals",
             "stream_pyds_counter_source",
+            # watermarked dropDuplicates keeps cross-micro-batch key state
+            "stream_dedup_events",
         },
         "dedup": {"dedup_minhash_lsh_pairs"},
         "ann": {"sim_cosine_topk_lsh"},
@@ -65,17 +78,27 @@ def test_top50_covers_every_family():
         "clustering": {"kmeans_cells"},
         "text": {"text_hashed_tfidf", "text_bm25_search"},
         "multimodal": {"mm_phash_neardup"},
-        "multimodal/object ingest": {"mm_binaryfile_source", "pyds_bindir_source"},
+        # "multimodal/object ingest" waived r5 — see `waived` below
         "decontamination": {
             "decontaminate_ngram_overlap",
             "decontaminate_bloom_prefilter",
+            # theta set-op sketches are the join-free decontamination
+            # triage path (overlap cardinality before any pair join)
+            "sketch_theta_overlap_estimate",
         },
         "pipeline composition": {"pipeline_clean_corpus"},
     }
-    # r4 waiver: the train-data sampling family's slot yielded to
-    # first-ever driver rows this rotation; sample_k_per_stratum is green
-    # in CORRECTNESS_r03 and stays in the 51+ block + local battery.
-    waived = {"sampling (r4 waiver, r3 driver-green)"}
+    # r5 waivers: these families' slots yielded to first-ever driver rows
+    # this rotation; every waived candidate is already driver-green in an
+    # earlier round and stays in the 51+ block + local battery.
+    # - sampling: sample_k_per_stratum green in r03 (split_stratified_
+    #   rebalance — a sampling-family query — IS in the r5 top-50).
+    # - object ingest: mm_binaryfile_source green r03, pyds_bindir_source
+    #   green r04; both rotate back in r6 if modified.
+    waived = {
+        "sampling (r4 waiver, r3 driver-green)",
+        "multimodal/object ingest (r5 waiver, r3+r4 driver-green)",
+    }
     missing = [fam for fam, cands in families.items() if not (cands & top)]
     assert not missing, f"top-50 no longer covers families: {missing} (waived: {waived})"
 
