@@ -280,37 +280,74 @@ _COGROUP_ORACLE = """
 @register("udf_cogroup_reconcile", oracle=_COGROUP_ORACLE)
 def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map ``applyInPandas`` (SURVEY §2.9 — the two-frame sibling
-    of grouped-map): purchases and clicks cogroup per user_id; each task
-    receives BOTH sides' rows for its keys as pandas frames and emits the
-    per-user reconciliation. One co-partitioned shuffle of the two inputs
-    (FlatMapCoGroupsInPandas) — the Arrow analog of a full outer
-    join+aggregate, which is exactly what the oracle replays. Spend sums
-    as exact integer cents in pandas; the division chain and the final
-    round run JVM-side so both engines execute the identical IEEE ops
-    (Python round() is banker's — never comparable)."""
-    ev = load_table(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    of grouped-map): purchases and clicks cogroup and each task receives
+    BOTH sides' rows for its keys as pandas frames — the Arrow analog of
+    a full outer join+aggregate, which is exactly what the oracle replays.
+
+    Constant-factor design (VERDICT r4 task 8): cogrouping directly on
+    user_id paid one Arrow round-trip + pandas-frame construction PER
+    USER (~4.3 s at sf0.1). The cogroup key is instead a BUCKET
+    (``user_id % 64``), so each pandas call receives a multi-user batch
+    and reconciles per-user with one vectorized ``groupby`` — identical
+    output, same cogroup API surface proven, ~users/64× fewer Arrow
+    crossings. Still one co-partitioned shuffle of the two inputs
+    (FlatMapCoGroupsInPandas); at cluster scale raise the bucket count
+    toward the parallelism target, it only changes batch size.
+
+    Spend sums as exact integer cents in pandas; the division chain and
+    the final round run JVM-side so both engines execute the identical
+    IEEE ops (Python round() is banker's — never comparable)."""
+    n_buckets = 64
+    # each side gets its OWN scan (fresh exprIds): cogrouping two
+    # branches of one DataFrame trips Spark's self-join attribute dedup,
+    # which rebinds the right side's non-grouping user_id to the left's
+    # exprId — the right pandas frame then arrives without the column
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .withColumn("__b", F.pmod("user_id", F.lit(n_buckets)))
+    )
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id")
+        .withColumn("__b", F.pmod("user_id", F.lit(n_buckets)))
+    )
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        n_purch = len(left)
-        n_click = len(right)
-        # exact integer cents (fixture values are 2-decimal), one division
-        cents = (
-            int((left["value"] * 100).round().astype("int64").sum()) if n_purch else 0
-        )
-        return pd.DataFrame(
-            {
-                "user_id": [int(key[0])],
-                "n_purch": [n_purch],
-                "n_click": [n_click],
-                "spend_cents": [cents],
-            }
-        )
+        if len(left):
+            p = (
+                left.assign(cents=(left["value"] * 100).round().astype("int64"))
+                .groupby("user_id")
+                .agg(n_purch=("cents", "size"), spend_cents=("cents", "sum"))
+                .reset_index()
+            )
+        else:
+            p = pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_purch": pd.Series(dtype="int64"),
+                    "spend_cents": pd.Series(dtype="int64"),
+                }
+            )
+        if len(right):
+            c = right.groupby("user_id").size().rename("n_click").reset_index()
+        else:
+            c = pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "n_click": pd.Series(dtype="int64"),
+                }
+            )
+        m = p.merge(c, on="user_id", how="outer")
+        for col in ("n_purch", "n_click", "spend_cents"):
+            m[col] = m[col].fillna(0).astype("int64")
+        return m[["user_id", "n_purch", "n_click", "spend_cents"]]
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("__b")
+        .cogroup(clicks.groupBy("__b"))
         .applyInPandas(
             reconcile,
             "user_id long, n_purch long, n_click long, spend_cents long",
