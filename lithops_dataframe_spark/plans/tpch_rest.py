@@ -82,19 +82,28 @@ def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's rounding. The driver's %.9g normalization compares the raw
     doubles exactly."""
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
-    )
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") < 25)
     ).select("p_partkey", "p_name")
-    # Filter to qualifying parts BEFORE the window: the broadcast semi-join
-    # shrinks the windowed input ~12x (only STANDARD small parts rank).
-    offers = offers.join(p, offers.l_partkey == p.p_partkey)
+    # Semi-join the qualifying-part filter into lineitem BEFORE the offer
+    # aggregate (r5: this was applied after, so the groupBy shuffled ALL
+    # lineitem offers and the 10x curve charged q02 the full shuffle
+    # growth — measured exponent 0.754; filtering first shrinks the
+    # shuffle ~12x and the aggregate's input is the only O(n) stage
+    # left). AQE broadcasts the part key list while it fits and falls
+    # back to a shuffled semi-join at 100 TB.
+    li = li.join(
+        p.select("p_partkey"), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
     w = Window.partitionBy("l_partkey")
     best = offers.withColumn("best_price", F.min("unit_price").over(w)).filter(
         F.col("unit_price") == F.col("best_price")
     )
+    # attach the part columns to the tiny best-offer frame only
+    best = best.join(p, best.l_partkey == p.p_partkey)
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
