@@ -49,9 +49,17 @@ def bpe_train(
     *,
     n_merges: int = 6,
     max_words: int = 2000,
-) -> DataFrame:
+    return_tokens: bool = False,
+):
     """Learn ``n_merges`` BPE merge rules; returns one row per rule:
-    (step, left_sym, right_sym, merged, pair_count)."""
+    (step, left_sym, right_sym, merged, pair_count).
+
+    ``return_tokens=True`` additionally returns the post-merge token
+    table ``(wid, cnt, pos, sym)`` — the ENCODED vocabulary. Encoding a
+    corpus with a trained BPE is this table joined back to the corpus's
+    word occurrences: the merge loop runs once over the bounded
+    vocabulary, never over the corpus (same 100 TB argument as
+    training)."""
     spark = docs.sparkSession
     vocab = word_frequency_table(docs, text_col, max_words=max_words)
     # initial symbols: the word's characters (split('') is fine here —
@@ -118,6 +126,9 @@ def bpe_train(
         # re-execution of prior rounds by the next argmax collect
         tok = tok.localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
     )
+    if return_tokens:
+        return merges_df, tok
+    return merges_df

@@ -420,3 +420,98 @@ def io_optimize_compact_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_opt < n_frag).alias("compacted_ok"),
         F.lit(prunable * 2 >= n_files).alias("clustered_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE-INTO-style upsert via dynamic partition overwrite (round 5)
+# ---------------------------------------------------------------------------
+_MERGE_ORACLE = """
+    WITH base AS (
+        SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS m,
+               ROUND(o_totalprice * 100)::BIGINT AS cents, 'base' AS src
+        FROM orders
+    ),
+    upd AS (
+        SELECT k, m, cents + 500 AS cents, 'upd' AS src
+        FROM base WHERE k % 97 = 0 AND m LIKE '1996-%'
+    ),
+    ins AS (
+        SELECT k + 1000000000 AS k, m, 123456::BIGINT AS cents, 'ins' AS src
+        FROM base WHERE k % 131 = 0 AND m LIKE '1997-%'
+    ),
+    final AS (
+        SELECT b.* FROM base b
+        LEFT JOIN upd u ON u.k = b.k WHERE u.k IS NULL
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    )
+    SELECT m,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(cents)::BIGINT AS cents,
+           SUM(CASE WHEN src = 'upd' THEN 1 ELSE 0 END)::BIGINT AS n_updated,
+           SUM(CASE WHEN src = 'ins' THEN 1 ELSE 0 END)::BIGINT AS n_inserted
+    FROM final GROUP BY m
+"""
+
+
+@register("io_merge_upsert_partitioned", oracle=_MERGE_ORACLE)
+def io_merge_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO-style upsert against a month-partitioned parquet table
+    via DYNAMIC partition overwrite (round 5 — the write-side sibling of
+    the relational scd2_customer_dim): stage an update+insert batch,
+    rewrite ONLY the partitions the batch touches (anti-join the staged
+    keys inside them, union the batch), leave every other partition's
+    files untouched. This is the Hive/Delta MERGE pattern on plain
+    parquet: at 100 TB the rewrite cost is proportional to the touched
+    partitions, not the table, and the read-back scan prunes to the
+    affected months (partition filter pushdown).
+
+    Money sums as exact integer cents end-to-end; the oracle replays the
+    final table state and per-month counts by row provenance."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit("base").alias("src"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="lds_merge_"), "orders_by_month")
+    base.write.partitionBy("m").mode("overwrite").parquet(path)
+
+    # the batch touches only 1996/1997 months — the 60+ other partitions
+    # MUST survive the dynamic overwrite untouched (that survival is what
+    # the oracle's full-table replay verifies)
+    upd = base.filter((F.col("k") % 97 == 0) & F.col("m").startswith("1996-")).select(
+        "k", "m", (F.col("cents") + 500).alias("cents"), F.lit("upd").alias("src")
+    )
+    ins = base.filter((F.col("k") % 131 == 0) & F.col("m").startswith("1997-")).select(
+        (F.col("k") + 1_000_000_000).alias("k"),
+        "m",
+        F.lit(123456).cast("long").alias("cents"),
+        F.lit("ins").alias("src"),
+    )
+    batch = upd.unionByName(ins)
+    months = [r["m"] for r in batch.select("m").distinct().collect()]
+
+    target = spark.read.parquet(path)
+    touched = target.filter(F.col("m").isin(months))
+    keys = upd.select("k")
+    merged = (
+        touched.join(keys, "k", "left_anti")
+        .unionByName(batch.select(*touched.columns))
+    )
+    # dynamic mode rewrites only the partitions `merged` carries rows for
+    (
+        merged.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy("m")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+    final = spark.read.parquet(path)
+    return final.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
+        F.sum(F.when(F.col("src") == "upd", 1).otherwise(0)).alias("n_updated"),
+        F.sum(F.when(F.col("src") == "ins", 1).otherwise(0)).alias("n_inserted"),
+    )

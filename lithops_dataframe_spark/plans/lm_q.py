@@ -441,6 +441,19 @@ def _bpe_oracle(n_merges: int, max_words: int) -> str:
     word-frequency table, then per iteration the same pair-count argmax
     (ties: count desc, pair asc) and the same run-parity greedy merge
     application, expressed with identical windowed SQL."""
+    sql = _bpe_oracle_ctes(n_merges, max_words)
+    finals = [
+        f"SELECT {k} AS step, s1 AS left_sym, s2 AS right_sym, "
+        f"s1 || s2 AS merged, c::BIGINT AS pair_count FROM top{k}"
+        for k in range(n_merges)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_oracle_ctes(n_merges: int, max_words: int) -> str:
+    """The WITH chain shared by the training oracle (reads the per-step
+    ``top{k}`` argmax CTEs) and the encoding oracle (reads the final
+    ``tok{n_merges}`` table — the encoded vocabulary)."""
     sql = f"""
     WITH w AS MATERIALIZED (
         SELECT word, COUNT(*)::BIGINT AS cnt FROM (
@@ -487,12 +500,7 @@ def _bpe_oracle(n_merges: int, max_words: int) -> str:
             WHERE kp.pos IS NULL
         )
     )"""
-    finals = [
-        f"SELECT {k} AS step, s1 AS left_sym, s2 AS right_sym, "
-        f"s1 || s2 AS merged, c::BIGINT AS pair_count FROM top{k}"
-        for k in range(n_merges)
-    ]
-    return sql + "\n" + "\nUNION ALL\n".join(finals)
+    return sql
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle(_BPE_MERGES, _BPE_MAX_WORDS))
@@ -509,3 +517,139 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, "text", n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS)
+
+
+_BPE_ENCODE_ORACLE = (
+    _bpe_oracle_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
+    + f"""
+    SELECT sym,
+           SUM(cnt)::BIGINT AS occurrences,
+           COUNT(DISTINCT wid)::BIGINT AS n_words
+    FROM tok{_BPE_MERGES}
+    GROUP BY sym
+    ORDER BY occurrences DESC, sym ASC
+    LIMIT 25
+"""
+)
+
+
+@register("bpe_encode_token_stats", oracle=_BPE_ENCODE_ORACLE)
+def bpe_encode_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the trained BPE (round 5 — completes the tokenizer
+    story: r3 counted one merge step, r4 learned the rules, this applies
+    them). The final post-merge token table IS the encoded vocabulary;
+    encoding a corpus is that bounded table joined to the corpus's word
+    occurrences, so the merge loop never touches the corpus — at 100 TB
+    the corpus pass is the single word count the vocabulary was built
+    from (out-of-vocabulary rare words would fall back to the same apply
+    loop over their own distinct-word table; cost ∝ tail vocabulary).
+
+    Output: the 25 most frequent corpus-weighted subword tokens with the
+    number of distinct vocabulary words containing each — the table a
+    tokenizer ships as its vocab head. The oracle replays training AND
+    encoding (the same unrolled CTE chain's final ``tok6`` table), so
+    every emitted token and both counts are full value-hash checked."""
+    from lithops_dataframe_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, tok = bpe_train(
+        docs, "text", n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS, return_tokens=True
+    )
+    return (
+        tok.groupBy("sym")
+        .agg(
+            F.sum("cnt").alias("occurrences"),
+            F.count_distinct("wid").alias("n_words"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("sym").asc())
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: PageRank with DISTRIBUTED iterative state (round 5)
+# ---------------------------------------------------------------------------
+_PR_ITERS = 5
+_PR_INIT = 1_000_000_000  # fixed-point units per node (1.0 rank)
+_PR_BASE = 150_000_000  # (1 - damping) * INIT with damping = 0.85
+
+
+def _pagerank_oracle(iters: int) -> str:
+    sql = """
+    WITH act AS MATERIALIZED (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day
+        FROM events WHERE user_id % 101 < 20
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM act a JOIN act b ON a.day = b.day AND a.user_id < b.user_id
+    ),
+    e AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ),
+    deg AS MATERIALIZED (SELECT u, COUNT(*)::BIGINT AS outdeg FROM e GROUP BY u),
+    ed AS MATERIALIZED (SELECT e.u, e.v, d.outdeg FROM e JOIN deg d ON d.u = e.u),
+    r0 AS MATERIALIZED (SELECT u AS node, 1000000000::BIGINT AS rank FROM deg)"""
+    for k in range(iters):
+        sql += f""",
+    r{k + 1} AS MATERIALIZED (
+        SELECT ed.v AS node,
+               150000000::BIGINT
+                 + SUM((r.rank * 85) // (100 * ed.outdeg))::BIGINT AS rank
+        FROM ed JOIN r{k} r ON r.node = ed.u GROUP BY ed.v
+    )"""
+    return sql + f"""
+    SELECT node AS user_id, rank AS rank_fp
+    FROM r{iters} ORDER BY rank DESC, node ASC LIMIT 20
+"""
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the sampled user co-activity graph (round 5) — the
+    DISTRIBUTED-state iterative family, complementing the repo's
+    driver-state training loops (k-means/LR/PCA hold model-sized vectors
+    on the driver; here the rank vector itself is a DataFrame that never
+    leaves the cluster). Each of the 5 iterations is one equi-join of the
+    persisted (u, v, outdeg) edge list with the current rank frame plus
+    one aggregate — the canonical bulk-synchronous PageRank step; at
+    100 TB ranks and edges co-partition on the source key so the join is
+    shuffle-free after the first iteration.
+
+    EXACT oracle with no float tolerance: ranks are 1e-9 fixed-point
+    BIGINTs (damping 0.85 applied as ``rank * 85 div (100 * outdeg)``) —
+    integer multiply/divide/sum replay bit-identically in DuckDB's
+    unrolled MATERIALIZED-CTE chain, sidestepping the summation-order
+    drift a double-valued PageRank would need rounding discipline for.
+    Symmetric edges mean every node has out-degree ≥ 1 — no dangling-mass
+    term. Output: top-20 users by final fixed-point rank."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 101 < 20)
+    act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    a, b = act.alias("a"), act.alias("b")
+    e0 = (
+        a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = cache.persist_tracked(e.join(deg, "u"))  # reused every iteration
+
+    ranks = deg.select(F.col("u").alias("node"), F.lit(_PR_INIT).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ed.join(ranks, ed.u == ranks.node)
+            .groupBy("v")
+            .agg(
+                (
+                    F.lit(_PR_BASE).cast("long")
+                    + F.sum(F.expr("(rank * 85) div (100 * outdeg)"))
+                ).alias("rank")
+            )
+            .select(F.col("v").alias("node"), "rank")
+        )
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("node").asc())
+        .limit(20)
+        .select(F.col("node").alias("user_id"), F.col("rank").alias("rank_fp"))
+    )

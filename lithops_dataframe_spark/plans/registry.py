@@ -132,12 +132,20 @@ PRIORITY: tuple[str, ...] = (
     "split_stratified_rebalance",
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
     # ROUND-6 ROTATION PLAN: after the r5 sweep the queries below
-    # are the ONLY ones never driver-gated (18) plus one whose
-    # oracle changed r5 (events_gapfill_daily: literal spine per
-    # ADVICE r4) — promote them into slots 21+ next round, keeping
-    # the 20 anchors; remaining slots go to any r6-modified
-    # queries. That EXHAUSTS the never-gated tail: every
-    # registered query will have had a hard driver row by r6.
+    # are the ONLY ones never driver-gated (18 r1-r4 singles + the 5
+    # round-5 additions) plus one whose oracle changed r5
+    # (events_gapfill_daily: literal spine per ADVICE r4) — promote
+    # them into slots 21+ next round, keeping the 20 anchors;
+    # remaining slots go to any r6-modified queries. That EXHAUSTS
+    # the never-gated tail: every registered query will have had a
+    # hard driver row by the end of r6.
+    # round-5 additions (BPE encode, grouped OLS training, PageRank,
+    # MERGE-style dynamic-partition upsert, stream-stream LEFT OUTER):
+    "bpe_encode_token_stats",
+    "udf_grouped_ols_trend",
+    "graph_pagerank",
+    "io_merge_upsert_partitioned",
+    "stream_view_click_left_outer",
     "q04_priority_with_late_lines",
     "q08_market_share",
     "q10_returned_items_topk",

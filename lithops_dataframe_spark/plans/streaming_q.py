@@ -121,6 +121,32 @@ def stream_view_click_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     return SE.view_click_correlation(_events(spark, sf_dir))
 
 
+_LEFT_OUTER_ORACLE = """
+    SELECT v.user_id,
+           COUNT(*)::BIGINT AS n_rows,
+           COUNT(c.value)::BIGINT AS n_matched,
+           SUM(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_unmatched_views,
+           ROUND(COALESCE(SUM(c.value), 0.0), 4) AS attributed_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+      ON c.user_id = v.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+    GROUP BY v.user_id
+"""
+
+
+@register("stream_view_click_left_outer", oracle=_LEFT_OUTER_ORACLE)
+def stream_view_click_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (round 5), batch twin:
+    attribution coverage per user — views with no click within the
+    horizon survive as null-attributed rows. The genuinely-streaming
+    behavior (eager matched emission, null emission gated on watermark
+    eviction, end-of-stream holdback of young unmatched views) is
+    asserted in tests/test_streaming.py::test_stream_left_outer_join."""
+    return SE.view_click_attribution_coverage(_events(spark, sf_dir))
+
+
 @register("stream_daily_type_revenue", oracle=_DAILY_ORACLE)
 def stream_daily_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.daily_type_revenue(_events(spark, sf_dir))

@@ -361,3 +361,91 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_per_click"),
         )
     )
+
+
+_OLS_ORACLE = """
+    WITH p AS (
+        SELECT user_id,
+               datediff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS x,
+               ROUND(value * 100)::BIGINT AS y
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+               SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+               SUM(x * x)::BIGINT AS sxx
+        FROM p GROUP BY user_id
+    )
+    SELECT user_id, n AS n_obs,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_day,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept_cents
+    FROM s WHERE n >= 2 AND (n * sxx - sx * sx) != 0
+"""
+
+
+@register("udf_grouped_ols_trend", oracle=_OLS_ORACLE)
+def udf_grouped_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment model TRAINING via grouped-map ``applyInPandas``
+    (round 5): fit an independent OLS spend-trend line per user — the
+    "thousands of small models" pattern (per-store demand curves,
+    per-user engagement slopes) that grouped-map exists for. Groups
+    arrive bucketed (user_id % 32, the r5 cogroup lesson — one Arrow
+    batch carries many users) and every per-user fit inside is a
+    vectorized pandas groupby, so the Python cost is a handful of numpy
+    array ops per BATCH, not per model.
+
+    EXACT cross-engine oracle with no tolerance gate: all five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are integer sums (day
+    index × spend cents), and slope/intercept are emitted as the same
+    IEEE double expressions of those exact integers in both engines —
+    closed-form training is hash-comparable where iterative float loops
+    need rounding discipline."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+            .cast("long")
+            .alias("x"),
+            F.round(F.col("value") * 100).cast("long").alias("y"),
+        )
+        .withColumn("__b", F.pmod("user_id", F.lit(32)))
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(xy=pdf["x"] * pdf["y"], xx=pdf["x"] * pdf["x"])
+        m = (
+            pdf.groupby("user_id")
+            .agg(
+                n=("x", "size"),
+                sx=("x", "sum"),
+                sy=("y", "sum"),
+                sxy=("xy", "sum"),
+                sxx=("xx", "sum"),
+            )
+            .reset_index()
+        )
+        den = m["n"] * m["sxx"] - m["sx"] * m["sx"]
+        keep = (m["n"] >= 2) & (den != 0)
+        m, den = m[keep], den[keep]
+        num = m["n"] * m["sxy"] - m["sx"] * m["sy"]
+        # int64 / int64 → float64: numpy converts each operand exactly
+        # (all < 2^53) and performs the single IEEE division DuckDB's
+        # BIGINT `/` performs — bit-identical
+        slope = num / den
+        intercept = (m["sy"] - slope * m["sx"]) / m["n"]
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"],
+                "n_obs": m["n"].astype("int64"),
+                "slope_cents_per_day": slope,
+                "intercept_cents": intercept,
+            }
+        )
+
+    return p.groupBy("__b").applyInPandas(
+        fit,
+        "user_id long, n_obs long, slope_cents_per_day double, intercept_cents double",
+    )

@@ -185,6 +185,62 @@ def view_click_pairs(events: DataFrame, *, within: str = "30 minutes") -> DataFr
     )
 
 
+def view_click_left_outer_pairs(
+    events: DataFrame, *, within: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (round 5 — the outer
+    sibling of :func:`view_click_pairs`): every view emits, carrying null
+    click columns when no same-user click followed within ``within``.
+
+    Streaming semantics: matched pairs emit eagerly like the inner join;
+    an UNMATCHED view is held in state and emitted with nulls only once
+    the watermark passes ``v_ts + within`` — at that point no matching
+    click can still arrive, so the null is final (this is why Spark
+    requires the watermark + time-range bound here: the outer row's
+    correctness depends on provable state eviction). End-of-stream
+    consequence tested in tests/test_streaming.py: views younger than
+    ``within + watermark delay`` — measured from the SLOWER side's max
+    event time, because the global watermark is the min across both
+    watermarked inputs — stay in state at the final micro-batch and never
+    emit their null row. The batch twin is the full outer result; the
+    stream emits the watermark-settled prefix of it.
+    """
+    views = with_watermark(events.filter(F.col("event_type") == "view")).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    clicks = with_watermark(events.filter(F.col("event_type") == "click")).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        _ntz("v_ts", "v_ts"),
+        _ntz("c_ts", "c_ts"),
+        "c_value",
+    )
+
+
+def view_click_attribution_coverage(
+    events: DataFrame, *, within: str = "30 minutes"
+) -> DataFrame:
+    """Batch rollup of :func:`view_click_left_outer_pairs` per user: how
+    much of each user's view traffic got click-attributed (outer joins
+    can't feed an unwindowed aggregate in streaming mode — the streaming
+    contract is tested on the pair stream itself)."""
+    pairs = view_click_left_outer_pairs(events, within=within)
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_value").alias("n_matched"),
+        F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0)).alias("n_unmatched_views"),
+        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("attributed_value"),
+    )
+
+
 def view_click_correlation(events: DataFrame, *, within: str = "30 minutes") -> DataFrame:
     """Batch rollup of :func:`view_click_pairs` per user (stream-stream
     joins can't feed an unwindowed aggregate in streaming mode — the

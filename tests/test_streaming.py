@@ -83,6 +83,48 @@ def test_stream_stream_join_equals_batch(spark, replay_dir):
     assert _rows(got, ["user_id", "v_ts", "c_ts", "c_value"]) == expected
 
 
+def test_stream_left_outer_join_equals_batch_settled_prefix(spark, replay_dir):
+    """Stream-stream LEFT OUTER join: matched pairs equal the batch inner
+    pairs exactly; null (unmatched) rows appear ONLY for views old enough
+    that the watermark provably evicted their state — i.e. the stream
+    emits the watermark-settled prefix of the batch outer result, and
+    emits NO null row the batch result doesn't have."""
+    raw = spark.read.parquet(replay_dir)
+    batch_in = normalize_events_ts(raw)
+    expected = SE.view_click_left_outer_pairs(batch_in)
+
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay_dir, raw.schema))
+    got = _run_stream_mode(
+        spark, SE.view_click_left_outer_pairs(stream_in), "append"
+    )
+
+    cols = ["user_id", "v_ts", "c_ts", "c_value"]
+    exp_matched = _rows(expected.filter("c_ts IS NOT NULL"), cols)
+    got_matched = _rows(got.filter("c_ts IS NOT NULL"), cols)
+    assert got_matched == exp_matched, "matched pairs must equal the inner join"
+
+    # null rows: a subset of the batch outer's null rows (end-of-stream
+    # watermark holdback keeps the youngest unmatched views in state)...
+    exp_nulls = set(_rows(expected.filter("c_ts IS NULL"), ["user_id", "v_ts"]))
+    got_nulls = set(_rows(got.filter("c_ts IS NULL"), ["user_id", "v_ts"]))
+    assert got_nulls <= exp_nulls, "stream emitted a null row the batch join refutes"
+    # ...and every unmatched view older than within + watermark delay at
+    # stream end MUST have been emitted (its state was provably evicted)
+    import datetime
+
+    # the global watermark is the MIN across watermarked inputs: each
+    # side (views, clicks) advances by its own max event time, so the
+    # settled horizon derives from the SLOWER side's max, minus the
+    # watermark delay and the join interval
+    max_view = batch_in.filter("event_type = 'view'").agg({"ts": "max"}).collect()[0][0]
+    max_click = batch_in.filter("event_type = 'click'").agg({"ts": "max"}).collect()[0][0]
+    settled = min(max_view, max_click) - datetime.timedelta(days=1, minutes=30)
+    must_emit = {r for r in exp_nulls if r[1] < settled}
+    missing = must_emit - got_nulls
+    assert not missing, f"{len(missing)} settled unmatched views never emitted"
+    assert must_emit, "fixture produced no settled unmatched views — test vacuous"
+
+
 def test_update_mode_converges_to_batch(spark, replay_dir):
     """update output mode emits changed window rows per micro-batch; the
     LAST emission per (window, event_type) key must equal the batch
