@@ -219,8 +219,12 @@ def scale_curve(spark, sf_dir: str) -> dict:
             start = time.perf_counter()
             _run_noop(_Q[name](spark, out_dir))
             d["t_10x"] = round(min(d["t_10x"], time.perf_counter() - start), 4)
-            d["exponent"] = round(
-                math.log10(d["t_10x"] / d["t_base"]) / math.log10(SCALE_COPIES), 3
+            # same noise floor as the first pass: a retimed base below
+            # 0.05 s is measurement noise — report None, don't divide by it
+            d["exponent"] = (
+                round(math.log10(d["t_10x"] / d["t_base"]) / math.log10(SCALE_COPIES), 3)
+                if d["t_base"] > 0.05
+                else None
             )
     families = {}
     for fam, qs in SCALE_FAMILIES.items():

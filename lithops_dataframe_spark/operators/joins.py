@@ -237,7 +237,14 @@ def _asof_nearest(
     if left_key is not None:
         key_cols = [left_key] if isinstance(left_key, str) else list(left_key)
         lid = left
-    elif not any("map<" in dt for _, dt in left.dtypes):
+    elif not any(
+        # xxhash64/orderBy reject these anywhere in the type tree; route
+        # them to the checkpoint fallback instead of crashing (VARIANT is
+        # Spark 4's unhashable semi-structured type — review finding r5)
+        bad in dt
+        for _, dt in left.dtypes
+        for bad in ("map<", "variant")
+    ):
         h = F.xxhash64(*[F.col(c) for c in left.columns])
         wn = Window.partitionBy(h).orderBy(*[F.col(c) for c in left.columns])
         lid = left.withColumn("__lh", h).withColumn(

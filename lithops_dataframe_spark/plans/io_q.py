@@ -475,7 +475,7 @@ def io_merge_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.lit("base").alias("src"),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="lds_merge_"), "orders_by_month")
+    path = os.path.join(_scratch("merge"), "orders_by_month")
     base.write.partitionBy("m").mode("overwrite").parquet(path)
 
     # the batch touches only 1996/1997 months — the 60+ other partitions

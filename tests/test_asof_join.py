@@ -183,16 +183,33 @@ def test_asof_nearest_multi_partition_no_materialization(spark):
         on="t",
         direction="nearest",
     )
-    assert "ExistingRDD" not in sdf._jdf.queryExecution().analyzed().toString(), (
-        "nearest path eagerly materialized the left frame"
+    # localCheckpoint renders as 'LogicalRDD' in the ANALYZED plan
+    # ('ExistingRDD' only appears in physical plans) — assert on the
+    # string that actually detects a regression to eager materialization
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" not in plan, "nearest path eagerly materialized the left frame"
+    # compare row-aligned per (t, lv) — a sorted-multiset compare of rv
+    # alone would miss wrong PAIRINGS that permute matches between rows
+    got = sorted(
+        map(tuple, sdf.toPandas()[["t", "lv", "rv"]].fillna(-1).values.tolist())
     )
-    got = np.sort(sdf.toPandas()["rv"].fillna(-1).values)
-    exp = np.sort(
-        pd.merge_asof(l.sort_values("t"), r, on="t", direction="nearest")["rv"]
-        .fillna(-1)
-        .values
-    )
-    assert got.tolist() == exp.tolist()
+    expdf = pd.merge_asof(l.sort_values("t"), r, on="t", direction="nearest")
+    exp = sorted(map(tuple, expdf[["t", "lv", "rv"]].fillna(-1).values.tolist()))
+    assert got == exp
+
+
+def test_asof_nearest_unhashable_column_falls_back(spark):
+    """A VARIANT left column can't feed xxhash64/orderBy — the nearest
+    path must route to the checkpoint fallback instead of crashing
+    (review finding r5), and still match pandas."""
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"t": [1.0, 4.0, 9.0], "props": ['{"a":1}', '{"a":2}', '{"a":3}']})
+    ).withColumn("props", F.parse_json("props"))
+    r = spark.createDataFrame(pd.DataFrame({"t": [2.0, 8.0], "rv": [10, 20]}))
+    out = asof_join(l, r, on="t", direction="nearest").toPandas().sort_values("t")
+    assert out["rv"].tolist() == [10, 10, 20]
 
 
 def test_asof_nearest_caller_supplied_key(spark):
@@ -208,7 +225,7 @@ def test_asof_nearest_caller_supplied_key(spark):
         left_key="k",
     )
     plan = sdf._jdf.queryExecution().analyzed().toString()
-    assert "__lh" not in plan and "ExistingRDD" not in plan
+    assert "__lh" not in plan and "LogicalRDD" not in plan
     out = sdf.toPandas().sort_values("k")
     exp = pd.merge_asof(l, r, on="t", direction="nearest")
     assert out["rv"].tolist() == exp["rv"].tolist()

@@ -168,3 +168,23 @@ def test_temperature_weights_normalize(spark):
     rows = sample_temperature_weights(spark, SF_SMOKE).collect()
     assert abs(sum(r.weight for r in rows) - 1.0) < 1e-3
     assert all(0.0 < r.keep_rate <= 1.0 for r in rows)
+
+
+def test_pagerank_invariant_under_shuffle_partitions(spark):
+    """Fixed-point PageRank must be EXACTLY partition-invariant: integer
+    multiply/div/sum have no summation-order sensitivity, so changing the
+    shuffle width cannot move a single rank unit (this is the property
+    that licenses the bit-exact DuckDB oracle)."""
+    from lithops_dataframe_spark.plans import QUERIES
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, QUERIES["graph_pagerank"](spark, SF_SMOKE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted(map(tuple, QUERIES["graph_pagerank"](spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
+    # sanity: every rank carries at least the teleport base mass
+    assert all(r[1] >= 150_000_000 for r in a)

@@ -91,6 +91,12 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "events_ewma_user_value",
     "graph_triangle_count",
+    # round-5 additions
+    "bpe_encode_token_stats",
+    "udf_grouped_ols_trend",
+    "graph_pagerank",
+    "io_merge_upsert_partitioned",
+    "stream_view_click_left_outer",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
