@@ -124,17 +124,23 @@ def read_csv(
     raw tokens; results re-stringified, combine with ``dtype`` to type
     them).
 
-    ``skiprows=n`` (int) is honored for SINGLE-file inputs (the
-    header-junk-preamble case a pandas porter actually hits): the first
-    ``n`` physical lines are skipped, the header — when present — is read
-    from line ``n`` (snooped driver-side with a bounded read through the
-    Hadoop FS API, so object-store paths work too), and the distributed
-    scan drops the preamble rows via a ``monotonically_increasing_id``
-    prefix filter (partition 0 of a single-file scan is the file head).
-    Globs/directories still raise — a multi-file parallel scan has no
-    stable global row order to skip from — as do list-valued ``skiprows``
-    and preamble lines containing unbalanced quotes (they would swallow
-    following lines in the line-splitting scan). Known divergence from
+    ``skiprows`` is honored for SINGLE-file inputs in its two bounded
+    forms (the cases a pandas porter actually hits): ``int n`` — a junk
+    preamble before the header — and (r5) a LIST of raw 0-based line
+    indices — scattered junk such as repeated mid-file header lines or
+    known-corrupt rows. Pandas semantics both ways: indices count
+    physical file lines, the header — when present — is the first KEPT
+    line (snooped driver-side with a bounded read through the Hadoop FS
+    API, so object-store paths work too), and the distributed scan drops
+    the skipped rows via a ``monotonically_increasing_id`` filter
+    (a ``>=`` prefix predicate for the contiguous int form, an ``isin``
+    over the bounded id list otherwise; partition 0 of a single-file
+    scan is the file head). Globs/directories still raise — a multi-file
+    parallel scan has no stable global row order to skip from — as do
+    callable ``skiprows`` (its domain is every global row index), list
+    indices beyond the snooped head, and skipped lines containing
+    unbalanced quotes (they would swallow following lines in the
+    line-splitting scan). Known divergence from
     pandas: without an explicit ``dtype``, types are inferred from the
     snooped HEAD sample only, so a column whose first non-conforming
     token appears deep in a large file reads those cells as NULL
@@ -177,11 +183,29 @@ def read_csv(
     opts.update(extra_options)
 
     skip_total = 0
-    if skiprows:
-        if not isinstance(skiprows, int) or isinstance(skiprows, bool):
+    skip_ids: list[int] | None = None  # non-contiguous raw-row ids to drop
+    _skip_empty = isinstance(skiprows, (list, tuple, set, range)) and len(skiprows) == 0
+    if skiprows is not None and skiprows != 0 and not _skip_empty:
+        if isinstance(skiprows, bool) or callable(skiprows):
             raise ValueError(
-                "skiprows: only a bounded int is supported distributed "
-                "(a list of row indices has no stable global row order)"
+                "skiprows: bounded int or bounded list of ints only — a "
+                "callable's domain is every global row index, which a "
+                "parallel scan has no stable order to provide"
+            )
+        if isinstance(skiprows, int):
+            skip_list = list(range(skiprows))
+        elif isinstance(skiprows, (list, tuple, set, range)) and all(
+            isinstance(i, int) and not isinstance(i, bool) and i >= 0 for i in skiprows
+        ):
+            # pandas list semantics: 0-based RAW file line indices, applied
+            # before header detection (r5 — closes the list-form gap; the
+            # same head-snoop + monotonic-id machinery handles scattered
+            # indices as long as they fall inside the snooped head)
+            skip_list = sorted(set(skiprows))
+        else:
+            raise ValueError(
+                "skiprows: only a bounded int or a bounded list of "
+                "non-negative ints is supported distributed"
             )
         if any(ch in filepath for ch in "*?[") or "," in filepath:
             raise ValueError(
@@ -193,15 +217,27 @@ def read_csv(
 
         head = _snoop_head(spark, filepath).decode(encoding or "utf-8", errors="replace")
         lines = head.splitlines()
-        if len(lines) <= skiprows:
-            raise ValueError(f"skiprows={skiprows} exceeds the snooped file head ({len(lines)} lines)")
-        for ln in lines[:skiprows]:
-            if quotechar and ln.count(quotechar) % 2:
+        if not lines or skip_list[-1] >= len(lines):
+            raise ValueError(
+                f"skiprows max index {skip_list[-1]} falls outside the snooped "
+                f"file head ({len(lines)} lines) — the skipped lines can't be "
+                "validated or located reliably"
+            )
+        skip_set = set(skip_list)
+        for idx in skip_list:
+            if quotechar and lines[idx].count(quotechar) % 2:
                 raise ValueError(
-                    "skiprows: preamble line contains an unbalanced quote — it "
+                    "skiprows: skipped line contains an unbalanced quote — it "
                     "would swallow following lines in the line-splitting scan"
                 )
-        body = lines[skiprows:]
+        # pandas: the header is the first line NOT skipped; the body is
+        # every following non-skipped line
+        first_kept = next(i for i in range(len(lines) + 1) if i not in skip_set)
+        if first_kept >= len(lines):
+            raise ValueError("skiprows drops every line in the snooped head")
+        body = [lines[first_kept]] + [
+            ln for i, ln in enumerate(lines) if i > first_kept and i not in skip_set
+        ]
         if names is None:
             if not has_header:
                 raise ValueError("skiprows without a header line requires names=")
@@ -225,9 +261,15 @@ def read_csv(
                 str(names[i]): str(pdf.dtypes.iloc[i]) for i in range(len(names))
             }
         # the distributed read now runs header=false with the explicit
-        # (names, dtype) schema; the preamble (+ header line, when present)
-        # rows are dropped by a monotonic-id prefix filter below
-        skip_total = skiprows + (1 if has_header else 0)
+        # (names, dtype) schema; the skipped (+ header, when present) raw
+        # rows are dropped by a monotonic-id filter below — a cheap >=
+        # prefix predicate when the drop set is contiguous from 0, an
+        # isin over the bounded id list otherwise
+        drop_ids = sorted(skip_set | ({first_kept} if has_header else set()))
+        if drop_ids == list(range(len(drop_ids))):
+            skip_total = len(drop_ids)
+        else:
+            skip_ids = drop_ids
         has_header = False
         opts["header"] = "false"
 
@@ -267,13 +309,18 @@ def read_csv(
 
     df = reader.options(**opts).csv(filepath)
 
-    if skip_total:
+    if skip_total or skip_ids:
         from pyspark.sql import functions as F
 
         # single-file scan: partition 0 is the file head (splits are taken
-        # in offset order for one file), so ids 0..skip_total-1 are exactly
-        # the preamble + header rows; later partitions' ids start at 2^33
-        df = df.filter(F.monotonically_increasing_id() >= F.lit(skip_total))
+        # in offset order for one file), so ids 0..k index the head rows
+        # exactly; later partitions' ids start at 2^33, far above any
+        # bounded skip index
+        mid = F.monotonically_increasing_id()
+        if skip_ids:
+            df = df.filter(~mid.isin(skip_ids))
+        else:
+            df = df.filter(mid >= F.lit(skip_total))
 
     if names is not None and schema is None:
         if len(names) != len(df.columns):

@@ -107,11 +107,42 @@ def test_read_csv_skiprows_names_header0(spark, tmp_path):
     assert sorted(r["c1"] for r in df.collect()) == sorted(exp["c1"].tolist())
 
 
+def test_read_csv_skiprows_list_matches_pandas(spark, tmp_path):
+    """Bounded LIST skiprows (r5): scattered raw-line indices — junk line,
+    header, a mid-file repeated-header line, a corrupt data line — pandas
+    semantics: indices count RAW file lines, header is the first kept
+    line."""
+    import pandas as pd
+
+    p = tmp_path / "scattered.csv"
+    p.write_text(
+        "# junk preamble\n"  # 0 skipped
+        "a,b,c,d\n"  # 1 header
+        "1,x,0.5,true\n"  # 2
+        "a,b,c,d\n"  # 3 skipped: repeated header mid-file
+        "2,y,1.5,false\n"  # 4
+        "CORRUPT;;;LINE\n"  # 5 skipped
+        "3,z,2.5,true\n"  # 6
+    )
+    skip = [0, 3, 5]
+    df = read_csv(spark, str(p), skiprows=skip)
+    exp = pd.read_csv(p, skiprows=skip)
+    assert df.columns == list(exp.columns)
+    assert sorted(r["a"] for r in df.collect()) == sorted(exp["a"].tolist())
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double", "boolean",
+    ]
+
+
 def test_read_csv_skiprows_rejected_forms(spark, csv_path, tmp_path):
     with pytest.raises(ValueError, match="single concrete file"):
         read_csv(spark, str(tmp_path / "*.csv"), skiprows=2)
-    with pytest.raises(ValueError, match="bounded int"):
-        read_csv(spark, csv_path, skiprows=[0, 2])
+    with pytest.raises(ValueError, match="bounded int or bounded list"):
+        read_csv(spark, csv_path, skiprows=lambda i: i % 2 == 0)
+    with pytest.raises(ValueError, match="bounded list of"):
+        read_csv(spark, csv_path, skiprows=[0, -2])
+    with pytest.raises(ValueError, match="outside the snooped"):
+        read_csv(spark, csv_path, skiprows=[0, 10_000_000])
     p = tmp_path / "badquote.csv"
     p.write_text('it"s junk\n' + CSV_BODY)
     with pytest.raises(ValueError, match="unbalanced quote"):
