@@ -154,6 +154,19 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "training_loops": ["bpe_train_merges", "classifier_lr_train"],
     "cdc_chunking": ["dedup_cdc_chunks"],
     "cogroup_arrow": ["udf_cogroup_reconcile"],
+    # round-5 additions. (graph_pagerank is EXCLUDED like triangles: the
+    # key-shifted copies share the same calendar days, so users from
+    # different copies co-occur and the co-activity graph densifies
+    # ~copies² for data reasons — that would measure the fixture. The
+    # merge upsert's touched-month batch grows with the data but the
+    # untouched-partition set does too: the measured growth is the real
+    # O(touched) claim. Grouped OLS and BPE encode are linear scans /
+    # vocabulary-bounded respectively; the stream outer join's per-user
+    # fan-out is copy-local.)
+    "bpe_encode": ["bpe_encode_token_stats"],
+    "grouped_ols": ["udf_grouped_ols_trend"],
+    "merge_upsert": ["io_merge_upsert_partitioned"],
+    "stream_join": ["stream_view_click_left_outer"],
 }
 SCALE_EXP_FLAG = 1.15
 SCALE_COPIES = 10
