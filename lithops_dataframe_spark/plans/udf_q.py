@@ -271,8 +271,11 @@ _COGROUP_ORACLE = """
     SELECT COALESCE(p.user_id, c.user_id) AS user_id,
            COALESCE(p.n_purch, 0)::BIGINT AS n_purch,
            COALESCE(c.n_click, 0)::BIGINT AS n_click,
-           ROUND((COALESCE(p.cents, 0) / 100.0)
-                 / GREATEST(COALESCE(c.n_click, 0), 1), 4) AS spend_per_click
+           -- ONE IEEE division of exact integers (bit-identical across
+           -- engines); ROUND(x, 4) diverged at a .00005 tie at sf0.1
+           COALESCE(p.cents, 0)
+               / (100.0 * GREATEST(COALESCE(c.n_click, 0), 1))
+               AS spend_per_click
     FROM p FULL OUTER JOIN c ON p.user_id = c.user_id
 """
 
@@ -294,9 +297,11 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (FlatMapCoGroupsInPandas); at cluster scale raise the bucket count
     toward the parallelism target, it only changes batch size.
 
-    Spend sums as exact integer cents in pandas; the division chain and
-    the final round run JVM-side so both engines execute the identical
-    IEEE ops (Python round() is banker's — never comparable)."""
+    Spend sums as exact integer cents in pandas; spend_per_click is ONE
+    IEEE division of exact integers run JVM-side, mirrored verbatim in
+    the oracle — bit-identical, no rounding step at all (an earlier
+    ROUND(x, 4) diverged at a .00005 half-up/half-even tie, caught by
+    the sf0.1 oracle sweep)."""
     n_buckets = 64
     # each side gets its OWN scan (fresh exprIds): cogrouping two
     # branches of one DataFrame trips Spark's self-join attribute dedup,
@@ -356,8 +361,13 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "n_purch",
             "n_click",
-            F.round(
-                (F.col("spend_cents") / 100.0) / F.greatest(F.col("n_click"), F.lit(1)), 4
+            # one multiply + one divide on exactly-represented integers —
+            # bit-identical to the oracle's expression; the former
+            # ROUND(x, 4) hit a .00005 half-up/half-even tie at sf0.1
+            # (found by the 10x-the-gate-SF oracle sweep, round-2 lesson)
+            (
+                F.col("spend_cents")
+                / (F.lit(100.0) * F.greatest(F.col("n_click"), F.lit(1)))
             ).alias("spend_per_click"),
         )
     )
