@@ -476,7 +476,11 @@ def io_merge_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("base").alias("src"),
     )
     path = os.path.join(_scratch("merge"), "orders_by_month")
-    base.write.partitionBy("m").mode("overwrite").parquet(path)
+    # repartition on the partition column first: otherwise every write
+    # task fans out a file into every month directory (tasks × months
+    # small files — the anti-pattern io_compact_small_files exists to
+    # clean up); this way each month gets one well-sized file
+    base.repartition("m").write.partitionBy("m").mode("overwrite").parquet(path)
 
     # the batch touches only 1996/1997 months — the 60+ other partitions
     # MUST survive the dynamic overwrite untouched (that survival is what
@@ -502,7 +506,8 @@ def io_merge_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # dynamic mode rewrites only the partitions `merged` carries rows for
     (
-        merged.write.option("partitionOverwriteMode", "dynamic")
+        merged.repartition("m")
+        .write.option("partitionOverwriteMode", "dynamic")
         .partitionBy("m")
         .mode("overwrite")
         .parquet(path)
