@@ -452,9 +452,15 @@ def cdc_chunks(
     )
 
     def whash(codes, p):
+        # Every product must stay in BIGINT: the codes array is cast long
+        # at materialization, and each power literal is forced long too —
+        # 31^6 = 887,503,681 still fits int32, so code(int)*power(int)
+        # would be 32-bit and overflow (ANSI mode raises; legacy wraps).
         total = None
         for j in range(_CDC_W):
-            term = F.element_at(codes, p - _CDC_W + j + 1) * F.lit(powers[j])
+            term = F.element_at(codes, p - _CDC_W + j + 1) * F.lit(
+                powers[j]
+            ).cast("long")
             total = term if total is None else total + term
         return total
 
@@ -486,7 +492,9 @@ def cdc_chunks(
             ),
         )
 
-    codes_expr = F.transform(F.split(F.col("s"), ""), F.ascii)
+    codes_expr = F.transform(
+        F.split(F.col("s"), ""), lambda c: F.ascii(c).cast("long")
+    )
     chunk_pairs = F.element_at(
         F.transform(
             F.array(codes_expr),

@@ -44,7 +44,14 @@ def pca_power_iteration(
     dim: int = 64,
 ) -> DataFrame:
     """Top principal direction of the embedding cloud; returns one row per
-    iteration: (iter, lam, var_explained, v array<double>)."""
+    iteration: (iter, lam, var_explained, v_micro string).
+
+    ``v_micro`` is the direction vector serialized as comma-joined
+    micro-units (each component × 1e6 as an exact integer — components
+    are already rounded to 6 decimals in-engine, so the integers are
+    exact in both engines). Scalar-only output columns: result frames
+    must canonicalize through pandas sort/hash, which rejects top-level
+    array/map cells."""
     spark = embs.sparkSession
     x = embs.select(F.col(emb_col).cast("array<double>").alias("x")).localCheckpoint(
         eager=True
@@ -106,8 +113,9 @@ def pca_power_iteration(
         ve_row = spark.range(1).select(
             F.round(F.lit(float(d2[0]["s"])) / F.lit(totss), 6).alias("ve")
         ).collect()[0]
-        out_rows.append((it, lam, float(ve_row["ve"]), v))
+        v_micro = ",".join(str(int(round(c * 1e6))) for c in v)
+        out_rows.append((it, lam, float(ve_row["ve"]), v_micro))
 
     return spark.createDataFrame(
-        out_rows, "iter int, lam double, var_explained double, v array<double>"
+        out_rows, "iter int, lam double, var_explained double, v_micro string"
     )

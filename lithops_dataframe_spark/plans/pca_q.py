@@ -54,8 +54,16 @@ def _pca_oracle(iters: int, dim: int) -> str:
         FROM wl{k} w, lam{k} l
     ),
     d2{k} AS MATERIALIZED (SELECT ROUND(SUM(d * d), 4) AS s FROM cd{k})"""
+    # v serialized as comma-joined micro-units: components are rounded to
+    # 6 dp in-engine, so ×1e6 rounds to an exact BIGINT in both engines
+    # (top-level list columns can't survive pandas canonicalization).
+    v_ser = (
+        "array_to_string(list_transform(v.v, "
+        "y -> CAST(CAST(ROUND(y * 1000000) AS BIGINT) AS VARCHAR)), ',')"
+    )
     finals = [
-        f"SELECT {k} AS iter, l.lam, ROUND(d.s / t.t, 6) AS var_explained, v.v "
+        f"SELECT {k} AS iter, l.lam, ROUND(d.s / t.t, 6) AS var_explained, "
+        f"{v_ser} AS v_micro "
         f"FROM lam{k} l, d2{k} d, totss t, v{k + 1} v"
         for k in range(iters)
     ]
@@ -71,7 +79,9 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the ANN-preprocessing/whitening step). The trajectory row per
     iteration carries λ (the growing eigenvalue estimate), the variance
     explained by the current direction, and the full 64-dim direction
-    vector; the DuckDB oracle replays every iteration with identical
+    vector serialized to comma-joined micro-units (scalar column — the
+    result canonicalizer can't hash list cells); the DuckDB oracle
+    replays every iteration with identical
     fold order and in-engine rounding, so all of it value-hashes."""
     from lithops_dataframe_spark.operators.pca import pca_power_iteration
 

@@ -75,8 +75,13 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         # (current ones are micros NTZ); keep the legacy conf so either
         # vintage reads — the catalog normalizes both (normalize_events_ts).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ANSI off: pandas/duckdb-style permissive casts & null-on-error.
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI ON — the Spark 4 default and what the driver's own session
+        # runs. Round-5 lesson: ANSI-off here let an int32 overflow ship
+        # "green" locally and crash on the driver; any permissive-cast or
+        # null-on-error behavior a query needs must be explicit
+        # (try_cast / try_divide / try_element_at), never a session conf
+        # the driver won't have.
+        .config("spark.sql.ansi.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
