@@ -54,11 +54,17 @@ def asof_join(
     None a deterministic key is DERIVED from the row's own content
     (xxhash64 over all columns + a row_number within each hash bucket),
     costing one extra hash-partition shuffle of the left side but no
-    materialization. Only if a left column is an unhashable type (map)
-    does the path fall back to an eager ``localCheckpoint`` pinning
-    ``monotonically_increasing_id`` — the one variant that copies the
-    left side to executor-local storage first (avoid at scale by
-    supplying ``left_key``).
+    materialization. The derived key is only sound when the left PLAN is
+    deterministic — both passes re-evaluate the left lineage, so a plan
+    containing ``rand``/``uuid``/``shuffle``/sampling/bare ``LIMIT`` or
+    order-dependent aggregates (``first``/``last``/``collect_list``)
+    could produce different rows per pass and silently mispair. The
+    nearest path therefore inspects the analyzed plan and falls back to
+    an eager ``localCheckpoint`` pinning ``monotonically_increasing_id``
+    whenever it finds a nondeterminism marker OR an unhashable column
+    type (map/variant) — the one variant that copies the left side to
+    executor-local storage first (avoid at scale by supplying
+    ``left_key``).
 
     ``matched_on``: when given, the output carries the matched right row's
     ``on`` value under this name (e.g. the click timestamp a purchase was
@@ -196,6 +202,46 @@ def asof_join(
     return out
 
 
+# Markers of re-evaluation instability in an ANALYZED plan string: any of
+# these means two independent evaluations of the lineage may yield
+# different row contents, so a content-derived key could mispair the
+# backward/forward passes (ADVICE r5). Function names render lowercase in
+# analyzed plans; Sample/Limit are operator node names. first/last/
+# collect_list/collect_set/any_value are deterministic only under an
+# explicit window ORDER — treating every occurrence as unstable merely
+# costs the checkpoint fallback, never correctness.
+_NONDET_PLAN_MARKERS = (
+    "rand(",
+    "randn(",
+    "random(",
+    "uuid()",
+    "shuffle(",
+    "monotonically_increasing_id",
+    "spark_partition_id",
+    "input_file_name",
+    "first(",
+    "last(",
+    "any_value(",
+    "collect_list(",
+    "collect_set(",
+    "Sample ",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def _plan_reevaluation_unstable(df: DataFrame) -> bool:
+    """True when the analyzed plan contains an expression or operator whose
+    output can differ between two evaluations of the same lineage. Used to
+    route asof-nearest to the checkpoint fallback; uninspectable plans are
+    treated as unstable (safe direction)."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return any(m in s for m in _NONDET_PLAN_MARKERS)
+
+
 def _asof_nearest(
     left: DataFrame,
     right: DataFrame,
@@ -224,10 +270,13 @@ def _asof_nearest(
        identical values. Cost: one hash-partition shuffle of the left
        side (vs. the old eager ``localCheckpoint``, which copied the
        whole left frame to executor-local storage before either pass).
-    3. Only when a left column's type is unhashable/unorderable (map) do
-       we fall back to ``monotonically_increasing_id`` pinned by an eager
+    3. When a left column's type is unhashable/unorderable (map/variant)
+       OR the analyzed plan carries a re-evaluation-instability marker
+       (rand/uuid/sample/limit/order-dependent aggregates — see
+       :data:`_NONDET_PLAN_MARKERS`), fall back to
+       ``monotonically_increasing_id`` pinned by an eager
        ``localCheckpoint`` (two independent lineage evaluations may
-       otherwise number rows differently — silently wrong pairing).
+       otherwise produce different row contents — silently wrong pairing).
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
     lcols = [c for c in left.columns if c != on and c not in by_cols]
@@ -244,7 +293,7 @@ def _asof_nearest(
         bad in dt
         for _, dt in left.dtypes
         for bad in ("map<", "variant")
-    ):
+    ) and not _plan_reevaluation_unstable(left):
         h = F.xxhash64(*[F.col(c) for c in left.columns])
         wn = Window.partitionBy(h).orderBy(*[F.col(c) for c in left.columns])
         lid = left.withColumn("__lh", h).withColumn(

@@ -107,7 +107,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CORRELATION_ORACLE = """
-    SELECT v.user_id, COUNT(*) AS n_pairs, ROUND(SUM(c.value), 4) AS clicked_value
+    SELECT v.user_id, COUNT(*) AS n_pairs,
+           SUM(CAST(ROUND(c.value * 100) AS BIGINT)) / 100.0 AS clicked_value
     FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
     JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
       ON c.user_id = v.user_id
@@ -127,7 +128,8 @@ _LEFT_OUTER_ORACLE = """
            COUNT(c.value)::BIGINT AS n_matched,
            SUM(CASE WHEN c.ts IS NULL THEN 1 ELSE 0 END)::BIGINT
                AS n_unmatched_views,
-           ROUND(COALESCE(SUM(c.value), 0.0), 4) AS attributed_value
+           COALESCE(SUM(CAST(ROUND(c.value * 100) AS BIGINT)), 0) / 100.0
+               AS attributed_value
     FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
     LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
       ON c.user_id = v.user_id

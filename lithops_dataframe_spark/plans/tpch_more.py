@@ -77,23 +77,46 @@ def q04_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: same fact joined through two dimension lineages
-    (supplier→nation, customer→nation) with a disjunctive pair predicate;
-    the bounded nation lineages broadcast by hint, the SF-scaling sides
-    (orders/customer/supplier) are AQE-sized — broadcast while they fit,
-    shuffle at 100 TB."""
+    (supplier→nation, customer→nation) with a disjunctive pair predicate.
+
+    The pair disjunction spans both lineages so Catalyst can't factor it,
+    but its IMPLIED per-lineage constraint (each nation ∈ {N1, N2}) is
+    applied by hand BELOW the fact joins: customer and supplier are each
+    inner-joined to the 2-row filtered nation frame first, so the orders
+    join sees only ~2/N of customers and the lineitem join only ~2/N of
+    suppliers — at 100 TB the fact shuffle carries the nation-pair slice,
+    not the whole join (the q02-exponent trick, r5 verdict task 6). The
+    residual pair filter then runs on the already-reduced join output."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    )
     cn = n.withColumnRenamed("n_name", "cust_nation").withColumnRenamed("n_nationkey", "cn_key")
     sn = n.withColumnRenamed("n_name", "supp_nation").withColumnRenamed("n_nationkey", "sn_key")
-    j = (
-        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
-        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+    c2 = (
+        c.select("c_custkey", "c_nationkey")
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .select("c_custkey", "cust_nation")
+    )
+    s2 = (
+        s.select("s_suppkey", "s_nationkey")
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o2 = (
+        o.select("o_orderkey", "o_custkey")
+        .join(c2, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    j = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(s2, li.l_suppkey == F.col("s_suppkey"))
+        .join(o2, li.l_orderkey == F.col("o_orderkey"))
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -231,7 +254,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
         FROM customer c, avg_bal
         WHERE c.c_acctbal > avg_bal.ab
-          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
     )
     SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
     FROM rich_idle GROUP BY c_nationkey
@@ -240,10 +265,20 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery (global average) + NOT EXISTS
     anti-join, grouped. The scalar aggregate broadcasts as a literal-like
-    one-row frame via cross join."""
+    one-row frame via cross join. The anti-join is on "no RECENT orders"
+    (orderdate >= 2000-01-01) rather than "no orders at all" — the fixture
+    generator gives virtually every customer at least one order, so the
+    unbounded form returned 0 rows at every fixture SF and its driver row
+    proved nothing (r5 verdict task 5); the date-bounded form keeps the
+    identical plan shape and is non-vacuous at sf0.001+ (5 / 55 rich-idle
+    customers at sf0.001 / sf0.01). The anti-join side is pre-filtered by
+    the date BEFORE the shuffle, so at 100 TB only the recent slice of
+    orders moves."""
     c = _t(spark, sf_dir, "customer")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
     rich = c.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_nationkey").agg(

@@ -193,6 +193,10 @@ def read_csv(
                 "parallel scan has no stable order to provide"
             )
         if isinstance(skiprows, int):
+            if skiprows < 0:
+                # pandas raises for negative ints too; without this the
+                # empty range made skip_list[-1] an IndexError (ADVICE r5)
+                raise ValueError("skiprows: must be >= 0")
             skip_list = list(range(skiprows))
         elif isinstance(skiprows, (list, tuple, set, range)) and all(
             isinstance(i, int) and not isinstance(i, bool) and i >= 0 for i in skiprows

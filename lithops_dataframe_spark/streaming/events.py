@@ -233,11 +233,15 @@ def view_click_attribution_coverage(
     can't feed an unwindowed aggregate in streaming mode — the streaming
     contract is tested on the pair stream itself)."""
     pairs = view_click_left_outer_pairs(events, within=within)
+    # integer-cents discipline (ADVICE r5): ROUND(SUM(double)) in two
+    # engines can tie-break differently on a .00005 boundary — sum exact
+    # integer cents instead and divide once, as udf_cogroup_reconcile does
+    cents = F.round(F.col("c_value") * 100, 0).cast("long")
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("c_value").alias("n_matched"),
         F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0)).alias("n_unmatched_views"),
-        F.round(F.coalesce(F.sum("c_value"), F.lit(0.0)), 4).alias("attributed_value"),
+        (F.coalesce(F.sum(cents), F.lit(0)) / 100.0).alias("attributed_value"),
     )
 
 
@@ -245,9 +249,12 @@ def view_click_correlation(events: DataFrame, *, within: str = "30 minutes") -> 
     """Batch rollup of :func:`view_click_pairs` per user (stream-stream
     joins can't feed an unwindowed aggregate in streaming mode — the
     streaming contract is tested on the pair stream itself)."""
+    # same integer-cents discipline as view_click_attribution_coverage
     return view_click_pairs(events, within=within).groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("c_value"), 4).alias("clicked_value"),
+        (F.sum(F.round(F.col("c_value") * 100, 0).cast("long")) / 100.0).alias(
+            "clicked_value"
+        ),
     )
 
 

@@ -212,6 +212,34 @@ def test_asof_nearest_unhashable_column_falls_back(spark):
     assert out["rv"].tolist() == [10, 10, 20]
 
 
+def test_asof_nearest_nondeterministic_plan_falls_back(spark):
+    """ADVICE r5: a left PLAN containing re-evaluation-unstable expressions
+    (rand, bare limit, ...) must route nearest to the checkpoint fallback —
+    the backward and forward passes re-evaluate the lineage, and a
+    content-derived key would silently mispair rows whose contents changed
+    between evaluations. Assert the fallback engaged (LogicalRDD in the
+    analyzed plan) and the join is still correct."""
+    from pyspark.sql import functions as F
+
+    l = spark.createDataFrame(
+        pd.DataFrame({"t": [1.0, 4.0, 9.0]})
+    ).withColumn("noise", F.rand(7))
+    r = spark.createDataFrame(pd.DataFrame({"t": [2.0, 8.0], "rv": [10, 20]}))
+    sdf = asof_join(l, r, on="t", direction="nearest")
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan, "rand() left plan must take the checkpoint path"
+    out = sdf.toPandas().sort_values("t")
+    assert out["rv"].tolist() == [10, 10, 20]
+
+    # bare LIMIT selects an arbitrary row subset per evaluation — same route
+    l2 = spark.createDataFrame(
+        pd.DataFrame({"t": [1.0, 4.0, 9.0, 12.0]})
+    ).limit(4)
+    sdf2 = asof_join(l2, r, on="t", direction="nearest")
+    assert "LogicalRDD" in sdf2._jdf.queryExecution().analyzed().toString()
+    assert sdf2.count() == 4
+
+
 def test_asof_nearest_caller_supplied_key(spark):
     """left_key short-circuits key derivation: results identical and the
     plan carries no derived __lh/__ln columns."""

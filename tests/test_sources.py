@@ -141,6 +141,10 @@ def test_read_csv_skiprows_rejected_forms(spark, csv_path, tmp_path):
         read_csv(spark, csv_path, skiprows=lambda i: i % 2 == 0)
     with pytest.raises(ValueError, match="bounded list of"):
         read_csv(spark, csv_path, skiprows=[0, -2])
+    # negative INT must ValueError too, not IndexError on an empty
+    # range's last element (ADVICE r5)
+    with pytest.raises(ValueError, match="must be >= 0"):
+        read_csv(spark, csv_path, skiprows=-1)
     with pytest.raises(ValueError, match="outside the snooped"):
         read_csv(spark, csv_path, skiprows=[0, 10_000_000])
     p = tmp_path / "badquote.csv"
