@@ -315,13 +315,15 @@ def _asof_nearest(
     j = b.join(f, key_cols)
 
     def _num(col: Column) -> Column:
-        # distance needs a numeric axis; date/timestamp go through the
-        # epoch-seconds double (dates cast cleanly via timestamp)
+        # distance needs a numeric axis; temporal types go through
+        # unix_micros — ANSI mode (the Spark 4 / driver default) rejects
+        # CAST(timestamp AS DOUBLE) outright. NTZ first casts to TIMESTAMP
+        # (session-tz interpretation) — both join sides convert the same
+        # way, so distances stay consistent; the micros/1e6 double equals
+        # DuckDB's EPOCH() for exact tie-break parity under UTC sessions.
         dt = dict(lid.dtypes)[on]
-        if dt in ("date",):
-            return col.cast("timestamp").cast("double")
-        if dt.startswith("timestamp"):
-            return col.cast("double")
+        if dt == "date" or dt.startswith("timestamp"):
+            return F.unix_micros(col.cast("timestamp")) / F.lit(1000000.0)
         return col.cast("double")
 
     choose_b = (

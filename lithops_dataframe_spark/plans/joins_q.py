@@ -175,6 +175,49 @@ def join_asof_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_nearest_mark",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, ROUND(MAX(value), 4) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id, p.user_id, p.ts, n.ts AS click_ts, n.click_value
+    FROM p LEFT JOIN LATERAL (
+        SELECT c.ts, c.click_value FROM c
+        WHERE c.user_id = p.user_id
+        ORDER BY ABS(EPOCH(c.ts) - EPOCH(p.ts)),
+                 CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END
+        LIMIT 1
+    ) n ON TRUE
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped as-of with ``direction='nearest'``: each purchase attaches
+    the user's CLOSEST click in either time direction, backward winning
+    ties (pandas merge_asof semantics). First driver gate for the nearest
+    path — backward+forward carries re-joined on a content-derived key
+    (xxhash64 + in-bucket row_number), the r5-hardened code that falls
+    back to a pinned checkpoint on nondeterministic lineages. The right
+    side dedups to one row per (user, ts) so the nearest match is unique
+    and the LATERAL oracle (min |Δt|, backward tie-break) is
+    deterministic. Distances compare as epoch-seconds doubles derived
+    from the same microsecond values in both engines."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("click_value"))
+    )
+    return asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        direction="nearest", matched_on="click_ts",
+    )
+
+
+@register(
     "join_range_value_bands",
     oracle="""
     SELECT b.band_id, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value

@@ -296,6 +296,61 @@ def sim_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_T, use_lsh=True)
 
 
+# SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+# embedding-space near-duplicates collapse to one survivor per duplicate
+# component. Pair discovery is the LSH-bucketed cosine pass above (never
+# all-pairs), clustering is min-label propagation, and the oracle replays
+# both — the SAME bucket CTE as _NEARDUP_LSH_ORACLE plus a recursive
+# transitive closure (the dedup_neardup_clusters discipline).
+_SEMDEDUP_ORACLE = f"""
+    WITH RECURSIVE buckets AS (
+      {_BUCKETS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.emb AS emb_a, b.emb AS emb_b
+        FROM buckets a
+        JOIN buckets b ON a.table_idx = b.table_idx AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM cand WHERE {_cos_sql('emb_a', 'emb_b')} >= {_NEARDUP_T}
+    ),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+    SELECT cluster AS kept_id, COUNT(*) AS n_members,
+           COUNT(*) - 1 AS n_dropped
+    FROM comp GROUP BY cluster
+"""
+
+
+@register("emb_semantic_dedup_keep", oracle=_SEMDEDUP_ORACLE)
+def emb_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup decision over the embedding corpus:
+    LSH-bucketed cosine near-dup pairs → connected components → keep the
+    min-id vector per duplicate component, drop the rest. Output is one
+    row per duplicate component: (kept_id, n_members, n_dropped) —
+    exactly the survivor manifest a 100 TB training-data pipeline feeds
+    into its pruning join (vectors in no component are implicitly kept).
+    All stages are bucketed/blocked: the pair graph comes from band-bucket
+    equi-joins, the component loop is one shuffle per round with min-label
+    propagation, and nothing all-pairs or driver-sized ever materializes."""
+    from lithops_dataframe_spark.operators.dedup import connected_components
+
+    emb = _emb(spark, sf_dir)
+    pairs = S.cosine_near_dup_pairs(emb, threshold=_NEARDUP_T, use_lsh=True)
+    cc = connected_components(pairs)
+    return cc.groupBy(F.col("cluster").alias("kept_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
+
+
 _CENTROIDS_ORACLE = """
     SELECT label, (t.i - 1)::INT AS pos,
            ROUND(AVG(embedding[t.i]::DOUBLE), 6) AS m,

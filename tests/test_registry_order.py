@@ -54,6 +54,9 @@ def test_top50_covers_every_family():
             # materializes HLL partials to parquet and answers the window
             # from the read-back table — a full writer/reader round trip
             "rollup_sketch_hll_daily",
+            # dynamic-partition-overwrite MERGE: writes the upserted
+            # partitions and answers from the read-back table
+            "io_merge_upsert_partitioned",
         },
         "arrow-batched python": {
             "udf_map_in_arrow",
@@ -63,6 +66,8 @@ def test_top50_covers_every_family():
             "mm_media_features",  # mapInPandas over binary payloads
             "mm_frame_sample",
             "mm_wav_spectral_features",
+            "udf_grouped_ols_trend",  # bucketed grouped-map applyInPandas
+            "mm_resize_images",  # mapInPandas over binary payloads
         },
         "udtf": {"udtf_long_token_index"},
         "streaming": {"stream_session_windows"},
@@ -71,6 +76,9 @@ def test_top50_covers_every_family():
             "stream_pyds_counter_source",
             # watermarked dropDuplicates keeps cross-micro-batch key state
             "stream_dedup_events",
+            # watermarked stream-stream LEFT OUTER holds per-key join
+            # state across micro-batches (null emission on eviction)
+            "stream_view_click_left_outer",
         },
         "dedup": {"dedup_minhash_lsh_pairs"},
         "ann": {"sim_cosine_topk_lsh"},
@@ -79,25 +87,24 @@ def test_top50_covers_every_family():
         "text": {"text_hashed_tfidf", "text_bm25_search"},
         "multimodal": {"mm_phash_neardup"},
         # "multimodal/object ingest" waived r5 — see `waived` below
-        "decontamination": {
-            "decontaminate_ngram_overlap",
-            "decontaminate_bloom_prefilter",
-            # theta set-op sketches are the join-free decontamination
-            # triage path (overlap cardinality before any pair join)
-            "sketch_theta_overlap_estimate",
-        },
+        # "decontamination" waived r6 — see `waived` below
         "pipeline composition": {"pipeline_clean_corpus"},
     }
-    # r5 waivers: these families' slots yielded to first-ever driver rows
+    # Waivers: these families' slots yielded to first-ever driver rows
     # this rotation; every waived candidate is already driver-green in an
     # earlier round and stays in the 51+ block + local battery.
     # - sampling: sample_k_per_stratum green in r03 (split_stratified_
-    #   rebalance — a sampling-family query — IS in the r5 top-50).
+    #   rebalance — a sampling-family query — was in the r5 top-50).
     # - object ingest: mm_binaryfile_source green r03, pyds_bindir_source
-    #   green r04; both rotate back in r6 if modified.
+    #   green r04.
+    # - decontamination: decontaminate_ngram_overlap green r03,
+    #   decontaminate_bloom_prefilter green r04, sketch_theta_overlap_
+    #   estimate green r05; all three slots yielded to the r6 rotation
+    #   that exhausts the never-gated tail (VERDICT r5 task 4).
     waived = {
         "sampling (r4 waiver, r3 driver-green)",
         "multimodal/object ingest (r5 waiver, r3+r4 driver-green)",
+        "decontamination (r6 waiver, r3+r4+r5 driver-green)",
     }
     missing = [fam for fam, cands in families.items() if not (cands & top)]
     assert not missing, f"top-50 no longer covers families: {missing} (waived: {waived})"
