@@ -167,7 +167,30 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "grouped_ols": ["udf_grouped_ols_trend"],
     "merge_upsert": ["io_merge_upsert_partitioned"],
     "stream_join": ["stream_view_click_left_outer"],
+    # round-6 (VERDICT_r05 task 8): the distributed-state iterative loop,
+    # measured on a copy-local edge set. graph_pagerank itself stays
+    # excluded (same-day pairs across key-shifted copies densify the
+    # co-activity graph ~copies² — that measures the fixture); the
+    # band-local variant below discovers edges only within a user-id
+    # stride band, which is the identity on the base fixture and exactly
+    # copy-local on the 10x fixture, so its exponent is the PageRank
+    # join+agg loop's own scaling.
+    "graph_iter": ["graph_pagerank_bandlocal"],
 }
+
+# Curve-only callables (not registered queries): same signature as a
+# registered builder. Kept out of plans/registry.py on purpose — the
+# registry is the driver-gate universe, and these exist solely to give
+# the scale curve a fixture-compatible measurement of a registered
+# query's plan (rotation_audit's backlog math stays exact).
+def _graph_pagerank_bandlocal(spark, sf_dir: str):
+    from lithops_dataframe_spark.plans.lm_q import pagerank_topk
+    from tools.scale_fixture import STRIDE
+
+    return pagerank_topk(spark, sf_dir, band_stride=STRIDE)
+
+
+EXTRA_SCALE_QUERIES = {"graph_pagerank_bandlocal": _graph_pagerank_bandlocal}
 SCALE_EXP_FLAG = 1.15
 SCALE_COPIES = 10
 
@@ -194,7 +217,8 @@ def scale_curve(spark, sf_dir: str) -> dict:
     out_dir = os.path.join(tempfile.gettempdir(), f"lds_scale{SCALE_COPIES}_{tag}")
     build(spark, sf_dir, out_dir, copies=SCALE_COPIES)
 
-    names = [n for fam in SCALE_FAMILIES.values() for n in fam if n in _Q]
+    allq = {**_Q, **EXTRA_SCALE_QUERIES}
+    names = [n for fam in SCALE_FAMILIES.values() for n in fam if n in allq]
     # base and 10x BOTH timed through the noop sink (same action shape on
     # both ends of the ratio; the main-pass collect timings stay the
     # headline metric, this curve isolates plan scaling)
@@ -202,11 +226,11 @@ def scale_curve(spark, sf_dir: str) -> dict:
     t10: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
-        _run_noop(_Q[name](spark, sf_dir))
+        _run_noop(allq[name](spark, sf_dir))
         tb[name] = round(time.perf_counter() - start, 4)
     for name in names:
         start = time.perf_counter()
-        _run_noop(_Q[name](spark, out_dir))
+        _run_noop(allq[name](spark, out_dir))
         t10[name] = round(time.perf_counter() - start, 4)
 
     per_q: dict[str, dict] = {}
@@ -227,10 +251,10 @@ def scale_curve(spark, sf_dir: str) -> dict:
     for name, d in per_q.items():
         if d["exponent"] is not None and d["exponent"] > 0.6 and d["t_10x"] > 1.0:
             start = time.perf_counter()
-            _run_noop(_Q[name](spark, sf_dir))
+            _run_noop(allq[name](spark, sf_dir))
             d["t_base"] = round(min(d["t_base"], time.perf_counter() - start), 4)
             start = time.perf_counter()
-            _run_noop(_Q[name](spark, out_dir))
+            _run_noop(allq[name](spark, out_dir))
             d["t_10x"] = round(min(d["t_10x"], time.perf_counter() - start), 4)
             # same noise floor as the first pass: a retimed base below
             # 0.05 s is measurement noise — report None, don't divide by it

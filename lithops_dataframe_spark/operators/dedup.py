@@ -417,6 +417,7 @@ def cdc_chunks(
     id_col: str = "doc_id",
     *,
     mask: int = 63,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Content-defined chunking via a fixed-window polynomial rolling hash
     (the Rabin-Karp/FastCDC family): a chunk boundary falls AFTER position
@@ -429,13 +430,28 @@ def cdc_chunks(
     shift every later chunk and defeat dedup. Returns
     (id, chunk_idx, chunk_len, chunk_md5) — one row per chunk.
 
-    All boundary math is JVM-side expression work, O(len·W) per document;
-    avg chunk ≈ mask+1 chars. Text is sanitized to printable ASCII first
-    so Spark's ``ascii()`` and DuckDB's ``ord()`` agree on every code
-    point. Sub-document dedup at 100 TB: chunk hashes (16 B) are the only
-    shuffle payload, never the text.
+    Two value-identical execution paths (same exact BIGINT hash at every
+    position, so both replay in the same DuckDB oracle):
 
-    Implementation note — the two O(n²) traps this code dodges:
+    - ``use_arrow=True`` (default): ``mapInPandas`` — per Arrow batch the
+      window hash is 8 SHIFTED VECTOR multiply-adds over the whole
+      document's code array (numpy int64), boundaries come from one
+      vectorized compare, chunks from Python slices. Per-byte work is the
+      one place Catalyst expressions lose to vectorized Python: the HOF
+      path pays per-element lambda-eval overhead ×8 probes per position
+      (measured ~10× slower at sf1 than this path — the r5 curve's
+      heaviest entry, 22 s t_10x / exponent 0.90).
+    - ``use_arrow=False``: pure JVM expression work, O(len·W) per
+      document — no Python in the plan; kept for environments that ban
+      Python workers and as the plan-shape twin of the oracle.
+
+    Text is sanitized to printable ASCII first so Spark's ``ascii()``,
+    numpy's uint8 codes, and DuckDB's ``ord()`` agree on every code
+    point (and byte length == char length for the emitted chunks). Avg
+    chunk ≈ mask+1 chars. Sub-document dedup at 100 TB: chunk hashes
+    (16 B) are the only shuffle payload, never the text.
+
+    Implementation note — the two O(n²) traps the expression path dodges:
     ``substring(s, p, 1)`` per position is an O(p) UTF-8 offset scan, so
     char codes are materialized into an array once; and Catalyst's
     CollapseProject inlines plain projected columns INTO higher-order
@@ -445,6 +461,8 @@ def cdc_chunks(
     and the per-chunk substrings run after a posexplode, a real operator
     barrier.
     """
+    if use_arrow:
+        return _cdc_chunks_arrow(df, text_col, id_col, mask=mask)
     powers = [_CDC_B**j for j in range(_CDC_W - 1, -1, -1)]
     s = F.regexp_replace(F.col(text_col), r"[^\x20-\x7e]", "")
     base = df.select(F.col(id_col).alias("id"), s.alias("s")).withColumn(
@@ -521,3 +539,86 @@ def cdc_chunks(
         F.length("chunk").alias("chunk_len"),
         F.md5("chunk").alias("chunk_md5"),
     )
+
+
+def _cdc_chunks_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    mask: int,
+) -> DataFrame:
+    """Arrow-vectorized twin of the expression path: identical hash
+    integers (Σ code·B^j in int64 — max 126·Σ31^j ≈ 3.7e12, no overflow),
+    identical 16-bit Knuth mix, identical boundary rule, so chunk output
+    is bit-for-bit the same. The window hash for ALL positions of a
+    document is 8 shifted elementwise multiply-adds on the numpy code
+    array — vector ops over the batch, not a lambda eval per probe."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    powers = np.array(
+        [_CDC_B**j for j in range(_CDC_W - 1, -1, -1)], dtype=np.int64
+    )
+    threshold = 65536 // (mask + 1)
+    non_ascii = re.compile(r"[^\x20-\x7e]")
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("id", id_field.dataType),
+            StructField("chunk_idx", IntegerType()),
+            StructField("chunk_len", IntegerType()),
+            StructField("chunk_md5", StringType()),
+        ]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ids, idxs, lens, md5s = [], [], [], []
+            for doc_id, text in zip(pdf["id"], pdf["s"]):
+                if text is None:
+                    continue  # expression-path twin: null text → no rows
+                s = non_ascii.sub("", text)
+                n = len(s)
+                if n == 0:
+                    continue
+                if n >= _CDC_W:
+                    codes = np.frombuffer(s.encode("ascii"), np.uint8).astype(
+                        np.int64
+                    )
+                    acc = np.zeros(n - _CDC_W + 1, dtype=np.int64)
+                    for j in range(_CDC_W):
+                        acc += codes[j : j + n - _CDC_W + 1] * powers[j]
+                    hit = (acc % 65536 * 40503) % 65536 < threshold
+                    # acc[i] hashes the window ENDING at 1-based position
+                    # i + W; interior boundaries only (p < n)
+                    bounds = (np.nonzero(hit)[0] + _CDC_W).tolist()
+                    if bounds and bounds[-1] == n:
+                        bounds.pop()
+                else:
+                    bounds = []
+                bounds.append(n)
+                start = 0
+                for k, end in enumerate(bounds):
+                    chunk = s[start:end]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk.encode("ascii")).hexdigest())
+                    start = end
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype=pdf["id"].dtype),
+                    "chunk_idx": pd.Series(idxs, dtype="int32"),
+                    "chunk_len": pd.Series(lens, dtype="int32"),
+                    "chunk_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    return base.mapInPandas(fn, out_schema)

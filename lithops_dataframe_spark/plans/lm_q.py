@@ -604,30 +604,32 @@ def _pagerank_oracle(iters: int) -> str:
 """
 
 
-@register("graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
-def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the sampled user co-activity graph (round 5) — the
-    DISTRIBUTED-state iterative family, complementing the repo's
-    driver-state training loops (k-means/LR/PCA hold model-sized vectors
-    on the driver; here the rank vector itself is a DataFrame that never
-    leaves the cluster). Each of the 5 iterations is one equi-join of the
-    persisted (u, v, outdeg) edge list with the current rank frame plus
-    one aggregate — the canonical bulk-synchronous PageRank step; at
-    100 TB ranks and edges co-partition on the source key so the join is
-    shuffle-free after the first iteration.
+def pagerank_topk(
+    spark: SparkSession, sf_dir: str, *, band_stride: int | None = None
+) -> DataFrame:
+    """Shared PageRank builder — see :func:`graph_pagerank` for semantics.
 
-    EXACT oracle with no float tolerance: ranks are 1e-9 fixed-point
-    BIGINTs (damping 0.85 applied as ``rank * 85 div (100 * outdeg)``) —
-    integer multiply/divide/sum replay bit-identically in DuckDB's
-    unrolled MATERIALIZED-CTE chain, sidestepping the summation-order
-    drift a double-valued PageRank would need rounding discipline for.
-    Symmetric edges mean every node has out-degree ≥ 1 — no dangling-mass
-    term. Output: top-20 users by final fixed-point rank."""
+    ``band_stride``: when set, co-activity pairs are additionally required
+    to share a user-id band (``user_id div band_stride``). On the base
+    fixtures every user falls in band 0, so the edge set (and result) is
+    IDENTICAL to the unbanded query; on the key-shifted N× scale fixture
+    (tools/scale_fixture.py, stride 1e8) bands coincide with the copies,
+    keeping edge discovery copy-local so the curve measures the iterative
+    join+agg loop's scaling instead of the fixture's quadratic
+    cross-copy densification (bench.py 'graph_iter' family)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 101 < 20)
     act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
     a, b = act.alias("a"), act.alias("b")
+    cond = (F.col("a.day") == F.col("b.day")) & (
+        F.col("a.user_id") < F.col("b.user_id")
+    )
+    if band_stride is not None:
+        cond = cond & (
+            F.expr(f"a.user_id div {band_stride}")
+            == F.expr(f"b.user_id div {band_stride}")
+        )
     e0 = (
-        a.join(b, (F.col("a.day") == F.col("b.day")) & (F.col("a.user_id") < F.col("b.user_id")))
+        a.join(b, cond)
         .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .distinct()
     )
@@ -653,3 +655,25 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("user_id"), F.col("rank").alias("rank_fp"))
     )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the sampled user co-activity graph (round 5) — the
+    DISTRIBUTED-state iterative family, complementing the repo's
+    driver-state training loops (k-means/LR/PCA hold model-sized vectors
+    on the driver; here the rank vector itself is a DataFrame that never
+    leaves the cluster). Each of the 5 iterations is one equi-join of the
+    persisted (u, v, outdeg) edge list with the current rank frame plus
+    one aggregate — the canonical bulk-synchronous PageRank step; at
+    100 TB ranks and edges co-partition on the source key so the join is
+    shuffle-free after the first iteration.
+
+    EXACT oracle with no float tolerance: ranks are 1e-9 fixed-point
+    BIGINTs (damping 0.85 applied as ``rank * 85 div (100 * outdeg)``) —
+    integer multiply/divide/sum replay bit-identically in DuckDB's
+    unrolled MATERIALIZED-CTE chain, sidestepping the summation-order
+    drift a double-valued PageRank would need rounding discipline for.
+    Symmetric edges mean every node has out-degree ≥ 1 — no dangling-mass
+    term. Output: top-20 users by final fixed-point rank."""
+    return pagerank_topk(spark, sf_dir)

@@ -3,6 +3,7 @@ no false negatives, bounded false positives, CMS never undercounts."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.operators import sketches as SK
@@ -64,17 +65,46 @@ def test_cms_exact_when_width_large(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_cdc_chunks_lossless_partition(spark):
+@pytest.mark.parametrize("use_arrow", [True, False])
+def test_cdc_chunks_lossless_partition(spark, use_arrow):
     """Chunks partition the sanitized text exactly: lengths sum to the
-    document length and indexes are contiguous from 0."""
+    document length and indexes are contiguous from 0 — on BOTH the
+    Arrow-vectorized default and the pure-expression path."""
     from lithops_dataframe_spark.operators.dedup import cdc_chunks
 
     text = " ".join(f"tok{i * 17 % 101}" for i in range(300))
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    rows = sorted(cdc_chunks(df, "text").collect(), key=lambda r: r["chunk_idx"])
+    rows = sorted(
+        cdc_chunks(df, "text", use_arrow=use_arrow).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
     assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
     assert sum(r["chunk_len"] for r in rows) == len(text)
     assert len(rows) > 2  # boundaries actually fire
+
+
+def test_cdc_arrow_equals_expression_path(spark):
+    """The two execution paths are bit-for-bit interchangeable — same
+    boundaries, lengths, and md5s — across non-ASCII text (sanitized
+    away), sub-window docs (single chunk), empty and null text (no
+    rows)."""
+    from lithops_dataframe_spark.operators.dedup import cdc_chunks
+
+    docs = [
+        (1, " ".join(f"w{i * 29 % 997}" for i in range(500))),
+        (2, "héllo wörld — ünïcode" * 40),  # sanitization path
+        (3, "short"),  # below the window: one chunk
+        (4, ""),  # no rows
+        (5, None),  # no rows
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = cdc_chunks(df, "text", use_arrow=True)
+    e = cdc_chunks(df, "text", use_arrow=False)
+    # same names and types (nullability flags legitimately differ:
+    # mapInPandas output is always nullable)
+    assert a.schema.simpleString() == e.schema.simpleString()
+    assert a.exceptAll(e).count() == 0 and e.exceptAll(a).count() == 0
+    assert a.filter("id in (4, 5)").count() == 0
 
 
 def test_cdc_chunks_shift_invariance(spark):
