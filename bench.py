@@ -118,6 +118,12 @@ R5_ADDITIONS: list[str] = [
     "stream_view_click_left_outer",
 ]
 
+# Round-6 additions: same composition-stability rule.
+R6_ADDITIONS: list[str] = [
+    "join_asof_nearest_mark",
+    "emb_semantic_dedup_keep",
+]
+
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent
 # log10(t_10x / t_base) flags any family whose runtime grows faster than
@@ -302,11 +308,11 @@ def main() -> None:
     # are reused — only code paths are warmed.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS:
+        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS:
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 
-    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS if n in QUERIES]
+    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]
     # Best-of-2 per query, as two INTERLEAVED full passes: steady-state
     # engine throughput is the metric, and a single timing is exposed to
@@ -330,6 +336,7 @@ def main() -> None:
     r3 = {n: t for n, t in timings.items() if n in set(R3_ADDITIONS)}
     r4 = {n: t for n, t in timings.items() if n in set(R4_ADDITIONS)}
     r5 = {n: t for n, t in timings.items() if n in set(R5_ADDITIONS)}
+    r6 = {n: t for n, t in timings.items() if n in set(R6_ADDITIONS)}
     total = round(sum(head.values()), 4)
     # The driver captures only the LAST ~2000 bytes of stdout and parses
     # the final line as JSON (BENCH_r03 lesson: a line that embeds every
@@ -352,6 +359,7 @@ def main() -> None:
         "r3_additions_total": round(sum(r3.values()), 4),
         "r4_additions_total": round(sum(r4.values()), 4),
         "r5_additions_total": round(sum(r5.values()), 4),
+        "r6_additions_total": round(sum(r6.values()), 4),
         "detail": "BENCH_FULL.json",
     }
     full = dict(out)

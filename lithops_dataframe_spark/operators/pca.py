@@ -87,34 +87,44 @@ def pca_power_iteration(
             "c",
             _fold_sum(F.zip_with(F.col("c"), v_lit, lambda a, b: a * b)).alias("d"),
         )
-        w_rows = (
+        # ONE scan + ONE cluster job per iteration (r6 — was two scans and
+        # two collects): the per-dim accumulation and Σd² share the same
+        # exploded aggregation. Every j-group sees each row's d exactly
+        # once, so any group's sum(d·d) is the global Σd² — read it from
+        # the j=0 row. Same values, same 4/6-decimal rounding as before.
+        rows = (
             centered.select(F.posexplode("c").alias("j", "cj"), "d")
             .groupBy("j")
-            .agg(F.round(F.sum(F.col("cj") * F.col("d")), 6).alias("w"))
+            .agg(
+                F.round(F.sum(F.col("cj") * F.col("d")), 6).alias("w"),
+                F.round(F.sum(F.col("d") * F.col("d")), 4).alias("dd"),
+            )
+            .collect()
         )
-        d2 = centered.agg(F.round(F.sum(F.col("d") * F.col("d")), 4).alias("s")).collect()
         w = [0.0] * dim
-        for r in w_rows.collect():
+        d2 = 0.0
+        for r in rows:
             w[r["j"]] = float(r["w"])
-        # λ + normalization from the ROUNDED w, computed IN-ENGINE so the
-        # rounding mode matches DuckDB (Python round() is banker's)
+            if r["j"] == 0:
+                d2 = float(r["dd"])
+        # λ + normalization + variance-explained from the ROUNDED w,
+        # computed IN-ENGINE in one driver-sized job so the rounding mode
+        # matches DuckDB (Python round() is banker's)
         w_lit = F.array(*[F.lit(c) for c in w])
         one = spark.range(1).select(
             F.round(F.sqrt(_fold_sum(F.transform(w_lit, lambda a: a * a))), 6).alias(
                 "lam"
             )
         )
-        norm_row = one.select(
+        row = one.select(
             "lam",
             F.transform(w_lit, lambda a: F.round(a / F.col("lam"), 6)).alias("v"),
+            F.round(F.lit(d2) / F.lit(totss), 6).alias("ve"),
         ).collect()[0]
-        lam = float(norm_row["lam"])
-        v = [float(c) for c in norm_row["v"]]
-        ve_row = spark.range(1).select(
-            F.round(F.lit(float(d2[0]["s"])) / F.lit(totss), 6).alias("ve")
-        ).collect()[0]
+        lam = float(row["lam"])
+        v = [float(c) for c in row["v"]]
         v_micro = ",".join(str(int(round(c * 1e6))) for c in v)
-        out_rows.append((it, lam, float(ve_row["ve"]), v_micro))
+        out_rows.append((it, lam, float(row["ve"]), v_micro))
 
     return spark.createDataFrame(
         out_rows, "iter int, lam double, var_explained double, v_micro string"

@@ -177,7 +177,10 @@ def stream_pyds_jsonl_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("lds_counter_stream")
         .option("n_total", _N_STREAM)
-        .option("batch_size", 250)
+        # 2 epochs: still proves the multi-epoch manifest commit (and the
+        # abort path has its own unit test); 4 micro-batches doubled the
+        # fixed per-epoch machinery cost for no extra contract coverage
+        .option("batch_size", 500)
         .load()
     )
     q = (
