@@ -122,6 +122,8 @@ R5_ADDITIONS: list[str] = [
 R6_ADDITIONS: list[str] = [
     "join_asof_nearest_mark",
     "emb_semantic_dedup_keep",
+    "classifier_lr_score_corpus",
+    "dedup_incremental_batch",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

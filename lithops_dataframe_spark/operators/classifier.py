@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 N_FEATURES = 5  # bias + 4 shape features
 
 
-def feature_frame(docs: DataFrame) -> DataFrame:
+def feature_frame(docs: DataFrame, *, keep: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, y, x0..x4): bias plus text-shape features from integer
     counts via fixed division chains — bit-identical across engines.
 
@@ -45,6 +45,7 @@ def feature_frame(docs: DataFrame) -> DataFrame:
     spaces = (F.length(text) - F.length(F.regexp_replace(text, " ", ""))).cast("double")
     digits = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
     return docs.select(
+        *keep,
         "doc_id",
         (F.length(text) > 300).cast("int").alias("y"),
         F.lit(1.0).alias("x0"),
@@ -53,6 +54,23 @@ def feature_frame(docs: DataFrame) -> DataFrame:
         (digits / (n_chars + F.lit(1.0))).alias("x3"),
         (n_chars / (spaces + F.lit(1.0)) / F.lit(10.0)).alias("x4"),
     )
+
+
+def score_frame(
+    docs: DataFrame, weights: list[float], *, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """Corpus-wide INFERENCE under trained weights — the apply half of the
+    train→filter loop. The weight vector rides along as plain literals
+    (the k-dim broadcast that model serving is at any scale: the corpus
+    scan is embarrassingly parallel, no shuffle, no Python), and the
+    decision uses the same exp-free ``z > 0`` predicate as training
+    accuracy, so it replays exactly in any engine. Adds ``pred`` (0/1)
+    to the feature frame."""
+    feats = feature_frame(docs, keep=keep)
+    z = F.lit(weights[0]) * F.col("x0")
+    for j in range(1, N_FEATURES):
+        z = z + F.lit(weights[j]) * F.col(f"x{j}")
+    return feats.withColumn("pred", (z > 0).cast("int"))
 
 
 def lr_train(

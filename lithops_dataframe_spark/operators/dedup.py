@@ -149,6 +149,95 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_incremental_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    new_col: str,
+    *,
+    shingle_n: int = 2,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental batch dedup — the PRODUCTION shape of MinHash dedup:
+    an ARRIVING batch (``new_col`` true) is checked against the already-
+    ingested corpus without re-pairing the corpus with itself. Returns
+    one row per arriving doc: (id, n_dup_matches, keep) where keep=1 iff
+    the doc near-dups no existing doc and no smaller-id arriving doc
+    (first-wins inside the batch — a deterministic tie-break).
+
+    Plan shape at 100 TB: postings for the full corpus are the standing
+    LSH index (in production they persist between batches; here they are
+    computed in the same job); the candidate join is new-postings ×
+    all-postings on (band_idx, band_key) — O(batch) probe work against
+    the index, never existing × existing. Jaccard verification touches
+    threatening candidates only, and the per-doc decision is a left
+    anti-ish aggregate over matches.
+    """
+    base = with_minhash(
+        ensure_parallelism(df.select(id_col, text_col, new_col)),
+        text_col,
+        shingle_n=shingle_n,
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(new_col).cast("boolean").alias("is_new"),
+        "__shingles",
+        "__sig",
+    )
+    from pyspark import StorageLevel
+
+    base = cache.track(base.persist(StorageLevel.MEMORY_AND_DISK))
+    posted = base.select(
+        "id",
+        "is_new",
+        F.explode(H.band_signatures(F.col("__sig"), bands)).alias("band"),
+    ).select(
+        "id",
+        "is_new",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    a = posted.filter(F.col("is_new")).alias("a")  # the arriving batch probes
+    b = posted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") != F.col("b.id"))
+            # only pairs that can DROP the arriving doc: an existing doc,
+            # or an earlier (smaller-id) doc of the same batch
+            & (~F.col("b.is_new") | (F.col("b.id") < F.col("a.id"))),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("other_id"))
+        .dropDuplicates(["new_id", "other_id"])
+    )
+    sh = base.select("id", "__shingles")
+    cand = cand.join(
+        sh.select(F.col("id").alias("new_id"), F.col("__shingles").alias("sh_a")),
+        "new_id",
+    ).join(
+        sh.select(F.col("id").alias("other_id"), F.col("__shingles").alias("sh_b")),
+        "other_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    matches = cand.filter(inter / union >= threshold).select("new_id", "other_id")
+    n_dup = matches.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_dup_matches"))
+    return (
+        base.filter(F.col("is_new"))
+        .select(F.col("id"))
+        .join(n_dup, F.col("id") == F.col("new_id"), "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_dup_matches"), F.lit(0).cast("long")).alias(
+                "n_dup_matches"
+            ),
+            (F.col("n_dup_matches").isNull()).cast("int").alias("keep"),
+        )
+    )
+
+
 def levenshtein_blocked_pairs(
     df: DataFrame,
     text_col: str,

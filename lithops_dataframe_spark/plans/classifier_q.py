@@ -12,13 +12,14 @@ _EPOCHS = 6
 _LR = 5.0
 
 
-def _lr_oracle(epochs: int, lr: float) -> str:
-    """DuckDB twin of operators/classifier.py::lr_train — same feature
-    division chains, same fixed-order margin, same 6-decimal weight
-    rounding per epoch, same exp-free accuracy predicate."""
+def _lr_ctes(epochs: int, lr: float, *, with_acc: bool = True) -> str:
+    """Shared DuckDB replay chain for operators/classifier.py — same
+    feature division chains, same fixed-order margin, same 6-decimal
+    weight rounding per epoch. Returns the WITH body up to ``w{epochs}``
+    (plus per-epoch ``acc{k}`` CTEs when ``with_acc``)."""
     feats = """
     WITH feats AS MATERIALIZED (
-        SELECT doc_id,
+        SELECT doc_id, source,
                (length(text) > 300)::INT AS y,
                1.0 AS x0,
                length(text) / 1000.0 AS x1,
@@ -45,18 +46,50 @@ def _lr_oracle(epochs: int, lr: float) -> str:
     ),
     w{k + 1} AS MATERIALIZED (
         SELECT {new_w} FROM w{k} w, g{k} g, n
-    ),
+    )"""
+        if with_acc:
+            sql += f""",
     acc{k + 1} AS MATERIALIZED (
         SELECT COUNT(*)::BIGINT AS n_correct
         FROM feats f, w{k + 1} w
         WHERE (({zc}) > 0)::INT = f.y
     )"""
+    return sql
+
+
+def _lr_oracle(epochs: int, lr: float) -> str:
+    """Trajectory oracle: one row per epoch (weights + exact exp-free
+    accuracy count)."""
     finals = [
         f"SELECT {k} AS epoch, w.w0, w.w1, w.w2, w.w3, w.w4, a.n_correct "
         f"FROM w{k + 1} w, acc{k + 1} a"
         for k in range(epochs)
     ]
-    return sql + "\n" + "\nUNION ALL\n".join(finals)
+    return _lr_ctes(epochs, lr) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _lr_score_oracle(epochs: int, lr: float) -> str:
+    """Scoring oracle: replay training to the FINAL weights, then score
+    the whole corpus with the exp-free predicate and report the
+    per-source confusion counts (exact integers)."""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+
+    def conf(pred: str, y: int) -> str:
+        p = f"(({z}) > 0)" if pred == "1" else f"(NOT (({z}) > 0))"
+        return f"CAST(SUM(CASE WHEN {p} AND f.y = {y} THEN 1 ELSE 0 END) AS BIGINT)"
+    return (
+        _lr_ctes(epochs, lr, with_acc=False)
+        + f"""
+    SELECT f.source,
+           COUNT(*)::BIGINT AS n_docs,
+           {conf('1', 1)} AS tp,
+           {conf('1', 0)} AS fp,
+           {conf('0', 1)} AS fn,
+           {conf('0', 0)} AS tn
+    FROM feats f, w{epochs} w
+    GROUP BY f.source
+    """
+    )
 
 
 @register("classifier_lr_train", oracle=_lr_oracle(_EPOCHS, _LR))
@@ -76,3 +109,53 @@ def classifier_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lr_train(docs, epochs=_EPOCHS, lr=_LR)
+
+
+#: trained-model memo, keyed by sf_dir — mirrors production, where the
+#: quality filter trains OFFLINE once and corpus scoring pays only the
+#: scan (the _IVF_CENTROIDS pattern from plans/similarity_q.py).
+_LR_WEIGHTS: dict[str, list[float]] = {}
+
+
+def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
+    if sf_dir not in _LR_WEIGHTS:
+        from lithops_dataframe_spark.operators.classifier import lr_train
+
+        traj = lr_train(
+            load_table(spark, sf_dir, "documents"), epochs=_EPOCHS, lr=_LR
+        ).collect()
+        last = max(traj, key=lambda r: r["epoch"])
+        _LR_WEIGHTS[sf_dir] = [float(last[f"w{j}"]) for j in range(5)]
+    return _LR_WEIGHTS[sf_dir]
+
+
+@register("classifier_lr_score_corpus", oracle=_lr_score_oracle(_EPOCHS, _LR))
+def classifier_lr_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the quality-filter loop (round 6): score every
+    document under the TRAINED logistic-regression weights and report the
+    per-source confusion counts — exactly the corpus-pruning decision a
+    100 TB pipeline executes after training its filter. Scoring is a pure
+    JVM scan (weights are 5 literals, the model-sized broadcast; exp-free
+    ``z > 0`` decision), embarrassingly parallel, no shuffle beyond the
+    tiny per-source aggregate. The oracle replays training to the final
+    weights and scores identically — confusion cells are exact BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators.classifier import score_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _trained_weights(spark, sf_dir)
+    scored = score_frame(docs, w, keep=("source",))
+
+    def conf(p: int, y: int):
+        return F.sum(
+            ((F.col("pred") == p) & (F.col("y") == y)).cast("int").cast("long")
+        )
+
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        conf(1, 1).alias("tp"),
+        conf(1, 0).alias("fp"),
+        conf(0, 1).alias("fn"),
+        conf(0, 0).alias("tn"),
+    )

@@ -22,6 +22,12 @@ _BANDS = H.band_signatures_sql("sig", 4)
 _BAND_UNION = "\n      UNION ALL ".join(
     f"SELECT id, sh, {j} AS band_idx, {expr} AS band_key FROM sig" for j, expr in enumerate(_BANDS)
 )
+# same postings with the arriving-batch flag carried through (incremental
+# dedup oracle)
+_BAND_UNION_FLAGGED = "\n      UNION ALL ".join(
+    f"SELECT id, is_new, {j} AS band_idx, {expr} AS band_key FROM sig"
+    for j, expr in enumerate(_BANDS)
+)
 
 _MINHASH_ORACLE = f"""
     WITH shng AS (
@@ -173,6 +179,64 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, "text", "doc_id", shingle_n=2, bands=4, threshold=0.6)
+
+
+# Incremental batch dedup: the arriving batch (doc_id % 10 = 0) probes the
+# standing LSH index; a new doc is dropped when it near-dups an existing
+# doc or a smaller-id doc of the same batch (first-wins).
+_INCREMENTAL_ORACLE = f"""
+    WITH shng AS (
+        SELECT doc_id AS id, (doc_id % 10 = 0) AS is_new, {_SHINGLES} AS sh
+        FROM documents
+    ),
+    sig AS (
+        SELECT id, is_new, sh, {H.minhash_signature_sql('sh')} AS sig FROM shng
+    ),
+    bands AS (
+      {_BAND_UNION_FLAGGED}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS new_id, b.id AS other_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.id <> b.id
+        WHERE a.is_new AND (NOT b.is_new OR b.id < a.id)
+    ),
+    matches AS (
+        SELECT new_id, other_id
+        FROM cand
+        JOIN shng sa ON sa.id = cand.new_id
+        JOIN shng sb ON sb.id = cand.other_id
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+    ),
+    nd AS (
+        SELECT new_id, COUNT(*)::BIGINT AS n FROM matches GROUP BY new_id
+    )
+    SELECT s.id,
+           COALESCE(nd.n, 0)::BIGINT AS n_dup_matches,
+           (nd.new_id IS NULL)::INT AS keep
+    FROM shng s LEFT JOIN nd ON nd.new_id = s.id
+    WHERE s.is_new
+"""
+
+
+@register("dedup_incremental_batch", oracle=_INCREMENTAL_ORACLE)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup (round 6) — the production shape: the
+    arriving batch (every 10th doc) probes the standing band-postings
+    index instead of re-pairing the whole corpus with itself; candidate
+    work is O(batch × bands), never existing × existing. Decision per
+    arriving doc: kept unless it near-dups an existing doc or a
+    smaller-id batch-mate (deterministic first-wins). Oracle replays the
+    identical signature/band/verify chain with the probe-side
+    restriction."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") % 10 == 0
+    )
+    return D.minhash_incremental_dedup(
+        docs, "text", "doc_id", "is_new", shingle_n=2, bands=4, threshold=0.6
+    )
 
 
 @register("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)

@@ -136,6 +136,13 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
+    # ROUND-7 ROTATION PLAN: the two queries below are the ONLY
+    # never-driver-gated registrations after the r6 sweep (both added
+    # mid-r6, after the 50 slots were full) — promote them into slots
+    # 21-22 next round, keeping the 20 anchors; remaining slots to any
+    # r7-modified queries, then rotate previously-gated singles.
+    "classifier_lr_score_corpus",  # NEW r6: train→apply corpus scoring
+    "dedup_incremental_batch",  # NEW r6: arriving batch probes LSH index
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
