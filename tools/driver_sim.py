@@ -32,7 +32,10 @@ def driver_shaped_spark():
     Spark 4 defaults (ANSI on, 200 shuffle partitions, no legacy confs).
     Round-5 lesson: gating locally under the engine's tuned get_spark()
     (then ANSI-off) let an int32 overflow ship green and crash on the
-    driver. The ONLY non-default here is the master string.
+    driver. The only non-defaults here are CAPACITY knobs, which change
+    what fits, never what a query computes: the master string and the
+    JVM heap (Spark's 1g default OOMs the heavy sf0.1 sweep queries —
+    any real deployment sizes executor memory to the data).
     """
     from pyspark.sql import SparkSession
 
@@ -40,6 +43,10 @@ def driver_shaped_spark():
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("driver-sim")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

@@ -97,6 +97,13 @@ HEADLINE = [
     "graph_pagerank",
     "io_merge_upsert_partitioned",
     "stream_view_click_left_outer",
+    # round-6 additions
+    "join_asof_nearest_mark",
+    "emb_semantic_dedup_keep",
+    "classifier_lr_score_corpus",
+    "dedup_incremental_batch",
+    "q07_nation_volume",  # r6 plan change: nation filter below the facts
+    "q22_global_sales_opportunity",  # r6: recent-orders anti-join
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
