@@ -129,6 +129,9 @@ ALLOW_NESTED_LOOP = {
 ALLOW_ONE_ROW_BROADCAST = {
     "sim_cosine_topk_lsh",
     "sim_cosine_neardup_lsh",
+    # composes cosine_near_dup_pairs(use_lsh=True): same one-row
+    # hyperplane frame broadcast as sim_cosine_neardup_lsh
+    "emb_semantic_dedup_keep",
     "sim_cosine_topk_ivf",
     "kmeans_cells",
     "text_hashed_tfidf",
