@@ -135,7 +135,11 @@ R6_ADDITIONS: list[str] = [
 # which would measure the fixture, not the plan.
 SCALE_FAMILIES: dict[str, list[str]] = {
     "scan_agg": ["q01_pricing_summary", "q06_forecast_revenue"],
-    "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers"],
+    # q07 added r6: its nation-pair pushdown costs a constant at sf0.1
+    # (extra pre-reduction exchange) but wins at 10x (measured 4.04 s vs
+    # the old plan's 4.51 s; exponent 0.46 vs 0.65) — the curve records
+    # the at-scale behavior the plan was chosen for.
+    "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers", "q07_nation_volume"],
     "window": ["q02_min_cost_supplier", "pack_training_sequences"],
     "text": ["text_quality_by_source", "text_hashed_tfidf"],
     "streaming": ["stream_session_windows"],
