@@ -124,6 +124,7 @@ R6_ADDITIONS: list[str] = [
     "emb_semantic_dedup_keep",
     "classifier_lr_score_corpus",
     "dedup_incremental_batch",
+    "events_gapfill_interpolate",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

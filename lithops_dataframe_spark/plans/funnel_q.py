@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.plans.registry import register
@@ -101,6 +102,119 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
         F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
         F.when(F.col("n").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("gap_filled"),
+    )
+
+
+# TimescaleDB locf()/interpolate() analog, per entity: each selected
+# user's sparse daily purchase series gap-fills against the 30-day spine,
+# then missing days take last-observation-carried-forward AND linear
+# interpolation between the observed neighbors. Per-user observation
+# density is SF-invariant on the fixture (~11 of 30 days), so the query
+# is non-vacuous at every SF while the user set scales with the data.
+_INTERP_ORACLE = """
+    WITH sel AS (
+        SELECT user_id, time_bucket(INTERVAL '1 day', ts) AS day,
+               ROUND(SUM(value), 4) AS rev
+        FROM events
+        WHERE event_type = 'purchase' AND user_id % 101 = 7
+        GROUP BY 1, 2
+    ),
+    users AS (SELECT DISTINCT user_id FROM sel),
+    spine AS (
+        SELECT u.user_id, t.day
+        FROM users u
+        CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                                  TIMESTAMP '2024-01-30',
+                                                  INTERVAL '1 day')) AS day) t
+    ),
+    j AS (
+        SELECT s.user_id, s.day, d.rev
+        FROM spine s LEFT JOIN sel d ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    w AS (
+        SELECT *,
+            last_value(rev IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rev,
+            last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_day,
+            first_value(rev IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rev,
+            first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_day
+        FROM j
+    )
+    SELECT user_id, day,
+           (rev IS NOT NULL)::INT AS observed,
+           COALESCE(rev, prev_rev) AS rev_locf,
+           ROUND(COALESCE(rev,
+               prev_rev + (next_rev - prev_rev)
+                 * (date_diff('day', prev_day, day)::DOUBLE
+                    / date_diff('day', prev_day, next_day))), 4) AS rev_interp
+    FROM w
+"""
+
+
+@register("events_gapfill_interpolate", oracle=_INTERP_ORACLE)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity gap-fill with locf AND linear interpolation (round 6) —
+    the TimescaleDB ``locf()``/``interpolate()`` hypertable pair: each
+    selected user's sparse daily purchase series joins the generated
+    30-day spine; a missing day carries the last observation forward and
+    linearly interpolates between the observed neighbors
+    (``prev + (next-prev)·Δt/ΔT``; NULL at series edges, exactly like
+    TimescaleDB). Windows partition by user_id, so at 100 TB this is one
+    shuffle on the entity key and a 30-row ordered window per entity —
+    embarrassingly parallel across entities. Interpolation arithmetic is
+    a fixed expression tree over in-engine-rounded inputs, so both
+    engines produce identical doubles."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 101 == 7)
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("rev"))
+    users = daily.select("user_id").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_timestamp(F.lit("2024-01-01")),
+                F.to_timestamp(F.lit("2024-01-30")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    spine = users.crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "day"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    prev_rev = F.last("rev", ignorenulls=True).over(wp)
+    prev_day = F.last(obs_day, ignorenulls=True).over(wp)
+    next_rev = F.first("rev", ignorenulls=True).over(wn)
+    next_day = F.first(obs_day, ignorenulls=True).over(wn)
+    frac = F.datediff(F.col("day"), prev_day).cast("double") / F.datediff(
+        next_day, prev_day
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("rev").isNotNull().cast("int").alias("observed"),
+        F.coalesce(F.col("rev"), prev_rev).alias("rev_locf"),
+        F.round(
+            F.coalesce(F.col("rev"), prev_rev + (next_rev - prev_rev) * frac), 4
+        ).alias("rev_interp"),
     )
 
 

@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     # r7-modified queries, then rotate previously-gated singles.
     "classifier_lr_score_corpus",  # NEW r6: train→apply corpus scoring
     "dedup_incremental_batch",  # NEW r6: arriving batch probes LSH index
+    "events_gapfill_interpolate",  # NEW r6: per-entity locf + interpolate
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

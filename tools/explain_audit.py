@@ -102,8 +102,10 @@ HEADLINE = [
     "emb_semantic_dedup_keep",
     "classifier_lr_score_corpus",
     "dedup_incremental_batch",
+    "events_gapfill_interpolate",
     "q07_nation_volume",  # r6 plan change: nation filter below the facts
-    "q22_global_sales_opportunity",  # r6: recent-orders anti-join
+    # (q22 already in the TPC-H block above; its r6 anti-join retune is
+    # audited there)
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
@@ -170,16 +172,23 @@ ALLOW_ONE_ROW_BROADCAST = {
     # 30-day generated date spine × (<=2)-type distinct frame: bounded by
     # construction (time_bucket_gapfill analog), never data-sized
     "events_gapfill_daily",
+    # same generated 30-day spine, broadcast into the per-user cross join
+    "events_gapfill_interpolate",
 }
 
 
 def bnlj_is_one_row_planes(plan: str) -> bool:
-    """True if the plan's BroadcastNestedLoopJoin broadcasts a one-row
-    frame: a driver-local constant (LocalTableScan / Scan ExistingRDD) or
-    a global aggregate (formatted plans print ``Keys: []`` for the
-    grouping-free HashAggregate feeding the BroadcastExchange)."""
+    """True if the plan's BroadcastNestedLoopJoin broadcasts a
+    literal-bounded frame: a driver-local constant (LocalTableScan /
+    Scan ExistingRDD), a global aggregate (formatted plans print
+    ``Keys: []`` for the grouping-free HashAggregate feeding the
+    BroadcastExchange), or a generated sequence (``Range`` — its bounds
+    are plan-time literals, e.g. the 30-row gapfill date spine)."""
     return plan.count("BroadcastNestedLoopJoin") > 0 and (
-        "LocalTableScan" in plan or "Scan ExistingRDD" in plan or "Keys: []" in plan
+        "LocalTableScan" in plan
+        or "Scan ExistingRDD" in plan
+        or "Keys: []" in plan
+        or ") Range" in plan
     )
 
 
