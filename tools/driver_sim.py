@@ -6,7 +6,14 @@ with the driver's comparison shape: sorted column names, row count, and an
 order-insensitive value-hash (columns sorted by name, floats %.9g,
 None/NaN → NULL). Exits nonzero on any mismatch.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [--engine-session] [sf_dir]
+
+Default session is DRIVER-SHAPED (plain Spark 4 defaults + heap — the
+parity gate; both r5 escapes were session divergence). --engine-session
+runs the engine's tuned get_spark() instead: use it for the heavy sf0.1
+float-boundary sweep, where the hunt is for data-dependent rounding ties
+(session-independent) and the tuned session is several times faster; the
+sf0.01 default-session run stays the parity gate.
 """
 
 from __future__ import annotations
@@ -99,8 +106,16 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = driver_shaped_spark()
+    args = [a for a in sys.argv[1:]]
+    engine = "--engine-session" in args
+    args = [a for a in args if a != "--engine-session"]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    if engine:
+        from lithops_dataframe_spark.session import get_spark
+
+        spark = get_spark("driver-sim-engine")
+    else:
+        spark = driver_shaped_spark()
 
     df = entry_mod.entry(spark)
     rows = df.collect()
