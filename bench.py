@@ -125,6 +125,7 @@ R6_ADDITIONS: list[str] = [
     "classifier_lr_score_corpus",
     "dedup_incremental_batch",
     "events_gapfill_interpolate",
+    "stream_enriched_segment_windows",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

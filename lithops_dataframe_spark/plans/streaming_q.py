@@ -91,6 +91,32 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.tumbling_counts(_events(spark, sf_dir))
 
 
+_ENRICHED_ORACLE = """
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS w_start,
+           time_bucket(INTERVAL '1 hour', e.ts) + INTERVAL '1 hour' AS w_end,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n_purchases,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS revenue
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("stream_enriched_segment_windows", oracle=_ENRICHED_ORACLE)
+def stream_enriched_segment_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join (round 6) — the dimension-lookup
+    pattern §2.10 was missing: the purchase stream joins the static
+    customer dimension per micro-batch (no join state, no watermark on
+    the static side), then tumbling revenue per (window, market segment).
+    Batch twin here; the genuinely-streaming equivalence (readStream +
+    availableNow over the same files equals this batch result exactly) is
+    asserted in tests/test_streaming.py."""
+    return SE.enriched_segment_windows(
+        _events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
+
+
 @register("stream_sliding_activity", oracle=_SLIDING_ORACLE)
 def stream_sliding_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.sliding_user_activity(_events(spark, sf_dir))

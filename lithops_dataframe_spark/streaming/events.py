@@ -97,6 +97,46 @@ def tumbling_counts(events: DataFrame, *, size: str = "1 hour") -> DataFrame:
     )
 
 
+def enriched_segment_windows(
+    events: DataFrame, customers: DataFrame, *, size: str = "1 hour"
+) -> DataFrame:
+    """Stream-STATIC enrichment join (the dimension-lookup pattern): each
+    micro-batch of the purchase stream equi-joins the static customer
+    dimension, then tumbling revenue per (window, market segment).
+
+    Stream-static joins need no watermark on the static side and keep no
+    join state — Spark re-plans the static relation per micro-batch (in
+    production that is the slowly-changing dimension re-read; here the
+    dimension is immutable fixture data, so batch ≡ streaming exactly).
+    The dimension is broadcast — at 100 TB a customer dim that outgrows
+    broadcast drops the hint and AQE shuffles the join, same builder.
+    Unmatched users keep their revenue under 'UNKNOWN' (left join — an
+    enrichment must never drop fact rows). Money sums in integer cents."""
+    dim = customers.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    e = with_watermark(events).filter(F.col("event_type") == "purchase")
+    j = e.join(F.broadcast(dim), "user_id", "left")
+    w = F.window("ts", size)
+    return (
+        j.groupBy(
+            w.alias("w"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0
+            ).alias("revenue"),
+        )
+        .select(
+            _ntz("w.start", "w_start"),
+            _ntz("w.end", "w_end"),
+            "segment",
+            "n_purchases",
+            "revenue",
+        )
+    )
+
+
 def sliding_user_activity(events: DataFrame, *, size: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
     """Sliding-window activity: each event lands in size/slide overlapping
     windows (here 2). Exact count+sum only — distinct counts in streaming

@@ -70,6 +70,24 @@ def test_stream_equals_batch(spark, replay_dir, builder):
     assert _rows(got, expected.columns) == _rows(expected)
 
 
+def test_stream_static_join_equals_batch(spark, replay_dir):
+    """Stream-STATIC enrichment join: the purchase stream joined to the
+    static customer dimension (re-planned per micro-batch, no join
+    state) plus a tumbling aggregate equals the batch plan exactly —
+    the dimension-lookup pattern holds under micro-batch replay."""
+    raw = spark.read.parquet(replay_dir)
+    customers = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    expected = SE.enriched_segment_windows(normalize_events_ts(raw), customers)
+
+    stream_in = normalize_events_ts(
+        SE.read_events_stream(spark, replay_dir, raw.schema)
+    )
+    got = _run_stream_mode(
+        spark, SE.enriched_segment_windows(stream_in, customers), "complete"
+    )
+    assert _rows(got, expected.columns) == _rows(expected)
+
+
 def test_stream_stream_join_equals_batch(spark, replay_dir):
     """Stream-stream inner join (watermarked, time-bounded) in append mode
     emits exactly the batch join's pairs — attribution joins hold under

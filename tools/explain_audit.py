@@ -103,6 +103,7 @@ HEADLINE = [
     "classifier_lr_score_corpus",
     "dedup_incremental_batch",
     "events_gapfill_interpolate",
+    "stream_enriched_segment_windows",
     "q07_nation_volume",  # r6 plan change: nation filter below the facts
     # (q22 already in the TPC-H block above; its r6 anti-join retune is
     # audited there)
