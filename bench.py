@@ -126,6 +126,7 @@ R6_ADDITIONS: list[str] = [
     "dedup_incremental_batch",
     "events_gapfill_interpolate",
     "stream_enriched_segment_windows",
+    "events_lttb_downsample",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -218,6 +218,80 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Parallel LTTB downsampling, replayed with the SAME exact-integer area
+# comparator (see operators/timeseries.py) — the argmax never touches a
+# float, so both engines pick bit-identical points.
+_LTTB_ORACLE = """
+    WITH e AS (
+        SELECT user_id AS ent, ts, event_id AS id,
+               CAST(ROUND(value * 100) AS BIGINT) AS y,
+               epoch_us(ts) // 1000000 AS xs
+        FROM events
+    ),
+    pts AS (
+        SELECT ent, ts, id, y,
+               xs - MIN(xs) OVER (PARTITION BY ent) AS x,
+               row_number() OVER (PARTITION BY ent ORDER BY ts, id) AS rk,
+               COUNT(*) OVER (PARTITION BY ent) AS n
+        FROM e
+    ),
+    fpt AS (SELECT ent, -1 AS bucket, ts, y AS cents, x AS ax, y AS ay
+            FROM pts WHERE rk = 1),
+    lpt AS (SELECT ent, 8 AS bucket, ts, y AS cents, x AS ax, y AS ay
+            FROM pts WHERE rk = n AND n > 1),
+    interior AS (
+        SELECT *, ((rk - 2) * 8) // (n - 2) AS j
+        FROM pts WHERE rk > 1 AND rk < n
+    ),
+    sums AS (
+        SELECT ent, j, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS cnt
+        FROM interior GROUP BY 1, 2
+    ),
+    anch AS (
+        SELECT s.ent, s.j,
+               COALESCE(lag(s.sx) OVER w, f.ax) AS sxa,
+               COALESCE(lag(s.sy) OVER w, f.ay) AS sya,
+               COALESCE(lag(s.cnt) OVER w, 1) AS na,
+               COALESCE(lead(s.sx) OVER w, l.ax) AS sxc,
+               COALESCE(lead(s.sy) OVER w, l.ay) AS syc,
+               COALESCE(lead(s.cnt) OVER w, 1) AS nc
+        FROM sums s JOIN fpt f USING (ent) LEFT JOIN lpt l USING (ent)
+        WINDOW w AS (PARTITION BY s.ent ORDER BY s.j)
+    ),
+    cand AS (
+        SELECT i.ent, i.j, i.ts, i.id, i.y,
+               ABS((a.sxa * a.nc - a.sxc * a.na) * (i.y * a.na - a.sya)
+                 - (a.sxa - i.x * a.na) * (a.sya * a.nc - a.syc * a.na)) AS s2
+        FROM interior i JOIN anch a ON a.ent = i.ent AND a.j = i.j
+    ),
+    picks AS (
+        SELECT ent, j AS bucket, ts, y AS cents,
+               row_number() OVER (PARTITION BY ent, j
+                                  ORDER BY s2 DESC, ts ASC, id ASC) AS pr
+        FROM cand
+    )
+    SELECT ent AS user_id, bucket, ts, cents FROM fpt
+    UNION ALL SELECT ent, bucket, ts, cents FROM picks WHERE pr = 1
+    UNION ALL SELECT ent, bucket, ts, cents FROM lpt
+"""
+
+
+@register("events_lttb_downsample", oracle=_LTTB_ORACLE)
+def events_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel LTTB downsampling (round 6) — the hypertable visualization
+    operator: each user's ~SF-invariant event series reduces to ≤10
+    shape-preserving points (endpoints + the largest-triangle pick per
+    bucket, anchored on neighbor-bucket means so buckets decide
+    independently — window functions + one aggregate, parallel across
+    entities). The triangle comparison is EXACT int64 arithmetic (areas
+    cross-multiplied through the anchor denominators), so the per-bucket
+    argmax is bit-identical in both engines — no float tolerance on a
+    geometric selection."""
+    from lithops_dataframe_spark.operators.timeseries import lttb_downsample
+
+    return lttb_downsample(load_table(spark, sf_dir, "events"), k=10)
+
+
 @register("events_funnel", oracle=_FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel via two-phase conditional aggregation: first stage mins per

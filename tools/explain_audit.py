@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "events_gapfill_interpolate",
     "stream_enriched_segment_windows",
+    "events_lttb_downsample",
     "q07_nation_volume",  # r6 plan change: nation filter below the facts
     # (q22 already in the TPC-H block above; its r6 anti-join retune is
     # audited there)
