@@ -81,14 +81,28 @@ _SIMHASH_ORACLE = f"""
 _NGRAM_N = 3
 _SHINGLES3 = H.word_shingles_sql("text", _NGRAM_N)
 
+# Inverted-index form, mirroring the engine plan: postings self-join on
+# the shingle (work = Σ df², df≈10 for trigrams) instead of the n²·|sh|
+# all-pairs list_intersect — the r6 sf0.1 sweep measured the all-pairs
+# form at 20+ minutes in DuckDB; this replays in seconds. Identical
+# output: shingle lists are DISTINCT by construction, so COUNT(*) per
+# (id_a, id_b) over matched postings IS |intersection|, and every pair
+# at jaccard ≥ 0.3 has at least one shared shingle to be found by.
 _NGRAM_ORACLE = f"""
-    WITH shng AS (SELECT doc_id AS id, {_SHINGLES3} AS sh FROM documents)
-    SELECT a.id AS id_a, b.id AS id_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
-    FROM shng a JOIN shng b ON a.id < b.id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+    WITH shng AS (SELECT doc_id AS id, {_SHINGLES3} AS sh FROM documents),
+    post AS (SELECT id, unnest(sh) AS s FROM shng),
+    pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+        FROM post a JOIN post b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2
+    ),
+    sized AS (SELECT id, len(sh) AS n FROM shng)
+    SELECT id_a, id_b,
+           ROUND(common::DOUBLE / (na.n + nb.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sized na ON na.id = id_a
+    JOIN sized nb ON nb.id = id_b
+    WHERE common::DOUBLE / (na.n + nb.n - common) >= 0.3
 """
 
 
