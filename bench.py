@@ -138,10 +138,12 @@ R6_ADDITIONS: list[str] = [
 # which would measure the fixture, not the plan.
 SCALE_FAMILIES: dict[str, list[str]] = {
     "scan_agg": ["q01_pricing_summary", "q06_forecast_revenue"],
-    # q07 added r6: its nation-pair pushdown costs a constant at sf0.1
-    # (extra pre-reduction exchange) but wins at 10x (measured 4.04 s vs
-    # the old plan's 4.51 s; exponent 0.46 vs 0.65) — the curve records
-    # the at-scale behavior the plan was chosen for.
+    # q07 added r6: its nation-pair pushdown pays a small constant at
+    # sf0.1 (extra pre-reduction exchange) and is a wash at 10x (~4.5 s
+    # both plans, clean measurement); it is chosen for the >=100x regime,
+    # where the 2/N per-lineage selectivity shrinks the orders/lineitem
+    # shuffles and the old plan's full fact join dominates. The curve
+    # records the exponent so that claim stays a number.
     "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers", "q07_nation_volume"],
     "window": ["q02_min_cost_supplier", "pack_training_sequences"],
     "text": ["text_quality_by_source", "text_hashed_tfidf"],
