@@ -127,6 +127,7 @@ R6_ADDITIONS: list[str] = [
     "events_gapfill_interpolate",
     "stream_enriched_segment_windows",
     "events_lttb_downsample",
+    "sample_systematic_weighted",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -307,6 +307,48 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SAMPLE_K = 10
+_PPS_K = 100
+
+# The oracle replays the engine's exact integer arithmetic: same inclusive
+# prefix sum over the same canonical order, same step = W // k, same
+# offset-by-step floor divisions (all operands non-negative, so DuckDB's
+# floor // equals Spark's truncating div).
+_PPS_ORACLE = f"""
+    WITH w AS (SELECT doc_id AS id, n_chars::BIGINT AS w FROM documents),
+    tot AS (SELECT GREATEST(1, SUM(w) // {_PPS_K})::BIGINT AS step FROM w),
+    c AS (
+        SELECT id, w,
+               (SUM(w) OVER (ORDER BY id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW))::BIGINT AS c_incl
+        FROM w
+    )
+    SELECT id, w, c_incl,
+           ((c_incl - 1 + t.step) // t.step)
+             - ((c_incl - w - 1 + t.step) // t.step) AS n_picks
+    FROM c, tot t
+    WHERE ((c_incl - 1 + t.step) // t.step)
+            - ((c_incl - w - 1 + t.step) // t.step) >= 1
+"""
+
+
+@register("sample_systematic_weighted", oracle=_PPS_ORACLE)
+def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS (probability-proportional-to-size) sampling
+    (round 6): one pick every ``W div k`` weight units along the corpus'
+    cumulative n_chars line, canonical doc_id order — the data-mixing
+    primitive for char-budgeted training slices, with heavy documents
+    legitimately picked multiple times (n_picks ≥ 2). No RNG anywhere:
+    pure integer arithmetic, bit-identical across runs, layouts, and
+    engines. The inclusive prefix sum is the two-phase range-partition +
+    broadcast-carry pattern (operators/sampling.py) — no single-task
+    window at any scale."""
+    from lithops_dataframe_spark.operators.sampling import (
+        systematic_weighted_sample,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return systematic_weighted_sample(docs, "n_chars", "doc_id", k=_PPS_K)
 
 
 @register(
