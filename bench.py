@@ -128,6 +128,7 @@ R6_ADDITIONS: list[str] = [
     "stream_enriched_segment_windows",
     "events_lttb_downsample",
     "sample_systematic_weighted",
+    "stream_merge_upsert_sink",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -73,7 +73,7 @@ def query_names() -> list[str]:
 # cents oracle), join_asof_nearest_mark (NEW — first gate on the nearest
 # path), emb_semantic_dedup_keep (NEW — SemDeDup composition). With this
 # rotation every query registered BEFORE r6 has had a hard driver row
-# (the six r6-mid-round additions are staged at 51+ for r7). Displaced
+# (the seven r6-mid-round additions are staged at 51+ for r7). Displaced
 # r5 promotions return to the 51+ block; they remain covered by the
 # local tools/driver_sim.py full-battery run (now driver-shaped: ANSI
 # on, default configs, complex-output-column rejection).
@@ -137,10 +137,10 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the six queries below are the ONLY
+    # ROUND-7 ROTATION PLAN: the seven queries below are the ONLY
     # never-driver-gated registrations after the r6 sweep (all added
     # mid-r6, after the 50 slots were full) — promote them into slots
-    # 21-26 next round, keeping the 20 anchors; remaining slots to any
+    # 21-27 next round, keeping the 20 anchors; remaining slots to any
     # r7-modified queries, then rotate previously-gated singles.
     "classifier_lr_score_corpus",  # NEW r6: train→apply corpus scoring
     "dedup_incremental_batch",  # NEW r6: arriving batch probes LSH index
@@ -148,6 +148,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_enriched_segment_windows",  # NEW r6: stream-static enrichment
     "events_lttb_downsample",  # NEW r6: parallel LTTB, exact-int argmax
     "sample_systematic_weighted",  # NEW r6: deterministic PPS sampling
+    "stream_merge_upsert_sink",  # NEW r6: foreachBatch CDC-apply MERGE
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

@@ -16,6 +16,7 @@ strictly inside [start, last_ts + gap); the oracle's gaps-and-islands
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.streaming import events as SE
@@ -89,6 +90,96 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.tumbling_counts(_events(spark, sf_dir))
+
+
+# Streaming CDC-apply: two micro-batches (even event_ids, then odd) merge
+# per-user aggregates into a partitioned target; later epochs replace
+# earlier rows per key, so the final table carries the ODD-batch aggregate
+# for users with odd events and the EVEN-batch one otherwise.
+_MERGE_SINK_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    odd AS (SELECT user_id, COUNT(*) AS n, SUM(c)::BIGINT AS cents
+            FROM ev WHERE event_id % 2 = 1 GROUP BY 1),
+    even AS (SELECT user_id, COUNT(*) AS n, SUM(c)::BIGINT AS cents
+             FROM ev WHERE event_id % 2 = 0 GROUP BY 1)
+    SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+           COALESCE(o.n, e.n) AS n_events,
+           COALESCE(o.cents, e.cents) AS cents
+    FROM odd o FULL JOIN even e ON e.user_id = o.user_id
+"""
+
+
+@register("stream_merge_upsert_sink", oracle=_MERGE_SINK_ORACLE)
+def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-apply sink (round 6) — continuous CDC-apply: a
+    two-micro-batch replay (even event_ids, then odd) flows through
+    ``foreachBatch``, each batch aggregated per user and MERGED into a
+    partitioned parquet target (anti-join the batch keys in the touched
+    partitions, union, dynamic overwrite). Later epochs replace earlier
+    per-key rows; untouched partitions are never rewritten; a retried
+    epoch re-applies idempotently — Delta-MERGE semantics on plain
+    parquet, per-epoch cost O(touched partitions). The read-back table
+    must hash-match the oracle's last-batch-wins replay."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from lithops_dataframe_spark.streaming.sinks import (
+        foreach_batch_merge_upsert_sink,
+    )
+
+    ev = _events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="lds_merge_sink_")
+    replay = _os.path.join(work, "replay")
+    _os.makedirs(replay)
+    # stage the two ordered micro-batch files (file source processes
+    # oldest-mtime first; pin mtimes so the order is deterministic)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(replay, "b0"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(replay, "b1"))
+    files = []
+    for sub in ("b0", "b1"):
+        d = _os.path.join(replay, sub)
+        part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
+        dst = _os.path.join(replay, f"{sub}.parquet")
+        shutil.copy(_os.path.join(d, part), dst)
+        files.append(dst)
+        shutil.rmtree(d)
+    now = _time.time()
+    _os.utime(files[0], (now - 60, now - 60))
+    _os.utime(files[1], (now, now))
+
+    target = _os.path.join(work, "target")
+
+    def per_user(batch_df):
+        return batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        ).withColumn("part", F.col("user_id") % 8)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay + "/*.parquet")
+    )
+    q = foreach_batch_merge_upsert_sink(
+        stream,
+        target,
+        _os.path.join(work, "_ckpt"),
+        transform=per_user,
+        key_col="user_id",
+        part_col="part",
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(target).select("user_id", "n_events", "cents")
 
 
 _ENRICHED_ORACLE = """

@@ -78,3 +78,35 @@ def test_checkpoint_restart_incremental(spark, tmp_path):
     expected = normalize_events_ts(spark.read.parquet(str(in_dir)))
     assert back.count() == 2 * n_first  # each file exactly once
     assert _rows(back) == _rows(expected)
+
+
+def test_merge_sink_retry_is_idempotent(spark, tmp_path):
+    """The merge sink's exactly-once story rests on upsert idempotency:
+    applying the SAME micro-batch twice (a post-failure retry) must leave
+    the target identical, and a later batch must replace earlier per-key
+    rows while untouched keys survive. Drives the REAL merge_apply the
+    foreachBatch closure calls."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.streaming.sinks import merge_apply
+
+    target = str(tmp_path / "t")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "n_events", "cents"])
+        ).withColumn("part", F.col("user_id") % 4)
+
+    b0 = mk([(0, 5, 100), (1, 3, 50), (4, 2, 20)])  # parts 0, 1, 0
+    b1 = mk([(1, 9, 999), (5, 1, 10)])  # parts 1, 1
+    merge_apply(b0, target, key_col="user_id", part_col="part")
+    merge_apply(b1, target, key_col="user_id", part_col="part")
+    once = sorted(map(tuple, spark.read.parquet(target).collect()))
+    merge_apply(b1, target, key_col="user_id", part_col="part")  # retry
+    twice = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert once == twice, "retried merge changed the target"
+    got = {r[0]: (r[1], r[2]) for r in twice}
+    assert got[1] == (9, 999), "later epoch did not replace the key"
+    assert got[0] == (5, 100) and got[4] == (2, 20), "untouched keys lost"
+    assert got[5] == (1, 10)

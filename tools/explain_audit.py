@@ -106,6 +106,7 @@ HEADLINE = [
     "stream_enriched_segment_windows",
     "events_lttb_downsample",
     "sample_systematic_weighted",
+    "stream_merge_upsert_sink",
     "q07_nation_volume",  # r6 plan change: nation filter below the facts
     # (q22 already in the TPC-H block above; its r6 anti-join retune is
     # audited there)
