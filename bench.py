@@ -195,6 +195,18 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # copy-local on the 10x fixture, so its exponent is the PageRank
     # join+agg loop's own scaling.
     "graph_iter": ["graph_pagerank_bandlocal"],
+    # round-6 additions with fixture-compatible scaling semantics:
+    # PPS sampling is one scan + the two-phase prefix sum (fixed k);
+    # LTTB and interpolate are per-entity windows (10x entities, same
+    # per-entity depth); the stream-static enrichment joins both scaled
+    # sides. (emb_semantic_dedup_keep and dedup_incremental_batch are
+    # EXCLUDED like the other pair-finding ops: 10 identical copies of
+    # every document/vector multiply their pair/duplicate OUTPUT for
+    # data reasons — that would measure the fixture, not the plan.)
+    "pps_sampling": ["sample_systematic_weighted"],
+    "lttb": ["events_lttb_downsample"],
+    "interpolate": ["events_gapfill_interpolate"],
+    "stream_enrich": ["stream_enriched_segment_windows"],
 }
 
 # Curve-only callables (not registered queries): same signature as a
