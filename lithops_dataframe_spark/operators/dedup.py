@@ -498,6 +498,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via PREFIX FILTERING (AllPairs /
+    PPJoin candidate generation — Bayardo et al. WWW'07, Xiao et al.
+    WWW'08; same public algorithm family the reference's dedup CLI
+    exposes as its set-similarity mode).
+
+    Same output contract as :func:`ngram_jaccard_pairs` — every pair with
+    Jaccard ≥ t, exactly — but the candidate join touches only each
+    document's PREFIX postings instead of the full inverted index:
+
+    1. order all shingles globally by (document-frequency ASC, shingle) —
+       rarest first, fully deterministic;
+    2. each document's prefix = its first ``|d| − ⌈t·|d|⌉ + 1`` shingles
+       in that order. Theorem: two sets with overlap ≥ ⌈t·|d|⌉ must share
+       a token inside both prefixes, so joining prefix postings loses no
+       true pair;
+    3. length filter inside the join: J ≥ t ⇒ t·|a| ≤ |b| ≤ |a|/t —
+       enforced as exact integer cross-multiplication (no float ceil);
+    4. verify candidates with ``array_intersect`` on the full shingle
+       arrays (JVM-side, candidates only).
+
+    At scale this is the difference between Σ df² over ALL postings and
+    Σ df_prefix² over the ~(1−t) rarest slice — prefix tokens are by
+    construction the LOW-df tail, so the quadratic term collapses (the
+    stop-shingle problem disappears without needing a lossy df cap).
+    The threshold is taken as an exact fraction (e.g. 0.4 = 2/5) so every
+    pruning comparison is integer arithmetic — ANSI-safe, engine-agnostic;
+    only the final verified jaccard is a (both-engines-identical) double.
+    """
+    from fractions import Fraction
+
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    base = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), H.word_shingles(F.col(text_col), shingle_n).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cache.track(base)
+    # persisted: shingle arrays feed the postings lineage and both sides
+    # of the verification join
+    postings = base.select("id", F.size("sh").cast("long").alias("n"), F.explode("sh").alias("s"))
+    dfreq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # prefix_len = n − ⌈t·n⌉ + 1, integer-exact: ⌈num·n/den⌉ = (num·n + den − 1) div den
+    ceil_tn = (F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)
+    prefix_len = F.col("n") - F.floor(ceil_tn) + F.lit(1)
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        postings.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("id", "n", "s")
+    )
+
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.id") < F.col("pb.id"))
+            # length filter, cross-multiplied: den·|b| ≥ num·|a| ∧ den·|a| ≥ num·|b|
+            & (F.lit(den) * F.col("pb.n") >= F.lit(num) * F.col("pa.n"))
+            & (F.lit(den) * F.col("pa.n") >= F.lit(num) * F.col("pb.n")),
+        )
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    arr_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    arr_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (
+        cand.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (rolling-hash CDC) — sub-document dedup
 # ---------------------------------------------------------------------------

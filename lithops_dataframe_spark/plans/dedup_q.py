@@ -88,7 +88,12 @@ _SHINGLES3 = H.word_shingles_sql("text", _NGRAM_N)
 # output: shingle lists are DISTINCT by construction, so COUNT(*) per
 # (id_a, id_b) over matched postings IS |intersection|, and every pair
 # at jaccard ≥ 0.3 has at least one shared shingle to be found by.
-_NGRAM_ORACLE = f"""
+def _ngram_oracle(threshold: float) -> str:
+    """Inverted-index exact-Jaccard oracle (Σ df² postings self-join) at a
+    given threshold — ground truth for BOTH engine plans (the full
+    inverted index and the prefix-filtered AllPairs join): same pair set,
+    so one oracle form gates two different distributed algorithms."""
+    return f"""
     WITH shng AS (SELECT doc_id AS id, {_SHINGLES3} AS sh FROM documents),
     post AS (SELECT id, unnest(sh) AS s FROM shng),
     pairs AS (
@@ -102,8 +107,11 @@ _NGRAM_ORACLE = f"""
     FROM pairs
     JOIN sized na ON na.id = id_a
     JOIN sized nb ON nb.id = id_b
-    WHERE common::DOUBLE / (na.n + nb.n - common) >= 0.3
+    WHERE common::DOUBLE / (na.n + nb.n - common) >= {threshold}
 """
+
+
+_NGRAM_ORACLE = _ngram_oracle(0.3)
 
 
 _CLUSTERS_ORACLE = f"""
@@ -263,6 +271,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=_NGRAM_N, threshold=0.3)
+
+
+@register("dedup_jaccard_prefix_filter", oracle=_ngram_oracle(0.4))
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact-Jaccard join (round 6): the
+    candidate join touches only each doc's (1−t)-fraction rarest-shingle
+    prefix (global df-ascending order) + integer-exact length filter,
+    then verifies with array_intersect on candidates only. The oracle is
+    the FULL inverted-index form — prefix filtering is provably lossless,
+    so both must produce the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_prefix_filter_pairs(docs, "text", "doc_id", shingle_n=_NGRAM_N, threshold=0.4)
 
 
 _LEV_ORACLE = """

@@ -137,10 +137,10 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the seven queries below are the ONLY
-    # never-driver-gated registrations after the r6 sweep (all added
+    # ROUND-7 ROTATION PLAN: the queries below (up to the marker) are the
+    # ONLY never-driver-gated registrations after the r6 sweep (all added
     # mid-r6, after the 50 slots were full) — promote them into slots
-    # 21-27 next round, keeping the 20 anchors; remaining slots to any
+    # 21+ next round, keeping the 20 anchors; remaining slots to any
     # r7-modified queries, then rotate previously-gated singles.
     "classifier_lr_score_corpus",  # NEW r6: train→apply corpus scoring
     "dedup_incremental_batch",  # NEW r6: arriving batch probes LSH index
@@ -149,6 +149,7 @@ PRIORITY: tuple[str, ...] = (
     "events_lttb_downsample",  # NEW r6: parallel LTTB, exact-int argmax
     "sample_systematic_weighted",  # NEW r6: deterministic PPS sampling
     "stream_merge_upsert_sink",  # NEW r6: foreachBatch CDC-apply MERGE
+    "dedup_jaccard_prefix_filter",  # NEW r6-cont: AllPairs prefix filter
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
