@@ -130,3 +130,137 @@ def lttb_downsample(
         .unionByName(last.select("ent", "bucket", "ts", "cents"))
         .withColumnRenamed("ent", entity_col)
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 24,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Classical additive seasonal decomposition per entity (the
+    statsmodels ``seasonal_decompose``/Holt-Winters initialization step,
+    re-expressed as pure window algebra):
+
+    1. bucket the series (default hourly) and sum the value as integer
+       cents — y(entity, t) is a BIGINT;
+    2. trend = centered moving average over ``period+1`` buckets, taken
+       as the exact window SUM (×(period+1)) over a RANGE frame on the
+       integer bucket index — missing buckets leave the frame short, and
+       any frame with fewer than period+1 points yields NULL trend
+       (edges and gaps are excluded, as in the classical method);
+    3. detrended×(period+1) = (period+1)·y − trend_sum — still exact
+       BIGINT;
+    4. seasonal index = mean of the detrended values by phase
+       (bucket index mod period), divided out once at the end.
+
+    Every intermediate is integer-exact; the single final division is an
+    identical double op in any replaying engine. Scale shape: one hash
+    agg to (entity, bucket) granularity, one RANGE window per entity
+    (shuffle on the entity key only), one tiny phase-level agg —
+    embarrassingly parallel across entities; no global window anywhere.
+    """
+    seconds = {"hour": 3600, "day": 86400}[bucket]
+    m = period + 1  # centered window width (odd)
+    half = period // 2
+    hourly = (
+        df.groupBy(
+            F.col(entity_col).alias("ent"),
+            (F.unix_seconds(F.date_trunc(bucket, F.col(ts_col)).cast("timestamp")) / seconds)
+            .cast("long")
+            .alias("t"),
+        )
+        .agg(F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("cents"))
+    )
+    w = Window.partitionBy("ent").orderBy("t").rangeBetween(-half, half)
+    detr = (
+        hourly.withColumn("tsum", F.sum("cents").over(w))
+        .withColumn("tcnt", F.count(F.lit(1)).over(w))
+        .filter(F.col("tcnt") == m)
+        .withColumn("detr_m", F.lit(m) * F.col("cents") - F.col("tsum"))
+    )
+    return (
+        detr.groupBy("ent", (F.col("t") % period).cast("int").alias("phase"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.sum("detr_m") / (F.lit(float(m * 100)) * F.count(F.lit(1))), 4).alias(
+                "seasonal"
+            ),
+        )
+        .withColumnRenamed("ent", entity_col)
+    )
+
+
+def mad_anomaly_stats(
+    df: DataFrame,
+    *,
+    entity_col: str,
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-entity anomaly statistics: median / MAD (median absolute
+    deviation) of the value, and the count of points outside
+    ``median ± k·MAD`` — the standard robust outlier rule (Hampel
+    identifier), which unlike mean/stddev does not let the outliers
+    inflate their own threshold.
+
+    Exactness discipline: values become integer cents; the median of
+    integers is at worst a half-integer (exactly representable), the
+    doubled deviation ``|2c − 2·med|`` is again a BIGINT, and the
+    anomaly rule ``|c−med| > k·MAD`` becomes ``dev2 > k·mad2`` where
+    ``mad2`` is a half-integer and k is expressible in quarters, so both
+    sides are exact doubles — bit-identical decisions in any IEEE
+    engine. Scale shape: exact
+    medians are two sorts within entity partitions (percentile is a
+    partial-merge aggregate in Spark); swap in approx_percentile for a
+    one-pass sketch when entities have billions of rows.
+    """
+    assert (4 * k) == int(4 * k), "k must be expressible in quarter units"
+    cents = df.select(
+        F.col(entity_col).alias("ent"),
+        F.round(F.col(value_col) * 100).cast("long").alias("c"),
+    )
+    from pyspark import StorageLevel
+
+    from lithops_dataframe_spark import cache
+
+    med = cents.groupBy("ent").agg(F.percentile("c", 0.5).alias("med"))
+    dev = (
+        cents.join(F.broadcast(med), "ent")
+        .withColumn(
+            "dev2", F.abs(F.lit(2) * F.col("c") - (F.lit(2.0) * F.col("med")).cast("long"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cache.track(dev)
+    # persisted: dev feeds both the MAD aggregate and the anomaly count
+    # entity-level stats are one row per entity — broadcast them back for
+    # the anomaly count instead of re-shuffling the point set
+    st = dev.groupBy("ent").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("med").alias("med"),
+        F.percentile("dev2", 0.5).alias("mad2"),
+    )
+    stats = (
+        dev.select("ent", "dev2")
+        .join(F.broadcast(st), "ent")
+        .groupBy("ent")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad2").alias("mad2"),
+            F.sum(
+                F.when(F.col("dev2") > F.lit(float(k)) * F.col("mad2"), 1).otherwise(0)
+            ).alias("n_anom"),
+        )
+    )
+    return stats.select(
+        F.col("ent").alias(entity_col),
+        "n",
+        F.round(F.col("med") / 100, 4).alias("med_value"),
+        F.round(F.col("mad2") / 200, 4).alias("mad_value"),
+        F.col("n_anom").cast("long").alias("n_anom"),
+    )

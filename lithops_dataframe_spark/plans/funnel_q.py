@@ -332,3 +332,94 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").alias("n_view_click"),
         F.count("t_purchase").alias("n_view_click_purchase"),
     )
+
+
+# Classical additive seasonal decomposition per event_type over the
+# hourly series: trend = 25-hour centered moving SUM (exact BIGINT over a
+# RANGE frame on the hour index; frames short of 25 points are excluded
+# like the classical method's edges), seasonal index = mean detrended
+# value by hour-of-day phase. Every intermediate is integer cents; the
+# single division happens once at the end in both engines.
+_SEASONAL_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS t,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, t, cents,
+               SUM(cents) OVER (PARTITION BY event_type ORDER BY t
+                   RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tsum,
+               COUNT(*) OVER (PARTITION BY event_type ORDER BY t
+                   RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS tcnt
+        FROM hourly
+    ),
+    d AS (
+        SELECT event_type, CAST(t % 24 AS INT) AS phase,
+               25 * cents - tsum AS detr_m
+        FROM w WHERE tcnt = 25
+    )
+    SELECT event_type, phase, COUNT(*) AS n_obs,
+           ROUND(CAST(SUM(detr_m) AS BIGINT) / (2500.0 * COUNT(*)), 4) AS seasonal
+    FROM d GROUP BY 1, 2
+"""
+
+
+@register("events_seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity classical seasonal decomposition (round 6): hourly
+    integer-cents series → exact centered moving-SUM trend over a RANGE
+    frame → hour-of-day seasonal indices. One shuffle on the entity key;
+    the phase rollup is tiny. See operators/timeseries.py::
+    seasonal_decompose for the exactness discipline (detrended values
+    stay BIGINT; the only division is the final mean)."""
+    from lithops_dataframe_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.seasonal_decompose(
+        ev, entity_col="event_type", ts_col="ts", value_col="value", period=24, bucket="hour"
+    )
+
+
+# Robust per-user anomaly stats: median/MAD in integer cents, Hampel rule
+# |x − med| > 3.5·MAD. quantile_cont and Spark's percentile share the
+# (n−1)-interpolation convention; on BIGINT inputs every median is at
+# worst a half-integer, so the thresholds compare exactly.
+_MAD_ORACLE = """
+    WITH c AS (
+        SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    med AS (SELECT user_id, quantile_cont(c, 0.5) AS med FROM c GROUP BY 1),
+    d AS (
+        SELECT c.user_id, c.c, med.med,
+               abs(2 * c.c - CAST(2.0 * med.med AS BIGINT)) AS dev2
+        FROM c JOIN med USING (user_id)
+    ),
+    st AS (
+        SELECT user_id, COUNT(*) AS n, ANY_VALUE(med) AS med,
+               quantile_cont(dev2, 0.5) AS mad2
+        FROM d GROUP BY 1
+    )
+    SELECT d.user_id,
+           ANY_VALUE(st.n) AS n,
+           ROUND(ANY_VALUE(st.med) / 100, 4) AS med_value,
+           ROUND(ANY_VALUE(st.mad2) / 200, 4) AS mad_value,
+           CAST(SUM(CASE WHEN d.dev2 > 3.5 * st.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+    FROM d JOIN st USING (user_id)
+    GROUP BY d.user_id
+"""
+
+
+@register("events_anomaly_mad", oracle=_MAD_ORACLE)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user anomaly detection (round 6): the Hampel identifier
+    (median ± 3.5·MAD) over integer cents — outliers cannot inflate their
+    own threshold, unlike mean/stddev z-scores. Exact medians are
+    partial-merge percentile aggregates within user partitions; entity
+    stats broadcast back for the anomaly count. See
+    operators/timeseries.py::mad_anomaly_stats."""
+    from lithops_dataframe_spark.operators import timeseries as TS
+
+    ev = load_table(spark, sf_dir, "events")
+    return TS.mad_anomaly_stats(ev, entity_col="user_id", value_col="value", k=3.5)

@@ -150,6 +150,8 @@ PRIORITY: tuple[str, ...] = (
     "sample_systematic_weighted",  # NEW r6: deterministic PPS sampling
     "stream_merge_upsert_sink",  # NEW r6: foreachBatch CDC-apply MERGE
     "dedup_jaccard_prefix_filter",  # NEW r6-cont: AllPairs prefix filter
+    "events_seasonal_decompose",  # NEW r6-cont: additive seasonal/trend
+    "events_anomaly_mad",  # NEW r6-cont: Hampel median/MAD outliers
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
