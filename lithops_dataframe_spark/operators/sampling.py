@@ -75,3 +75,90 @@ def systematic_weighted_sample(
         .filter(F.col("n_picks") >= 1)
         .select("id", "w", "c_incl", "n_picks")
     )
+
+
+def weighted_interleave_epoch(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """Deterministic source-weighted dataset mixing — the APPLY half of
+    temperature sampling (sample_temperature_weights computes the plan;
+    this materializes one training epoch in its interleaved serve order).
+
+    Per source s: weight w_s = ⌊√n_s⌋ (integer-exact temperature-0.5 —
+    IEEE sqrt is correctly rounded, so the floor replays bit-identically
+    in any engine), quota k_s = min(n_s, budget·w_s div Σw). Rows are
+    picked per source by md5 hash order (deterministic shuffle), and the
+    epoch position follows WEIGHTED ROUND-ROBIN: row r of source s serves
+    at virtual time v = r/k_s, ordered by (v, source).
+
+    The scale trick: that global order is computed in CLOSED FORM, not
+    with a global window. Under (v ASC, source ASC),
+
+        pos(s, r) = r + Σ_{s'≠s} [ ⌈r·k_s'/k_s⌉ − 1
+                                   + 1 if r·k_s' ≡ 0 (mod k_s) ∧ s' < s ]
+
+    — each term counts how many of source s' rows serve strictly before
+    (or tie-break before) this one. The per-source quota table is
+    driver-sized model state (like LR weights or k-means centroids):
+    collected once, re-broadcast as an array literal, and folded with one
+    ``aggregate`` HOF — so the whole epoch assignment is ONE shuffle (the
+    per-source rank window), no global sort, no single-task stage.
+    Integer ceils use (q − q mod k)/k + [q mod k > 0]; exact while
+    r·k' < 2⁵³ (quotas beyond ~9·10⁷ rows per source should switch the
+    division to the SQL `div` operator).
+    """
+    base = df.select(F.col(source_col).alias("source"), F.col(id_col).alias("id"))
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wts = counts.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    total_w = wts.agg(F.sum("w").alias("tw")).collect()[0]["tw"]
+    quotas = wts.select(
+        "source",
+        F.least(
+            F.col("n"),
+            ((F.lit(int(budget)) * F.col("w")) - (F.lit(int(budget)) * F.col("w")) % F.lit(int(total_w)))
+            / F.lit(int(total_w)),
+        )
+        .cast("long")
+        .alias("k"),
+    ).filter(F.col("k") >= 1)
+
+    ranked = base.join(F.broadcast(quotas), "source").withColumn(
+        "r",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
+            )
+        )
+        .cast("long"),
+    )
+    sel = ranked.filter(F.col("r") <= F.col("k"))
+
+    # quota table → driver (S rows of model state) → array literal
+    ktab = sorted((row["source"], int(row["k"])) for row in quotas.collect())
+    arr = F.array(
+        *[
+            F.struct(F.lit(s).alias("src"), F.lit(k).cast("long").alias("kk"))
+            for s, k in ktab
+        ]
+    )
+
+    def term(acc, x):
+        q = F.col("r") * x["kk"]
+        m = q % F.col("k")
+        ceil_div = ((q - m) / F.col("k")).cast("long") + F.when(m > 0, F.lit(1)).otherwise(F.lit(0))
+        tie = F.when((m == 0) & (x["src"] < F.col("source")), F.lit(1)).otherwise(F.lit(0))
+        return acc + F.when(
+            x["src"] == F.col("source"), F.lit(0).cast("long")
+        ).otherwise(ceil_div - 1 + tie)
+
+    return sel.select(
+        "id",
+        "source",
+        "r",
+        (F.col("r") + F.aggregate(arr, F.lit(0).cast("long"), term)).alias("epoch_pos"),
+    )

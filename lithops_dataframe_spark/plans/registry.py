@@ -152,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_prefix_filter",  # NEW r6-cont: AllPairs prefix filter
     "events_seasonal_decompose",  # NEW r6-cont: additive seasonal/trend
     "events_anomaly_mad",  # NEW r6-cont: Hampel median/MAD outliers
+    "mix_interleave_epoch",  # NEW r6-cont: weighted-round-robin epoch mix
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import hashing as H
 from lithops_dataframe_spark.functions import text as T
+from lithops_dataframe_spark.operators import sampling as SA
 from lithops_dataframe_spark.operators.util import ensure_parallelism
 from lithops_dataframe_spark.plans.registry import register
 
@@ -506,3 +507,49 @@ def sample_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep_rate"
         ),
     )
+
+
+_MIX_BUDGET = 200  # epoch budget in documents
+
+# Deterministic weighted-round-robin epoch: quotas k_s = min(n_s,
+# budget·⌊√n_s⌋ div Σ⌊√n⌋), per-source md5 pick order, serve order
+# (r/k_s, source). The oracle assigns epoch_pos with a naive global
+# ROW_NUMBER over the virtual-time double; the engine computes the same
+# rank in closed form with integer arithmetic (operators/sampling.py::
+# weighted_interleave_epoch) — distinct rationals r/k with k ≤ budget
+# cannot collide in doubles, so the two orderings agree exactly.
+_MIX_ORACLE = f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    wts AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+    ks AS (
+        SELECT source,
+               LEAST(n, ({_MIX_BUDGET} * w) // (SELECT SUM(w) FROM wts)) AS k
+        FROM wts
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, ks.k,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS r
+        FROM documents d JOIN ks USING (source)
+        WHERE ks.k >= 1
+    ),
+    sel AS (SELECT * FROM ranked WHERE r <= k)
+    SELECT doc_id, source, r,
+           ROW_NUMBER() OVER (ORDER BY r * 1.0 / k, source) AS epoch_pos
+    FROM sel
+"""
+
+
+@register("mix_interleave_epoch", oracle=_MIX_ORACLE)
+def mix_interleave_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-weighted dataset mixing (round 6): materialize
+    one training epoch — which documents, and in what interleaved order —
+    from integer-exact temperature-0.5 source quotas. The epoch position
+    is a weighted-round-robin rank computed in CLOSED FORM (per-row
+    integer arithmetic against the broadcast quota table), so the engine
+    needs one per-source window and zero global sorts, while the oracle
+    proves equivalence to the naive global ROW_NUMBER formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SA.weighted_interleave_epoch(docs, "source", "doc_id", budget=_MIX_BUDGET)
+    return out.select(F.col("id").alias("doc_id"), "source", "r", "epoch_pos")
