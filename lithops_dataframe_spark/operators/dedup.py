@@ -593,6 +593,92 @@ def jaccard_prefix_filter_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT asymmetric-containment similarity join: every ordered pair
+    (small, big) with ``C(small→big) = |small ∩ big| / |small| ≥ t`` —
+    the doc-in-doc duplication class (quoted articles, boilerplate
+    wrappers, excerpt pages) that symmetric Jaccard structurally misses:
+    a 50-shingle doc fully contained in a 5000-shingle doc has J ≈ 0.01
+    but C = 1.0.
+
+    Candidate generation adapts AllPairs prefix filtering (Bayardo et
+    al. WWW'07) to the asymmetric bound: overlap ≥ ⌈t·|A|⌉ constrains
+    only the SMALL side, so only A's prefix — its ``|A| − ⌈t·|A|⌉ + 1``
+    globally-rarest shingles — is indexed, and it joins against the FULL
+    posting list of the big side (no length upper bound exists for
+    containment). Work is Σ_s df_prefix(s)·df(s): prefix tokens are the
+    low-df tail by construction, so the product collapses the way the
+    symmetric prefix join does. Verification is ``array_intersect`` on
+    candidates only; the threshold is an exact fraction, so every
+    pruning comparison is integer arithmetic (ANSI-safe), and the small
+    side of each pair is fixed deterministically (n ASC, id ASC).
+    """
+    from fractions import Fraction
+
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
+    base = (
+        ensure_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("id"), H.word_shingles(F.col(text_col), shingle_n).alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cache.track(base)
+    # persisted: shingle arrays feed the postings lineage (both join
+    # sides) and the verification join
+    postings = base.select("id", F.size("sh").cast("long").alias("n"), F.explode("sh").alias("s"))
+    dfreq = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    ceil_tn = (F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)
+    prefix_len = F.col("n") - F.floor(ceil_tn) + F.lit(1)
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
+    prefix = (
+        postings.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("id", "n", "s")
+    )
+
+    pa, pb = prefix.alias("pa"), postings.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (
+                (F.col("pa.n") < F.col("pb.n"))
+                | ((F.col("pa.n") == F.col("pb.n")) & (F.col("pa.id") < F.col("pb.id")))
+            ),
+        )
+        .select(F.col("pa.id").alias("id_small"), F.col("pb.id").alias("id_big"))
+        .dropDuplicates(["id_small", "id_big"])
+    )
+
+    arr_a = base.select(F.col("id").alias("id_small"), F.col("sh").alias("sh_a"))
+    arr_b = base.select(F.col("id").alias("id_big"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (
+        cand.join(arr_a, "id_small")
+        .join(arr_b, "id_big")
+        .withColumn("common", common)
+        .filter(F.lit(den) * F.col("common") >= F.lit(num) * F.size("sh_a").cast("long"))
+        .select(
+            "id_small",
+            "id_big",
+            "common",
+            F.round(F.col("common") / F.size("sh_a"), 4).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Content-defined chunking (rolling-hash CDC) — sub-document dedup
 # ---------------------------------------------------------------------------

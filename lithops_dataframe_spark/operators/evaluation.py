@@ -1,0 +1,83 @@
+"""Model-evaluation operators: exact distributed ROC-AUC (SURVEY §2.11).
+
+Reference context: the reference (cloudbutton/lithops-dataframe) has no
+model-evaluation surface — this supplies the metric a training-data
+pipeline computes after fitting its quality/language filter
+(operators/classifier.py): the exact area under the ROC curve of the
+scores against the labels, at corpus scale.
+
+AUC is the Mann–Whitney U statistic: the probability a random positive
+outscores a random negative, ties counting half. Computed WITHOUT pairs:
+
+1. aggregate to one row per DISTINCT score — (n_pos, n_neg) counts; one
+   hash shuffle with map-side combine;
+2. an EXCLUSIVE prefix sum of n_neg in score order gives, for each
+   score, the negatives strictly below it — computed with the
+   scale-correct TWO-PHASE pattern (range-partition on score,
+   per-partition running sums, one tiny cumulated per-partition totals
+   frame broadcast back as carry-in; the same machinery as
+   operators/sampling.py — a global ``Window.orderBy`` would be one
+   task);
+3. the tie-aware numerator doubled to stay integral:
+   ``auc_num2 = Σ_s n_pos(s) · (2·cum_neg_below(s) + n_neg(s))`` and
+   ``AUC = auc_num2 / (2·P·N)`` — every term an exact BIGINT, so the
+   statistic replays bit-identically in any engine; only the final
+   ratio is a (rounded) double.
+
+Grouping by a double score column is sound here because scores come from
+a FIXED-order IEEE expression over per-epoch-rounded weights (see
+operators/classifier.py's determinism note): equal inputs produce
+bit-equal doubles in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def roc_auc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of binary ``label_col`` (0/1) under
+    ``score_col``. Returns ONE row:
+    (n_pos, n_neg, auc_num2) as exact BIGINTs plus ``auc`` rounded to 6.
+    """
+    y = F.col(label_col).cast("long")
+    g = scored.groupBy(score_col).agg(
+        F.sum(y).alias("np"),
+        F.sum(F.lit(1) - y).alias("nn"),
+    )
+    part = g.repartitionByRange(F.col(score_col).asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "__cnb_loc", F.coalesce(F.sum("nn").over(wloc), F.lit(0).cast("long"))
+    )
+    totals = part.groupBy("__pid").agg(F.sum("nn").alias("__pt"))
+    wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid", F.coalesce(F.sum("__pt").over(wcum), F.lit(0).cast("long")).alias("__off")
+    )
+    c = local.join(F.broadcast(offs), "__pid").withColumn(
+        "cnb", F.col("__cnb_loc") + F.col("__off")
+    )
+    agg = c.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (F.lit(2) * F.col("cnb") + F.col("nn")))
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )

@@ -129,6 +129,61 @@ def _trained_weights(spark: SparkSession, sf_dir: str) -> list[float]:
     return _LR_WEIGHTS[sf_dir]
 
 
+def _auc_oracle(epochs: int, lr: float) -> str:
+    """Replay training to the final weights, score the corpus with the
+    same fixed-order margin, then compute the exact tie-aware
+    Mann–Whitney AUC: all counts and the doubled numerator are BIGINTs
+    (see operators/evaluation.py); only the final ratio rounds."""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+    num2 = "SUM(np * (2 * cnb + nn))"
+    return (
+        _lr_ctes(epochs, lr, with_acc=False)
+        + f""",
+    scored AS (
+        SELECT f.y, ({z}) AS z FROM feats f, w{epochs} w
+    ),
+    g AS (
+        SELECT z, SUM(y)::BIGINT AS np, SUM(1 - y)::BIGINT AS nn
+        FROM scored GROUP BY z
+    ),
+    c AS (
+        SELECT np, nn,
+               COALESCE(SUM(nn) OVER (ORDER BY z
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+        FROM g
+    )
+    SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+           {num2}::BIGINT AS auc_num2,
+           ROUND({num2} / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
+    FROM c
+    """
+    )
+
+
+@register("eval_classifier_auc", oracle=_auc_oracle(_EPOCHS, _LR))
+def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality filter over the corpus — the
+    evaluation half of the train→filter loop (model ranking quality, not
+    just thresholded confusion counts). Scoring is the same zero-shuffle
+    literal-weights scan as classifier_lr_score_corpus; the AUC itself is
+    a distinct-score aggregate plus a TWO-PHASE distributed prefix sum
+    (operators/evaluation.py — no single-task global window), with the
+    doubled tie-aware numerator kept as an exact BIGINT so the metric
+    hash-matches DuckDB bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators.classifier import N_FEATURES, feature_frame
+    from lithops_dataframe_spark.operators.evaluation import roc_auc
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _trained_weights(spark, sf_dir)
+    feats = feature_frame(docs)
+    z = F.lit(w[0]) * F.col("x0")
+    for j in range(1, N_FEATURES):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    return roc_auc(feats.select(z.alias("z"), "y"), "z", "y")
+
+
 @register("classifier_lr_score_corpus", oracle=_lr_score_oracle(_EPOCHS, _LR))
 def classifier_lr_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY half of the quality-filter loop (round 6): score every

@@ -285,6 +285,43 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_filter_pairs(docs, "text", "doc_id", shingle_n=_NGRAM_N, threshold=0.4)
 
 
+# Containment (asymmetric Jaccard): C(small→big) = |∩| / |small| ≥ 3/5.
+# Oracle is the full inverted-index form (postings self-join, Σdf² work —
+# fine at oracle scale); the Spark side prunes candidates with the
+# asymmetric prefix filter, which is provably lossless, so the pair sets
+# must be identical.
+_CONTAIN_ORACLE = f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id AS id, {H.word_shingles_sql('text', _NGRAM_N)} AS sh FROM documents
+    ),
+    post AS MATERIALIZED (
+        SELECT id, len(sh)::BIGINT AS n, unnest(sh) AS s FROM base
+    ),
+    pairs AS (
+        SELECT a.id AS id_small, b.id AS id_big, a.n AS n_a, COUNT(*)::BIGINT AS common
+        FROM post a JOIN post b
+          ON a.s = b.s
+         AND (a.n < b.n OR (a.n = b.n AND a.id < b.id))
+        GROUP BY 1, 2, 3
+    )
+    SELECT id_small, id_big, common, ROUND(common::DOUBLE / n_a, 4) AS containment
+    FROM pairs WHERE 5 * common >= 3 * n_a
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment near-dup join (round 6): every (small, big)
+    pair with |small ∩ big| / |small| ≥ 0.6 over 3-gram shingles — the
+    doc-in-doc class (excerpts, quoted articles, boilerplate wrappers)
+    where symmetric Jaccard is blind. Candidates come from the
+    asymmetric prefix filter: only the SMALL side's rarest-shingle
+    prefix is indexed, joined against full postings of bigger docs, and
+    all pruning comparisons are exact integer arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "text", "doc_id", shingle_n=_NGRAM_N, threshold=0.6)
+
+
 _LEV_ORACLE = """
     WITH b AS (SELECT doc_id AS id, text AS txt, substr(text, 1, 16) AS blk
                FROM documents)

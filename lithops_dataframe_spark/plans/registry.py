@@ -153,6 +153,10 @@ PRIORITY: tuple[str, ...] = (
     "events_seasonal_decompose",  # NEW r6-cont: additive seasonal/trend
     "events_anomaly_mad",  # NEW r6-cont: Hampel median/MAD outliers
     "mix_interleave_epoch",  # NEW r6-cont: weighted-round-robin epoch mix
+    "select_dsir_importance",  # NEW r6-cont: DSIR hashed-ngram selection
+    "eval_classifier_auc",  # NEW r6-cont: exact distributed ROC-AUC
+    "retrieval_hybrid_rrf",  # NEW r6-cont: BM25+cosine rank fusion
+    "dedup_containment_pairs",  # NEW r6-cont: asymmetric doc-in-doc dedup
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

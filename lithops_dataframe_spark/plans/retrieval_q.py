@@ -40,7 +40,7 @@ _Q_SQL = " UNION ALL ".join(
     f"SELECT {qid} AS query_id, '{t}' AS token" for qid, terms in _QUERIES for t in terms
 )
 
-_BM25_ORACLE = f"""
+_BM25_CTES = f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
     ),
@@ -69,22 +69,19 @@ _BM25_ORACLE = f"""
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY score DESC, doc_id) AS rank
         FROM scored
-    )
+    )"""
+
+_BM25_ORACLE = f"""
+    {_BM25_CTES}
     SELECT query_id, doc_id, score, rank::INT AS rank
     FROM ranked WHERE rank <= {_TOPK}
 """
 
 
-@register("text_bm25_search", oracle=_BM25_ORACLE)
-def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k retrieval (k1=1.2, b=0.75) over a corpus-built inverted
-    index. Scale shape: the index build is two hash aggregates over token
-    postings; scoring touches only posting lists of the query terms (the
-    query set is tiny → broadcast), and corpus stats (N, avgdl) ride as a
-    one-row broadcast frame. Scores are rounded to 6 BEFORE ranking so
-    tie-breaks are deterministic across engines; per-query top-k is a
-    rank window over the already-aggregated hit set."""
-    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+def _bm25_ranked(spark: SparkSession, docs: DataFrame, topk: int) -> DataFrame:
+    """Shared BM25 ranking core: (query_id, doc_id, score, rank) with
+    rank ≤ ``topk`` — used by both the standalone top-k query and the
+    hybrid RRF fusion leg."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -115,8 +112,131 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _TOPK)
+        .filter(F.col("rank") <= topk)
         .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+@register("text_bm25_search", oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1=1.2, b=0.75) over a corpus-built inverted
+    index. Scale shape: the index build is two hash aggregates over token
+    postings; scoring touches only posting lists of the query terms (the
+    query set is tiny → broadcast), and corpus stats (N, avgdl) ride as a
+    one-row broadcast frame. Scores are rounded to 6 BEFORE ranking so
+    tie-breaks are deterministic across engines; per-query top-k is a
+    rank window over the already-aggregated hit set."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return _bm25_ranked(spark, docs, _TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_FUSE_TOPK = 20
+_FINAL_K = 10
+#: 1e9 integer scale: rrf contribution = 1e9 div (RRF_K + rank), exact in
+#: both engines (positive integer floor division) — no float fusion math.
+_RRF_SCALE = 1_000_000_000
+
+
+def _rrf_oracle() -> str:
+    from lithops_dataframe_spark.plans.similarity_q import _cos_sql
+
+    qids = ", ".join(str(qid) for qid, _ in _QUERIES)
+    return f"""
+    {_BM25_CTES},
+    lex AS (
+        SELECT query_id, doc_id, rank::INT AS lex_rank
+        FROM ranked WHERE rank <= {_FUSE_TOPK}
+    ),
+    qv AS (
+        SELECT vec_id::INT AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id IN ({qids})
+    ),
+    sims AS (
+        SELECT qv.query_id, e.vec_id AS doc_id,
+               {_cos_sql('qv.q_emb', 'e.embedding')} AS sim
+        FROM embeddings e CROSS JOIN qv
+    ),
+    sem AS (
+        SELECT query_id, doc_id, rk::INT AS sem_rank
+        FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, doc_id) AS rk
+            FROM sims
+        ) WHERE rk <= {_FUSE_TOPK}
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+               COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.lex_rank, s.sem_rank,
+               (COALESCE({_RRF_SCALE} // ({_RRF_K} + l.lex_rank), 0)
+                + COALESCE({_RRF_SCALE} // ({_RRF_K} + s.sem_rank), 0))::BIGINT AS rrf_micro
+        FROM lex l FULL JOIN sem s
+          ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, sem_rank, rrf_micro, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_micro DESC, doc_id)::INT AS rank
+        FROM fused
+    ) WHERE rank <= {_FINAL_K}
+"""
+
+
+@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (public recipe:
+    Cormack et al. 2009): fuse a LEXICAL BM25 top-20 with a SEMANTIC
+    cosine top-20 (the query's embedding against every document's
+    embedding — documents and embeddings share the id space) by
+    ``Σ 1/(60 + rank)``, kept EXACT as integer nano-units via positive
+    floor division, then return each query's fused top-10.
+
+    Scale shape: the lexical leg touches only query-term posting lists;
+    the semantic leg is the brute_force_topk pattern (tiny broadcast
+    query set × narrow corpus scan, per-query rank window); fusion joins
+    two ≤(queries × 20)-row frames — driver-scale — so the whole plan's
+    data movement is two corpus scans plus top-k shuffles. Swap the
+    semantic leg to ann_topk's LSH candidates for the 100 TB serving
+    path; fusion is unchanged."""
+    from lithops_dataframe_spark.operators import similarity as S
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    lex = _bm25_ranked(spark, docs, _FUSE_TOPK).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    qids = [qid for qid, _ in _QUERIES]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("int").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        S.cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    )
+    wsem = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    sem = (
+        sims.withColumn("sem_rank", F.row_number().over(wsem).cast("int"))
+        .filter(F.col("sem_rank") <= _FUSE_TOPK)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_micro",
+        (
+            F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + sem_rank)"), F.lit(0))
+        ).cast("long"),
+    )
+    wfin = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wfin).cast("int"))
+        .filter(F.col("rank") <= _FINAL_K)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_micro", "rank")
     )
 
 

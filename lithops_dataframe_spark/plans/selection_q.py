@@ -1,0 +1,77 @@
+"""Training-data selection queries (operators/dsir.py) — hashed-n-gram
+importance resampling with a full value-hash DuckDB oracle.
+
+The oracle replays the whole recipe — same md5-prefix token hash, same
+B-bucket space, same add-one-smoothed ln ratios quantized to micro-units
+— so model fit, scoring, and the top-K cut are all hash-gated, not just
+row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.operators.dsir import B_BUCKETS, MICRO, dsir_select
+from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.plans.registry import register
+
+#: Target slice: English documents (the "quality" distribution to
+#: up-weight); raw model fits on the whole corpus, per the DSIR recipe.
+_TARGET_LANG = "en"
+_K = 100
+
+_DSIR_ORACLE = f"""
+    WITH b AS MATERIALIZED (
+        SELECT doc_id,
+               (lang = '{_TARGET_LANG}')::BIGINT AS is_t,
+               {H.token_hash_sql('t.token')} % {B_BUCKETS} AS bucket
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) t
+    ),
+    cnt AS MATERIALIZED (
+        SELECT bucket, SUM(is_t)::BIGINT AS ct, COUNT(*)::BIGINT AS cr
+        FROM b GROUP BY bucket
+    ),
+    tot AS MATERIALIZED (
+        SELECT SUM(ct)::DOUBLE + {float(B_BUCKETS)} AS ttb,
+               SUM(cr)::DOUBLE + {float(B_BUCKETS)} AS trb
+        FROM cnt
+    ),
+    w AS MATERIALIZED (
+        SELECT bucket,
+               CAST(ROUND((ln((ct + 1.0) / ttb) - ln((cr + 1.0) / trb))
+                          * {float(MICRO)}) AS BIGINT) AS wq
+        FROM cnt, tot
+    ),
+    doc AS (
+        SELECT b.doc_id, COUNT(*)::BIGINT AS n_toks, SUM(w.wq)::BIGINT AS score_micro
+        FROM b JOIN w USING (bucket)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_toks, score_micro
+    FROM doc
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_K}
+"""
+
+
+@register("select_dsir_importance", oracle=_DSIR_ORACLE)
+def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: fit hashed-unigram multinomials on the
+    English slice (target) vs the whole corpus (raw), score every
+    document by the exact-integer micro-quantized log-likelihood ratio of
+    its token bag, and keep the top-100 most target-like documents.
+
+    Scale shape: one ≤B-row bucket aggregate fits both models; the weight
+    table is B=256 BIGINTs of driver state re-broadcast as an array
+    literal; scoring is a zero-shuffle JVM `aggregate` fold per document;
+    the top-K is TakeOrderedAndProject. Nothing grows with corpus size
+    except the scan.
+    """
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return dsir_select(docs, F.col("lang") == _TARGET_LANG, k=_K)

@@ -1,0 +1,72 @@
+"""Unit tests for operators/evaluation.py (exact ROC-AUC) and
+operators/dsir.py (importance selection) — semantic properties the
+oracle hash-gate doesn't express."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.operators.evaluation import roc_auc
+
+
+def _brute_auc(pairs: list[tuple[float, int]]) -> float:
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    num = 0.0
+    for p, n in itertools.product(pos, neg):
+        num += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return num / (len(pos) * len(neg))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_roc_auc_matches_bruteforce_with_ties(spark, seed):
+    rng = random.Random(seed)
+    # quantized scores force plenty of ties, including cross-class ties
+    pairs = [(round(rng.random(), 1), rng.randint(0, 1)) for _ in range(300)]
+    df = spark.createDataFrame(pairs, "s double, y int").repartition(7)
+    row = roc_auc(df, "s", "y").collect()[0]
+    assert row["n_pos"] == sum(y for _, y in pairs)
+    assert row["n_neg"] == len(pairs) - row["n_pos"]
+    brute = _brute_auc(pairs)
+    assert abs(row["auc_num2"] / (2.0 * row["n_pos"] * row["n_neg"]) - brute) < 1e-12
+    assert row["auc"] == round(brute, 6)
+
+
+def test_roc_auc_perfect_and_inverted(spark):
+    perfect = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(perfect, "s double, y int")
+    assert roc_auc(df, "s", "y").collect()[0]["auc"] == 1.0
+    inverted = [(-s, y) for s, y in perfect]
+    df2 = spark.createDataFrame(inverted, "s double, y int")
+    assert roc_auc(df2, "s", "y").collect()[0]["auc"] == 0.0
+
+
+def test_dsir_selects_target_enriched_docs(spark, sf_dir):
+    from lithops_dataframe_spark.catalog import load_table
+    from lithops_dataframe_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = dsir_select(docs, F.col("lang") == "en", k=100)
+    joined = picked.join(docs.select("doc_id", "lang"), "doc_id")
+    frac_en_picked = joined.filter(F.col("lang") == "en").count() / picked.count()
+    frac_en_corpus = (
+        docs.filter(F.col("lang") == "en").count() / docs.count()
+    )
+    # the selection must up-weight the target distribution (the fixture's
+    # word-salad text shares most vocabulary across langs, so the
+    # achievable enrichment is moderate — assert the ratio, not a gap)
+    assert frac_en_picked > frac_en_corpus * 1.15
+
+
+def test_dsir_scores_are_stable_across_layouts(spark, sf_dir):
+    from lithops_dataframe_spark.catalog import load_table
+    from lithops_dataframe_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = dsir_select(docs, F.col("lang") == "en", k=25).collect()
+    b = dsir_select(docs.repartition(13), F.col("lang") == "en", k=25).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

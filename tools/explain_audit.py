@@ -124,6 +124,11 @@ ALLOW_NESTED_LOOP = {
     # the deliberate SURVEY §2.3 cross-join query: 5-row region frame ×
     # bounded segment frame, cross by definition
     "join_cross_region_segment",
+    # hybrid fusion's semantic leg is the documented brute_force_topk
+    # baseline: 4-row query frame (vec_id IN literal set) broadcast
+    # against the corpus scan — bounded by the fixed query-set literal;
+    # the 100 TB serving path swaps in ann_topk (see the docstring)
+    "retrieval_hybrid_rrf",
 }
 
 # Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
