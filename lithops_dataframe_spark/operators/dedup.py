@@ -321,16 +321,29 @@ def connected_components(
     and shallow in practice, so rounds ≈ 2-4; at web scale swap in the
     large-star/small-star variant, same per-round plan.
     """
+    # Materialize the pair frame ONCE before symmetrizing: the union
+    # references it twice, and pair mining (LSH banding + verify) is the
+    # expensive lineage — without this the two branches recompute it
+    # (they project different columns, so no exchange reuse applies).
+    pairs = pairs.select(src_col, dst_col).localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
         .persist()
     )
+    # Fused first round: starting from identity labels, round 1 would
+    # compute min(self, min(neighbors)) — that is a plain groupBy over
+    # the symmetric edge list, no label join and no changed-count job
+    # needed (it can never un-converge anything). One full round + one
+    # action cheaper; every subsequent round is unchanged.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__nbmin"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("__nbmin")).alias("cluster"),
+        )
         .persist()
     )
     prev = labels  # the storage-backed frame of the previous round
