@@ -129,6 +129,15 @@ R6_ADDITIONS: list[str] = [
     "events_lttb_downsample",
     "sample_systematic_weighted",
     "stream_merge_upsert_sink",
+    # r6 continuation batch
+    "dedup_jaccard_prefix_filter",
+    "events_seasonal_decompose",
+    "events_anomaly_mad",
+    "mix_interleave_epoch",
+    "select_dsir_importance",
+    "eval_classifier_auc",
+    "retrieval_hybrid_rrf",
+    "dedup_containment_pairs",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -207,6 +216,19 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "lttb": ["events_lttb_downsample"],
     "interpolate": ["events_gapfill_interpolate"],
     "stream_enrich": ["stream_enriched_segment_windows"],
+    # r6 continuation: DSIR selection is one bucket aggregate + a
+    # zero-shuffle scoring fold (fixed B, fixed K); AUC is distinct-score
+    # agg + two-phase prefix sum; hybrid RRF is two linear legs with
+    # constant-size fusion; robust time-series ops are per-entity windows
+    # (10x entities, same depth); epoch mixing is one per-source rank
+    # window + closed-form positions. (dedup_containment_pairs and
+    # dedup_jaccard_prefix_filter stay EXCLUDED like every pair-finding
+    # op: 10 identical copies multiply the pair output for data reasons.)
+    "selection": ["select_dsir_importance"],
+    "evaluation": ["eval_classifier_auc"],
+    "retrieval": ["retrieval_hybrid_rrf"],
+    "robust_ts": ["events_anomaly_mad", "events_seasonal_decompose"],
+    "mixing": ["mix_interleave_epoch"],
 }
 
 # Curve-only callables (not registered queries): same signature as a
@@ -308,7 +330,12 @@ def scale_curve(spark, sf_dir: str) -> dict:
         "queries": per_q,
         "families": families,
         "flagged_superlinear": flagged,
-        "excluded_pair_ops": ["dedup_minhash_lsh_pairs", "sim_cosine_topk_ivf (trains on 10x identical copies)"],
+        "excluded_pair_ops": [
+            "dedup_minhash_lsh_pairs",
+            "sim_cosine_topk_ivf (trains on 10x identical copies)",
+            "dedup_jaccard_prefix_filter",
+            "dedup_containment_pairs",
+        ],
     }
 
 
