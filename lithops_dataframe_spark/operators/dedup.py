@@ -693,6 +693,128 @@ def containment_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (suffix-array dedup, k-gram form)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document EXACT duplicated-substring coverage — the distributed
+    form of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any word k-gram occurring
+    ``min_count``+ times anywhere in the corpus marks its span duplicated;
+    overlapping/adjacent spans merge into maximal regions per document.
+
+    Reference parity: the reference's dedup family stops at whole-document
+    and chunk granularity (cdc_chunks above); this adds the substring
+    granularity the paper shows matters most for LM training corpora.
+
+    Two-pass scale shape (a suffix array is a global sort — hostile at
+    100 TB; k-gram hashing is embarrassingly parallel):
+
+    1. **hash-only pass**: stream (id, pos, xxhash64(gram)) — no gram
+       strings leave the scan projection — and hash-aggregate counts on the
+       8-byte key (map-side partial combine, minimal shuffle bytes).
+    2. **candidate pass**: re-derive grams, semi-join on the duplicated
+       hashes (a tiny fraction), then re-verify candidates by the REAL
+       gram string so an xxhash64 collision can never promote a unique
+       gram — the output is exact, not approximate, while full strings
+       only ever shuffle for already-suspected duplicates.
+
+    Region merge is pure window algebra (running max-end island labeling),
+    identical in the DuckDB oracle. Returns one row per document that has
+    at least one duplicated region: (id, n_regions, dup_words,
+    longest_region, total_words, dup_permille) — dup_permille is exact
+    integer division, no float tolerance.
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = df.select(F.col(id_col).alias("id"), words.alias("w")).where(
+        F.size("w") >= k
+    )
+    gram_arr = F.expr(
+        f"transform(sequence(1, size(w) - {k - 1}), i -> concat_ws(' ', slice(w, i, {k})))"
+    )
+    grams = toks.select(
+        "id", F.posexplode(gram_arr).alias("p0", "gram")
+    ).select("id", (F.col("p0") + 1).alias("s"), "gram")
+
+    # pass 1: duplicated hashes (8-byte shuffle keys, partial counts)
+    dup_h = (
+        grams.select(F.xxhash64("gram").alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gh")
+    )
+    # pass 2: candidates, string-verified (collision-proof)
+    cand = cache.persist_tracked(
+        grams.withColumn("gh", F.xxhash64("gram")).join(dup_h, "gh").drop("gh")
+    )
+    dup_g = (
+        cand.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gram")
+    )
+    spans = cand.join(dup_g, "gram").select(
+        "id", "s", (F.col("s") + (k - 1)).alias("e")
+    )
+
+    from pyspark.sql import Window
+
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        spans.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn(
+            "new_i",
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("isl", F.sum("new_i").over(w_run))
+    )
+    merged = islands.groupBy("id", "isl").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    perdoc = merged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regions"),
+        F.sum(F.col("me") - F.col("ms") + 1).cast("long").alias("dup_words"),
+        F.max(F.col("me") - F.col("ms") + 1).cast("long").alias("longest_region"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("total_words"),
+    )
+    return (
+        perdoc.join(totals, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_regions",
+            "dup_words",
+            "longest_region",
+            "total_words",
+            F.expr("(dup_words * 1000) div total_words").alias("dup_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Content-defined chunking (rolling-hash CDC) — sub-document dedup
 # ---------------------------------------------------------------------------
 

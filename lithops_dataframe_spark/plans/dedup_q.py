@@ -419,3 +419,75 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+_SPAN_K = 8
+
+_SPAN_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i AS s,
+               array_to_string(w[i : i + {_SPAN_K - 1}], ' ') AS gram
+        FROM toks, UNNEST(range(1, len(w) - {_SPAN_K - 2})) AS t(i)
+        WHERE len(w) >= {_SPAN_K}
+    ),
+    dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    spans AS (
+        SELECT g.doc_id, g.s, g.s + {_SPAN_K - 1} AS e
+        FROM grams g JOIN dup USING (gram)
+    ),
+    lagged AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_e
+        FROM spans
+    ),
+    flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END
+                 AS new_i
+        FROM lagged
+    ),
+    islands AS (
+        SELECT doc_id, s, e,
+               SUM(new_i) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS isl
+        FROM flagged
+    ),
+    merged AS (
+        SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+        FROM islands GROUP BY doc_id, isl
+    ),
+    perdoc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_regions,
+               SUM(me - ms + 1)::BIGINT AS dup_words,
+               MAX(me - ms + 1)::BIGINT AS longest_region
+        FROM merged GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_regions, p.dup_words, p.longest_region,
+           len(string_split(d.text, ' '))::BIGINT AS total_words,
+           (p.dup_words * 1000) // len(string_split(d.text, ' '))
+             AS dup_permille
+    FROM perdoc p JOIN documents d USING (doc_id)
+"""
+
+
+@register("dedup_duplicate_spans", oracle=_SPAN_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring coverage per document — the distributed
+    k-gram form of suffix-array substring dedup (Lee et al. 2022): any
+    word 8-gram occurring twice anywhere in the corpus marks its span,
+    overlapping/adjacent spans merge into maximal regions (running
+    max-end island windows), and each affected document reports region
+    count, covered words, longest region, and exact integer permille
+    coverage. Scale shape: pass 1 shuffles only 8-byte gram hashes with
+    map-side combine; pass 2 re-verifies the (rare) candidates by real
+    gram string, so collisions cannot corrupt exactness and full strings
+    never shuffle for unique content."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_span_stats(docs, k=_SPAN_K)

@@ -157,6 +157,7 @@ PRIORITY: tuple[str, ...] = (
     "eval_classifier_auc",  # NEW r6-cont: exact distributed ROC-AUC
     "retrieval_hybrid_rrf",  # NEW r6-cont: BM25+cosine rank fusion
     "dedup_containment_pairs",  # NEW r6-cont: asymmetric doc-in-doc dedup
+    "dedup_duplicate_spans",  # NEW r6-cont: exact duplicated-substring spans
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
