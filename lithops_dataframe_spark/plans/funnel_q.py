@@ -423,3 +423,61 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return TS.mad_anomaly_stats(ev, entity_col="user_id", value_col="value", k=3.5)
+
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, COUNT(*)::BIGINT AS n_transitions
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           (SUM(n_transitions) OVER (PARTITION BY from_type))::BIGINT
+             AS from_total,
+           ((n_transitions * 1000) //
+            SUM(n_transitions) OVER (PARTITION BY from_type))::BIGINT
+             AS prob_permille
+    FROM trans
+"""
+
+
+@register("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the behavioral-model / next-event-prediction feature every product
+    analytics stack derives from its event log): order each user's events
+    by (ts, event_id) — the id tiebreak makes the chain deterministic
+    under equal timestamps — pair each event with its successor via LEAD,
+    then count (from, to) transitions and report exact integer permille
+    row-normalized probabilities.
+
+    Scale shape: ONE shuffle on user_id for the LEAD window (per-user
+    sequences are processed independently — no global sort), then a
+    hash aggregate down to |types|² rows; the normalizing window runs
+    over that tiny matrix. At 100 TB the event scan dominates and
+    everything after the first exchange is negligible."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.sum("n_transitions").over(w_from).cast("long").alias("from_total"),
+        F.expr("n_transitions * 1000 div sum(n_transitions) over (partition by from_type)")
+        .cast("long")
+        .alias("prob_permille"),
+    )

@@ -604,19 +604,13 @@ def _pagerank_oracle(iters: int) -> str:
 """
 
 
-def pagerank_topk(
+def _coactivity_edges(
     spark: SparkSession, sf_dir: str, *, band_stride: int | None = None
 ) -> DataFrame:
-    """Shared PageRank builder — see :func:`graph_pagerank` for semantics.
-
-    ``band_stride``: when set, co-activity pairs are additionally required
-    to share a user-id band (``user_id div band_stride``). On the base
-    fixtures every user falls in band 0, so the edge set (and result) is
-    IDENTICAL to the unbanded query; on the key-shifted N× scale fixture
-    (tools/scale_fixture.py, stride 1e8) bands coincide with the copies,
-    keeping edge discovery copy-local so the curve measures the iterative
-    join+agg loop's scaling instead of the fixture's quadratic
-    cross-copy densification (bench.py 'graph_iter' family)."""
+    """Symmetric (u, v) co-activity edge list shared by the graph queries:
+    sampled users (user_id % 101 < 20) who were active on the same day.
+    ``band_stride`` keeps pair discovery copy-local on the key-shifted
+    scale fixture (see :func:`pagerank_topk`)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 101 < 20)
     act = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
     a, b = act.alias("a"), act.alias("b")
@@ -633,7 +627,23 @@ def pagerank_topk(
         .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
         .distinct()
     )
-    e = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def pagerank_topk(
+    spark: SparkSession, sf_dir: str, *, band_stride: int | None = None
+) -> DataFrame:
+    """Shared PageRank builder — see :func:`graph_pagerank` for semantics.
+
+    ``band_stride``: when set, co-activity pairs are additionally required
+    to share a user-id band (``user_id div band_stride``). On the base
+    fixtures every user falls in band 0, so the edge set (and result) is
+    IDENTICAL to the unbanded query; on the key-shifted N× scale fixture
+    (tools/scale_fixture.py, stride 1e8) bands coincide with the copies,
+    keeping edge discovery copy-local so the curve measures the iterative
+    join+agg loop's scaling instead of the fixture's quadratic
+    cross-copy densification (bench.py 'graph_iter' family)."""
+    e = _coactivity_edges(spark, sf_dir, band_stride=band_stride)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
     ed = cache.persist_tracked(e.join(deg, "u"))  # reused every iteration
 
@@ -677,3 +687,109 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Symmetric edges mean every node has out-degree ≥ 1 — no dangling-mass
     term. Output: top-20 users by final fixed-point rank."""
     return pagerank_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# graph analytics: semi-supervised label propagation (round 6)
+# ---------------------------------------------------------------------------
+_LPA_ITERS = 4
+
+
+def _lpa_oracle(iters: int) -> str:
+    sql = """
+    WITH act AS MATERIALIZED (
+        SELECT DISTINCT user_id, time_bucket(INTERVAL '1 day', ts) AS day
+        FROM events WHERE user_id % 101 < 20
+    ),
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM act a JOIN act b ON a.day = b.day AND a.user_id < b.user_id
+    ),
+    e AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+    seeds AS MATERIALIZED (
+        SELECT node, (node % 5)::BIGINT AS lab FROM nodes WHERE node % 7 = 0
+    ),
+    l0 AS MATERIALIZED (
+        SELECT n.node, s.lab FROM nodes n LEFT JOIN seeds s USING (node)
+    )"""
+    for k in range(iters):
+        sql += f""",
+    p{k} AS MATERIALIZED (
+        SELECT e.v AS node, l.lab, COUNT(*)::BIGINT AS c
+        FROM e JOIN l{k} l ON l.node = e.u
+        WHERE l.lab IS NOT NULL GROUP BY e.v, l.lab
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab ASC) AS rn
+            FROM p{k}
+        ) WHERE rn = 1
+    ),
+    l{k + 1} AS MATERIALIZED (
+        SELECT n.node, COALESCE(s.lab, m.lab) AS lab
+        FROM nodes n LEFT JOIN seeds s USING (node)
+                     LEFT JOIN m{k} m USING (node)
+    )"""
+    return sql + f"""
+    SELECT COALESCE(lab, -1)::BIGINT AS label, COUNT(*)::BIGINT AS n_nodes,
+           MIN(node)::BIGINT AS min_node, MAX(node)::BIGINT AS max_node
+    FROM l{iters} GROUP BY 1
+"""
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(_LPA_ITERS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the co-activity graph —
+    the community/classification twin of :func:`graph_pagerank`'s
+    distributed-iterative family: 1-in-7 nodes are seeded with a class
+    (node % 5), and each synchronous round every node takes the MODE of
+    its labeled neighbors' classes (row_number argmax — ties break to the
+    smallest label, making every round bit-deterministic), with seeds
+    clamped to their class. Unlabeled nodes stay NULL (reported as -1)
+    until a labeled neighbor reaches them.
+
+    Scale shape: each round is one equi-join of the persisted edge list
+    with the current label frame + one count aggregate + one per-node
+    argmax window — the canonical BSP step; labels co-partition with
+    edges on the source key at scale. State lives in a DataFrame, never
+    on the driver. All-integer semantics → the unrolled MATERIALIZED-CTE
+    oracle replays the fixed iteration count bit-identically."""
+    e = cache.persist_tracked(_coactivity_edges(spark, sf_dir))
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    seeded = cache.persist_tracked(
+        nodes.withColumn(
+            "slab",
+            F.when(F.col("node") % 7 == 0, (F.col("node") % 5).cast("long")),
+        )
+    )
+    labels = seeded.select("node", F.col("slab").alias("lab"))
+    w_mode = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lab").asc()
+    )
+    for _ in range(_LPA_ITERS):
+        counts = (
+            e.join(labels, e.u == labels.node)
+            .where(F.col("lab").isNotNull())
+            .groupBy(F.col("v").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mode = (
+            counts.withColumn("rn", F.row_number().over(w_mode))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("plab"))
+        )
+        labels = seeded.join(mode, "node", "left").select(
+            "node", F.coalesce("slab", "plab").alias("lab")
+        )
+    return labels.groupBy(
+        F.coalesce("lab", F.lit(-1)).cast("long").alias("label")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -158,6 +158,7 @@ PRIORITY: tuple[str, ...] = (
     "retrieval_hybrid_rrf",  # NEW r6-cont: BM25+cosine rank fusion
     "dedup_containment_pairs",  # NEW r6-cont: asymmetric doc-in-doc dedup
     "dedup_duplicate_spans",  # NEW r6-cont: exact duplicated-substring spans
+    "events_markov_transitions",  # NEW r6-cont: next-event transition matrix
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
