@@ -47,5 +47,6 @@ from lithops_dataframe_spark.plans import funnel_q  # noqa: F401
 from lithops_dataframe_spark.plans import kmeans_q  # noqa: F401
 from lithops_dataframe_spark.plans import io_q  # noqa: F401
 from lithops_dataframe_spark.plans import selection_q  # noqa: F401
+from lithops_dataframe_spark.plans import recsys_q  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "register", "query_names", "ordered_queries"]

@@ -481,3 +481,71 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prob_permille"),
     )
+
+
+_TWA_ORACLE = """
+    WITH seq AS (
+        SELECT user_id,
+               (FLOOR(value * 100 + 0.5))::BIGINT AS cents,
+               epoch_ms(ts) AS t_ms,
+               LEAD(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_ms
+        FROM events
+    ),
+    iv AS (
+        SELECT user_id, cents, next_ms - t_ms AS dt_ms
+        FROM seq WHERE next_ms IS NOT NULL
+    ),
+    agg AS (
+        SELECT user_id,
+               COUNT(*)::BIGINT AS n_intervals,
+               SUM(dt_ms)::BIGINT AS span_ms,
+               SUM(cents * dt_ms)::BIGINT AS wsum
+        FROM iv GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, span_ms,
+           (wsum // span_ms)::BIGINT AS twa_cents
+    FROM agg WHERE span_ms > 0
+"""
+
+
+@register("events_time_weighted_avg", oracle=_TWA_ORACLE)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``time_weight('LOCF')`` parity: per-user time-weighted
+    average of the value series — each observation holds (last observation
+    carried forward) until the next one, so the mean weights values by how
+    long they were in force, not by sample count (the right average for
+    irregularly-sampled gauges: balances, prices, sensor states).
+
+    Exactness: the integral is Σ cents·Δt_ms over (value cents = exact
+    half-up ``floor(v·100+0.5)``; Δt in epoch milliseconds) — all-BIGINT,
+    divided once by the user's covered span with integer division, so both
+    engines replay bit-identically. Bound: max-cents · total-span-ms must
+    stay < 2^63 (49 k cents × millennia — comfortable; at larger value
+    scales switch the quantum, not the algorithm).
+
+    Scale shape: ONE shuffle on user_id for the LEAD window, then a hash
+    aggregate — same single-exchange profile as the Markov and
+    sessionization queries over this table."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t_ms"),
+        F.lead(F.unix_millis(F.col("ts").cast("timestamp"))).over(w).alias("next_ms"),
+    )
+    iv = seq.where(F.col("next_ms").isNotNull()).select(
+        "user_id", "cents", (F.col("next_ms") - F.col("t_ms")).alias("dt_ms")
+    )
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dt_ms").cast("long").alias("span_ms"),
+        F.sum(F.col("cents") * F.col("dt_ms")).cast("long").alias("wsum"),
+    )
+    return agg.where(F.col("span_ms") > 0).select(
+        "user_id",
+        "n_intervals",
+        "span_ms",
+        F.expr("wsum div span_ms").cast("long").alias("twa_cents"),
+    )

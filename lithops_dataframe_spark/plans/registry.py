@@ -159,6 +159,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_containment_pairs",  # NEW r6-cont: asymmetric doc-in-doc dedup
     "dedup_duplicate_spans",  # NEW r6-cont: exact duplicated-substring spans
     "events_markov_transitions",  # NEW r6-cont: next-event transition matrix
+    "graph_label_propagation",  # NEW r6-cont: seeded BSP label spreading
+    "events_time_weighted_avg",  # NEW r6-cont: LOCF time-weighted mean
+    "cf_part_cooccurrence_lift",  # NEW r6-cont: basket mining, integer lift
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
