@@ -162,6 +162,7 @@ PRIORITY: tuple[str, ...] = (
     "graph_label_propagation",  # NEW r6-cont: seeded BSP label spreading
     "events_time_weighted_avg",  # NEW r6-cont: LOCF time-weighted mean
     "cf_part_cooccurrence_lift",  # NEW r6-cont: basket mining, integer lift
+    "text_distinctive_terms_odds",  # NEW r6-cont: fightin'-words odds ratio
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

@@ -301,3 +301,95 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_rk), 6).alias("zipf_slope"),
         F.round(F.regr_r2(ln_n, ln_rk), 6).alias("zipf_r2"),
     )
+
+
+_ODDS_TOPK = 5
+
+_ODDS_ORACLE = f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    cnt AS (SELECT source, t, COUNT(*)::BIGINT AS a FROM tok GROUP BY source, t),
+    tot_t AS (SELECT t, SUM(a)::BIGINT AS ct FROM cnt GROUP BY t),
+    tot_s AS (SELECT source, SUM(a)::BIGINT AS ns FROM cnt GROUP BY source),
+    tot AS (SELECT SUM(a)::BIGINT AS n FROM cnt),
+    cells AS (
+        SELECT c.source, c.t, c.a,
+               (tt.ct - c.a) AS b,
+               (ts.ns - c.a) AS cc,
+               (tot.n - tt.ct - ts.ns + c.a) AS d
+        FROM cnt c JOIN tot_t tt USING (t) JOIN tot_s ts USING (source)
+        CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT source, t AS token, a AS cnt_in, b AS cnt_out,
+               (((a + 1) * (d + 1) * 1000) // ((b + 1) * (cc + 1)))::BIGINT
+                 AS odds_permille
+        FROM cells
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY odds_permille DESC, token) AS rn
+        FROM scored
+    )
+    SELECT source, token, cnt_in, cnt_out, odds_permille, rn::INT AS rank
+    FROM ranked WHERE rn <= {_ODDS_TOPK}
+"""
+
+
+@register("text_distinctive_terms_odds", oracle=_ODDS_ORACLE)
+def text_distinctive_terms_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source via the EXACT-integer odds ratio
+    (the "fightin' words" / corpus-comparison primitive behind domain
+    tagging and contamination forensics): for each (source, token) build
+    the 2×2 contingency cells a/b/c/d from two hash aggregates, score
+    Haldane-smoothed odds ``(a+1)(d+1) / (b+1)(c+1)`` as an all-BIGINT
+    permille, and keep each source's top terms (token tie-break → the
+    per-source cut is bit-deterministic).
+
+    Scale shape: one aggregate to (source, token) counts, token and
+    source marginals reduced from that (never from raw text), the
+    grand total as a one-row broadcast; the scored table is
+    |sources|·|vocab| — vocabulary-scale, not corpus-scale — and the
+    per-source top-K window shuffles only that. Overflow bound under
+    ANSI: source_tokens · corpus_tokens · 1000 < 2^63 (≈4·10^8 tokens at
+    20 even sources); past that, drop the permille factor or score per
+    shard — the engines fail loud, not wrong."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    cnt = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    tot_t = cnt.groupBy("t").agg(F.sum("a").cast("long").alias("ct"))
+    tot_s = cnt.groupBy("source").agg(F.sum("a").cast("long").alias("ns"))
+    tot = cnt.agg(F.sum("a").cast("long").alias("n"))
+    cells = (
+        cnt.join(tot_t, "t")
+        .join(tot_s, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("t").alias("token"),
+            F.col("a").alias("cnt_in"),
+            (F.col("ct") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("cc"),
+            (F.col("n") - F.col("ct") - F.col("ns") + F.col("a")).alias("d"),
+        )
+    )
+    scored = cells.select(
+        "source",
+        "token",
+        "cnt_in",
+        F.col("b").alias("cnt_out"),
+        F.expr("((cnt_in + 1) * (d + 1) * 1000) div ((b + 1) * (cc + 1))")
+        .cast("long")
+        .alias("odds_permille"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.col("odds_permille").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= _ODDS_TOPK)
+        .select("source", "token", "cnt_in", "cnt_out", "odds_permille", "rank")
+    )
