@@ -114,3 +114,58 @@ def dq_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(row(orphans, "lineitem", "ref(l_orderkey->orders)", "orphans", F.col("orphans") == 0))
     )
+
+
+_SKEW_TOPK = 10
+
+_SKEW_ORACLE = f"""
+    WITH kc AS (
+        SELECT o_custkey AS k, COUNT(*)::BIGINT AS c FROM orders GROUP BY o_custkey
+    ),
+    st AS (
+        SELECT COUNT(*)::BIGINT AS n_keys, SUM(c)::BIGINT AS n_rows FROM kc
+    ),
+    top AS (
+        SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rn FROM kc
+    )
+    SELECT t.k AS key, t.c AS cnt,
+           (t.c * 1000000 // st.n_rows)::BIGINT AS share_ppm,
+           (t.c * st.n_keys * 1000 // st.n_rows)::BIGINT AS skew_permille,
+           t.rn::INT AS rank
+    FROM top t CROSS JOIN st WHERE t.rn <= {_SKEW_TOPK}
+"""
+
+
+@register("dq_key_skew_report", oracle=_SKEW_ORACLE)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the report you run BEFORE a big join to
+    decide whether it needs salting or AQE skew handling: per-key row
+    counts on the join key (here orders.o_custkey), the top heavy hitters
+    with their exact parts-per-million share, and a skew factor
+    (key count ÷ mean count, as integer permille — 1000 = perfectly
+    uniform). All-BIGINT; ties in the cut break by key.
+
+    Scale shape: one hash aggregate on the key (map-side combine), a
+    two-long-row global stat frame broadcast back, and a top-K over the
+    aggregated key table — never over raw rows. This is the cheap probe
+    that justifies the salting strategy join_salted_skew demonstrates."""
+    o = load_table(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    st = kc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+    )
+    from pyspark.sql.window import Window as W
+
+    top = kc.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("k")))
+    ).where(F.col("rn") <= _SKEW_TOPK)
+    return top.crossJoin(F.broadcast(st)).select(
+        F.col("k").alias("key"),
+        F.col("c").alias("cnt"),
+        F.expr("c * 1000000 div n_rows").cast("long").alias("share_ppm"),
+        F.expr("c * n_keys * 1000 div n_rows").cast("long").alias("skew_permille"),
+        F.col("rn").cast("int").alias("rank"),
+    )

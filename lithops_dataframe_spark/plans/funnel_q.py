@@ -549,3 +549,63 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_ms",
         F.expr("wsum div span_ms").cast("long").alias("twa_cents"),
     )
+
+
+_COUNTER_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, (FLOOR(value * 100 + 0.5))::BIGINT AS cents,
+               LAG((FLOOR(value * 100 + 0.5))::BIGINT)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    d AS (
+        SELECT user_id,
+               CASE WHEN prev IS NULL THEN NULL
+                    WHEN cents >= prev THEN cents - prev
+                    ELSE cents END AS delta,
+               CASE WHEN prev IS NOT NULL AND cents < prev THEN 1 ELSE 0 END
+                 AS reset
+        FROM seq
+    )
+    SELECT user_id, COUNT(delta)::BIGINT AS n_deltas,
+           SUM(reset)::BIGINT AS n_resets,
+           SUM(delta)::BIGINT AS total_delta_cents
+    FROM d GROUP BY user_id
+"""
+
+
+@register("events_counter_agg", oracle=_COUNTER_ORACLE)
+def events_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``counter_agg`` parity: treat each user's value series
+    as a monotonic counter that occasionally RESETS (process restart,
+    meter rollover). A drop below the previous reading is a reset; the
+    true accumulated delta across it is the post-reset reading itself
+    (the counter restarted from zero), otherwise the plain difference —
+    the standard Prometheus/Timescale ``rate()`` foundation.
+
+    All-BIGINT (half-up cents), one LAG window per user = one shuffle,
+    then a hash aggregate: same single-exchange profile as the TWA and
+    Markov queries; bit-identical oracle replay."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    seq = ev.select(
+        "user_id", cents.alias("cents"), F.lag(cents).over(w).alias("prev")
+    )
+    d = seq.select(
+        "user_id",
+        F.when(F.col("prev").isNull(), F.lit(None).cast("long"))
+        .when(F.col("cents") >= F.col("prev"), F.col("cents") - F.col("prev"))
+        .otherwise(F.col("cents"))
+        .alias("delta"),
+        F.when(
+            F.col("prev").isNotNull() & (F.col("cents") < F.col("prev")), 1
+        )
+        .otherwise(0)
+        .alias("reset"),
+    )
+    return d.groupBy("user_id").agg(
+        F.count("delta").cast("long").alias("n_deltas"),
+        F.sum("reset").cast("long").alias("n_resets"),
+        F.sum("delta").cast("long").alias("total_delta_cents"),
+    )

@@ -163,6 +163,8 @@ PRIORITY: tuple[str, ...] = (
     "events_time_weighted_avg",  # NEW r6-cont: LOCF time-weighted mean
     "cf_part_cooccurrence_lift",  # NEW r6-cont: basket mining, integer lift
     "text_distinctive_terms_odds",  # NEW r6-cont: fightin'-words odds ratio
+    "events_counter_agg",  # NEW r6-cont: reset-aware counter deltas
+    "dq_key_skew_report",  # NEW r6-cont: join-key heavy-hitter skew probe
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
