@@ -165,6 +165,7 @@ PRIORITY: tuple[str, ...] = (
     "text_distinctive_terms_odds",  # NEW r6-cont: fightin'-words odds ratio
     "events_counter_agg",  # NEW r6-cont: reset-aware counter deltas
     "dq_key_skew_report",  # NEW r6-cont: join-key heavy-hitter skew probe
+    "emb_matryoshka_recall",  # NEW r6-cont: truncated-dim retrieval recall
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

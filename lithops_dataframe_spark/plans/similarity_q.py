@@ -450,3 +450,85 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mse"),
     )
     return out.select("vec_id", F.round("scale", 8).alias("scale"), "code_sum", "mse")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall (round 6)
+# ---------------------------------------------------------------------------
+_MRL_DIM = 16
+
+
+def _dot_sql_dim(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> ({a}[i]::DOUBLE * {b}[i]::DOUBLE)))"
+    )
+
+
+def _cos_sql_dim(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot_sql_dim(a, b, dim)} / "
+        f"(sqrt({_dot_sql_dim(a, a, dim)}) * sqrt({_dot_sql_dim(b, b, dim)})))"
+    )
+
+
+_MRL_ORACLE = f"""
+    WITH full_rk AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    full_top AS (SELECT query_id, neighbor_id FROM full_rk WHERE rk <= {_K}),
+    tr_rk AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql_dim('q.embedding', 'c.embedding', _MRL_DIM)} DESC,
+                            c.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    tr_top AS (SELECT query_id, neighbor_id FROM tr_rk WHERE rk <= {_K})
+    SELECT f.query_id, COUNT(t.neighbor_id)::BIGINT AS overlap_at_10,
+           (COUNT(t.neighbor_id) * 100 // {_K})::BIGINT AS recall_pct
+    FROM full_top f
+    LEFT JOIN tr_top t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+"""
+
+
+@register("emb_matryoshka_recall", oracle=_MRL_ORACLE)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation: rank the corpus by
+    cosine on the FULL 64-dim embedding and again on only its first
+    16 dims (the MRL deployment trick — serve a prefix of the vector
+    at a fraction of the memory/compute), then report per-query overlap
+    of the two top-10 sets — exact recall@10 of the truncated index
+    against the full one, the number that decides whether the truncation
+    ships.
+
+    Scale shape: both rankings reuse the broadcast-query brute-force
+    scorer (corpus scan stays shuffle-free; only scored candidate rows
+    move); the overlap join touches Q·k rows. Exactness: cosine ties
+    break by neighbor id in both engines, overlap counts are BIGINTs —
+    no float tolerance in the output."""
+    emb = _emb(spark, sf_dir)
+    tr = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIM).alias("embedding")
+    )
+    full_top = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K
+    ).select("query_id", "neighbor_id")
+    tr_top = S.brute_force_topk(
+        tr, tr.filter(F.col("vec_id") < _N_QUERIES), k=_K
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = full_top.join(tr_top, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("overlap_at_10"),
+        F.expr(f"sum(coalesce(hit, 0)) * 100 div {_K}")
+        .cast("long")
+        .alias("recall_pct"),
+    )
