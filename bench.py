@@ -138,6 +138,16 @@ R6_ADDITIONS: list[str] = [
     "eval_classifier_auc",
     "retrieval_hybrid_rrf",
     "dedup_containment_pairs",
+    # r6 continuation, second batch
+    "dedup_duplicate_spans",
+    "events_markov_transitions",
+    "graph_label_propagation",
+    "events_time_weighted_avg",
+    "cf_part_cooccurrence_lift",
+    "text_distinctive_terms_odds",
+    "events_counter_agg",
+    "dq_key_skew_report",
+    "emb_matryoshka_recall",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -166,7 +176,14 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # and windowed sessionization (10x users, same per-user depth)
     "sketch_filter": ["decontaminate_bloom_prefilter"],
     "lm": ["text_bigram_lm_quality"],
-    "behavioral": ["events_sessionize_gap"],
+    # r6 continuation widened this family: every one is a per-user window
+    # + hash aggregate (10x users, same per-user depth → copy-local)
+    "behavioral": [
+        "events_sessionize_gap",
+        "events_markov_transitions",
+        "events_time_weighted_avg",
+        "events_counter_agg",
+    ],
     # ADC serving: corpus codes scale linearly, query tables are constant.
     # (graph_triangle_count is excluded like the pair ops: the 10x fixture
     # multiplies the sampled co-activity clique, so the OUTPUT grows
@@ -203,7 +220,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # stride band, which is the identity on the base fixture and exactly
     # copy-local on the 10x fixture, so its exponent is the PageRank
     # join+agg loop's own scaling.
-    "graph_iter": ["graph_pagerank_bandlocal"],
+    "graph_iter": ["graph_pagerank_bandlocal", "graph_lpa_bandlocal"],
     # round-6 additions with fixture-compatible scaling semantics:
     # PPS sampling is one scan + the two-phase prefix sum (fixed k);
     # LTTB and interpolate are per-entity windows (10x entities, same
@@ -229,6 +246,20 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "retrieval": ["retrieval_hybrid_rrf"],
     "robust_ts": ["events_anomaly_mad", "events_seasonal_decompose"],
     "mixing": ["mix_interleave_epoch"],
+    # r6 continuation: basket pair mining is copy-local (order/part keys
+    # shift together → per-basket C(k,2) work, linear in baskets); the
+    # odds-ratio contingency table is vocabulary-scale (token counts x10,
+    # same scored-table size); the skew probe aggregates 10x keys; MRL
+    # recall scores a 10x corpus against the constant base-copy query set.
+    # The LPA curve runs band-local like PageRank (graph_label_propagation
+    # itself would densify ~copies^2 across same-day copies — fixture, not
+    # plan). dedup_duplicate_spans stays EXCLUDED with the other
+    # pair-finding ops: 10 identical text copies make every gram
+    # corpus-duplicated, exploding span OUTPUT for data reasons.
+    "basket": ["cf_part_cooccurrence_lift"],
+    "corpus_stats": ["text_distinctive_terms_odds"],
+    "dq_probe": ["dq_key_skew_report"],
+    "ann_eval": ["emb_matryoshka_recall"],
 }
 
 # Curve-only callables (not registered queries): same signature as a
@@ -243,7 +274,17 @@ def _graph_pagerank_bandlocal(spark, sf_dir: str):
     return pagerank_topk(spark, sf_dir, band_stride=STRIDE)
 
 
-EXTRA_SCALE_QUERIES = {"graph_pagerank_bandlocal": _graph_pagerank_bandlocal}
+def _graph_lpa_bandlocal(spark, sf_dir: str):
+    from lithops_dataframe_spark.plans.lm_q import label_propagation_counts
+    from tools.scale_fixture import STRIDE
+
+    return label_propagation_counts(spark, sf_dir, band_stride=STRIDE)
+
+
+EXTRA_SCALE_QUERIES = {
+    "graph_pagerank_bandlocal": _graph_pagerank_bandlocal,
+    "graph_lpa_bandlocal": _graph_lpa_bandlocal,
+}
 SCALE_EXP_FLAG = 1.15
 SCALE_COPIES = 10
 

@@ -742,24 +742,17 @@ def _lpa_oracle(iters: int) -> str:
 """
 
 
-@register("graph_label_propagation", oracle=_lpa_oracle(_LPA_ITERS))
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-supervised label propagation over the co-activity graph —
-    the community/classification twin of :func:`graph_pagerank`'s
-    distributed-iterative family: 1-in-7 nodes are seeded with a class
-    (node % 5), and each synchronous round every node takes the MODE of
-    its labeled neighbors' classes (row_number argmax — ties break to the
-    smallest label, making every round bit-deterministic), with seeds
-    clamped to their class. Unlabeled nodes stay NULL (reported as -1)
-    until a labeled neighbor reaches them.
-
-    Scale shape: each round is one equi-join of the persisted edge list
-    with the current label frame + one count aggregate + one per-node
-    argmax window — the canonical BSP step; labels co-partition with
-    edges on the source key at scale. State lives in a DataFrame, never
-    on the driver. All-integer semantics → the unrolled MATERIALIZED-CTE
-    oracle replays the fixed iteration count bit-identically."""
-    e = cache.persist_tracked(_coactivity_edges(spark, sf_dir))
+def label_propagation_counts(
+    spark: SparkSession, sf_dir: str, *, band_stride: int | None = None
+) -> DataFrame:
+    """Shared LPA builder — see :func:`graph_label_propagation` for
+    semantics. ``band_stride`` keeps edge discovery copy-local on the
+    key-shifted scale fixture (identity on the base fixture), exactly as
+    in :func:`pagerank_topk` — the curve then measures the BSP
+    join+agg+argmax loop, not the fixture's cross-copy densification."""
+    e = cache.persist_tracked(
+        _coactivity_edges(spark, sf_dir, band_stride=band_stride)
+    )
     nodes = e.select(F.col("u").alias("node")).distinct()
     seeded = cache.persist_tracked(
         nodes.withColumn(
@@ -793,3 +786,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(_LPA_ITERS))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the co-activity graph —
+    the community/classification twin of :func:`graph_pagerank`'s
+    distributed-iterative family: 1-in-7 nodes are seeded with a class
+    (node % 5), and each synchronous round every node takes the MODE of
+    its labeled neighbors' classes (row_number argmax — ties break to the
+    smallest label, making every round bit-deterministic), with seeds
+    clamped to their class. Unlabeled nodes stay NULL (reported as -1)
+    until a labeled neighbor reaches them.
+
+    Scale shape: each round is one equi-join of the persisted edge list
+    with the current label frame + one count aggregate + one per-node
+    argmax window — the canonical BSP step; labels co-partition with
+    edges on the source key at scale. State lives in a DataFrame, never
+    on the driver. All-integer semantics → the unrolled MATERIALIZED-CTE
+    oracle replays the fixed iteration count bit-identically."""
+    return label_propagation_counts(spark, sf_dir)
