@@ -761,9 +761,6 @@ def label_propagation_counts(
         )
     )
     labels = seeded.select("node", F.col("slab").alias("lab"))
-    w_mode = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("lab").asc()
-    )
     for _ in range(_LPA_ITERS):
         counts = (
             e.join(labels, e.u == labels.node)
@@ -771,11 +768,14 @@ def label_propagation_counts(
             .groupBy(F.col("v").alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        mode = (
-            counts.withColumn("rn", F.row_number().over(w_mode))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("lab").alias("plab"))
-        )
+        # argmax-by-hash-aggregate, not a row_number window: a per-node
+        # sort exchange every round becomes a second (partial-combining)
+        # hash aggregate. max(struct(c, -lab)) IS "most votes, smallest
+        # label on ties" — the exact ordering the oracle's row_number
+        # replays, so the semantics are unchanged.
+        mode = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("lab")).alias("nl"))).alias("m")
+        ).select("node", (-F.col("m.nl")).alias("plab"))
         labels = seeded.join(mode, "node", "left").select(
             "node", F.coalesce("slab", "plab").alias("lab")
         )
@@ -794,14 +794,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the community/classification twin of :func:`graph_pagerank`'s
     distributed-iterative family: 1-in-7 nodes are seeded with a class
     (node % 5), and each synchronous round every node takes the MODE of
-    its labeled neighbors' classes (row_number argmax — ties break to the
-    smallest label, making every round bit-deterministic), with seeds
-    clamped to their class. Unlabeled nodes stay NULL (reported as -1)
-    until a labeled neighbor reaches them.
+    its labeled neighbors' classes (``max(struct(count, -label))`` argmax
+    — ties break to the smallest label, making every round
+    bit-deterministic), with seeds clamped to their class. Unlabeled
+    nodes stay NULL (reported as -1) until a labeled neighbor reaches
+    them.
 
     Scale shape: each round is one equi-join of the persisted edge list
-    with the current label frame + one count aggregate + one per-node
-    argmax window — the canonical BSP step; labels co-partition with
+    with the current label frame + TWO partial-combining hash aggregates
+    (vote counts, then per-node argmax — no sort-window exchange in the
+    loop) — the canonical BSP step; labels co-partition with
     edges on the source key at scale. State lives in a DataFrame, never
     on the driver. All-integer semantics → the unrolled MATERIALIZED-CTE
     oracle replays the fixed iteration count bit-identically."""
