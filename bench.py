@@ -148,6 +148,7 @@ R6_ADDITIONS: list[str] = [
     "events_counter_agg",
     "dq_key_skew_report",
     "emb_matryoshka_recall",
+    "pack_concat_chunks",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -166,7 +167,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # shuffles and the old plan's full fact join dominates. The curve
     # records the exponent so that claim stays a number.
     "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers", "q07_nation_volume"],
-    "window": ["q02_min_cost_supplier", "pack_training_sequences"],
+    "window": ["q02_min_cost_supplier", "pack_training_sequences", "pack_concat_chunks"],
     "text": ["text_quality_by_source", "text_hashed_tfidf"],
     "streaming": ["stream_session_windows"],
     "ann": ["sim_cosine_topk_lsh"],

@@ -166,6 +166,7 @@ PRIORITY: tuple[str, ...] = (
     "events_counter_agg",  # NEW r6-cont: reset-aware counter deltas
     "dq_key_skew_report",  # NEW r6-cont: join-key heavy-hitter skew probe
     "emb_matryoshka_recall",  # NEW r6-cont: truncated-dim retrieval recall
+    "pack_concat_chunks",  # NEW r6-cont: GPT concat-and-chunk manifest
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

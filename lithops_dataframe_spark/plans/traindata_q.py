@@ -553,3 +553,104 @@ def mix_interleave_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = SA.weighted_interleave_epoch(docs, "source", "doc_id", budget=_MIX_BUDGET)
     return out.select(F.col("id").alias("doc_id"), "source", "r", "epoch_pos")
+
+
+_CHUNK_LEN = 320  # context-window length (tokens) for concat-and-chunk
+
+_CONCAT_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, n_tokens,
+               (SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                - n_tokens)::BIGINT AS s
+        FROM d
+    ),
+    spans AS (
+        SELECT doc_id, s, (s + n_tokens)::BIGINT AS e,
+               (s // {_CHUNK_LEN})::BIGINT AS fc,
+               ((s + n_tokens - 1) // {_CHUNK_LEN})::BIGINT AS lc
+        FROM placed
+    ),
+    expanded AS (
+        SELECT doc_id, s, e, fc, cid
+        FROM spans, UNNEST(range(fc, lc + 1)) AS t(cid)
+    )
+    SELECT cid::BIGINT AS chunk_id,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN cid > fc THEN 1 ELSE 0 END)::BIGINT AS n_spanning,
+           SUM(LEAST(e, (cid + 1) * {_CHUNK_LEN})
+               - GREATEST(s, cid * {_CHUNK_LEN}))::BIGINT AS chunk_tokens,
+           MIN(doc_id)::BIGINT AS first_doc,
+           MAX(doc_id)::BIGINT AS last_doc
+    FROM expanded GROUP BY cid
+"""
+
+
+@register("pack_concat_chunks", oracle=_CONCAT_ORACLE)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing manifest — the OTHER packing
+    policy (complement of pack_training_sequences' boundary-respecting
+    streams): the corpus is one virtual token stream in doc_id order,
+    cut every _CHUNK_LEN tokens, and documents SPAN chunk boundaries.
+    Each chunk reports its document membership, how many docs continued
+    across its left boundary (the attention-masking statistic), its
+    exact token fill (always _CHUNK_LEN except the tail), and its
+    first/last doc — the manifest a sharded example-writer consumes.
+
+    Scale shape: the global token offset uses the same two-phase
+    distributed prefix sum as sample_systematic_weighted (range
+    repartition on doc_id, per-partition running sums, one broadcast
+    carry-in patch — NO global sort/window); each doc then explodes to
+    its (last_chunk − first_chunk + 1) covered chunks, so expansion is
+    linear in chunks + docs, and one hash aggregate builds the manifest.
+    All-BIGINT arithmetic; the oracle replays it bit-identically."""
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", F.size(T.ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    part = d.repartitionByRange(F.col("doc_id").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("__cloc", F.sum("n_tokens").over(wloc))
+    totals = part.groupBy("__pid").agg(F.sum("n_tokens").alias("__pt"))
+    wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid", F.coalesce(F.sum("__pt").over(wcum), F.lit(0)).alias("__off")
+    )
+    spans = (
+        local.join(F.broadcast(offs), "__pid")
+        .select(
+            "doc_id",
+            (F.col("__cloc") + F.col("__off") - F.col("n_tokens")).alias("s"),
+            (F.col("__cloc") + F.col("__off")).alias("e"),
+        )
+        .withColumn("fc", F.expr(f"s div {_CHUNK_LEN}"))
+        .withColumn("lc", F.expr(f"(e - 1) div {_CHUNK_LEN}"))
+    )
+    expanded = spans.select(
+        "doc_id", "s", "e", "fc", F.explode(F.sequence("fc", "lc")).alias("cid")
+    )
+    return expanded.groupBy(F.col("cid").alias("chunk_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("cid") > F.col("fc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_spanning"),
+        F.sum(
+            F.least(F.col("e"), (F.col("cid") + 1) * _CHUNK_LEN)
+            - F.greatest(F.col("s"), F.col("cid") * _CHUNK_LEN)
+        )
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )
