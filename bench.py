@@ -149,6 +149,7 @@ R6_ADDITIONS: list[str] = [
     "dq_key_skew_report",
     "emb_matryoshka_recall",
     "pack_concat_chunks",
+    "classifier_lr_kfold",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

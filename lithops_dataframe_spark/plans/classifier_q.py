@@ -214,3 +214,131 @@ def classifier_lr_score_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf(0, 1).alias("fn"),
         conf(0, 0).alias("tn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation (round 6)
+# ---------------------------------------------------------------------------
+_KF_FOLDS = 3
+_KF_EPOCHS = 4
+
+_FEATS_CTE = """
+    WITH feats AS MATERIALIZED (
+        SELECT doc_id, source,
+               (length(text) > 300)::INT AS y,
+               1.0 AS x0,
+               length(text) / 1000.0 AS x1,
+               (length(text) - length(replace(text, ' ', ''))) / 100.0 AS x2,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   / (length(text) + 1.0) AS x3,
+               length(text) / ((length(text) - length(replace(text, ' ', ''))) + 1.0)
+                   / 10.0 AS x4
+        FROM documents
+    )"""
+
+
+def _kfold_oracle(folds: int, epochs: int, lr: float) -> str:
+    """Per-fold replay: the SAME per-epoch chain as _lr_ctes, once per
+    fold over its deterministic train split (doc_id % folds <> f), then
+    exact exp-free confusion counts on the held-out split."""
+    sql = _FEATS_CTE
+    for f in range(folds):
+        sql += f""",
+    tr{f} AS MATERIALIZED (SELECT * FROM feats WHERE doc_id % {folds} <> {f}),
+    n{f} AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM tr{f}),
+    w{f}_0 AS MATERIALIZED (
+        SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4
+    )"""
+        for k in range(epochs):
+            z = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+            grads = ", ".join(
+                f"SUM(f.x{j} * (f.y - 1.0 / (1.0 + exp(-({z}))))) AS g{j}"
+                for j in range(5)
+            )
+            new_w = ", ".join(
+                f"ROUND(w.w{j} + {lr} * g.g{j} / n.n, 6) AS w{j}" for j in range(5)
+            )
+            sql += f""",
+    g{f}_{k} AS MATERIALIZED (
+        SELECT {grads} FROM tr{f} f, w{f}_{k} w GROUP BY ALL
+    ),
+    w{f}_{k + 1} AS MATERIALIZED (
+        SELECT {new_w} FROM w{f}_{k} w, g{f}_{k} g, n{f} n
+    )"""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+
+    def conf(pred: int, y: int) -> str:
+        p = f"(({z}) > 0)" if pred == 1 else f"(NOT (({z}) > 0))"
+        return f"CAST(SUM(CASE WHEN {p} AND f.y = {y} THEN 1 ELSE 0 END) AS BIGINT)"
+
+    finals = [
+        f"""
+    SELECT {f} AS fold,
+           (SELECT COUNT(*) FROM tr{f})::BIGINT AS n_train,
+           COUNT(*)::BIGINT AS n_test,
+           {conf(1, 1)} AS tp, {conf(1, 0)} AS fp,
+           {conf(0, 1)} AS fn, {conf(0, 0)} AS tn
+    FROM feats f, w{f}_{epochs} w
+    WHERE f.doc_id % {folds} = {f}"""
+        for f in range(folds)
+    ]
+    return sql + "\nUNION ALL\n".join(finals)
+
+
+@register("classifier_lr_kfold", oracle=_kfold_oracle(_KF_FOLDS, _KF_EPOCHS, _LR))
+def classifier_lr_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the quality classifier — the evaluation
+    methodology wrapper around lr_train/score_frame: deterministic folds
+    (doc_id % k), train on the complement, score the held-out fold with
+    the exp-free ``z > 0`` predicate, and report per-fold exact confusion
+    BIGINTs (tp/fp/fn/tn) plus split sizes. No RNG anywhere, so every
+    fold's whole trajectory replays bit-identically in the oracle's
+    per-fold unrolled-epoch chains.
+
+    Scale shape: k independent train loops (each the same driver-state
+    gradient aggregate as classifier_lr_train — model is 5 doubles, data
+    never leaves the cluster) followed by k shuffle-free scoring scans;
+    in production the folds run concurrently from one cached feature
+    frame. Cost is k× a single train, bounded here by folds=3 and
+    epochs=4."""
+    from lithops_dataframe_spark.operators import classifier as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for f in range(_KF_FOLDS):
+        from pyspark.sql import functions as F
+
+        tr = docs.filter(F.col("doc_id") % _KF_FOLDS != f)
+        traj = sorted(
+            C.lr_train(tr, epochs=_KF_EPOCHS, lr=_LR).collect(),
+            key=lambda r: r["epoch"],
+        )
+        w = [float(traj[-1][f"w{j}"]) for j in range(5)]
+        n_train = int(tr.count())
+        te = docs.filter(F.col("doc_id") % _KF_FOLDS == f)
+        scored = C.score_frame(te, w)
+        conf = scored.agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("int"))
+            .cast("long")
+            .alias("tp"),
+            F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("int"))
+            .cast("long")
+            .alias("fp"),
+            F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("int"))
+            .cast("long")
+            .alias("fn"),
+            F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("int"))
+            .cast("long")
+            .alias("tn"),
+        ).select(
+            F.lit(f).cast("int").alias("fold"),
+            F.lit(n_train).cast("long").alias("n_train"),
+            "n_test",
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+        )
+        out = conf if out is None else out.unionAll(conf)
+    return out

@@ -167,6 +167,7 @@ PRIORITY: tuple[str, ...] = (
     "dq_key_skew_report",  # NEW r6-cont: join-key heavy-hitter skew probe
     "emb_matryoshka_recall",  # NEW r6-cont: truncated-dim retrieval recall
     "pack_concat_chunks",  # NEW r6-cont: GPT concat-and-chunk manifest
+    "classifier_lr_kfold",  # NEW r6-cont: k-fold CV confusion per fold
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
