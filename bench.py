@@ -150,6 +150,7 @@ R6_ADDITIONS: list[str] = [
     "emb_matryoshka_recall",
     "pack_concat_chunks",
     "classifier_lr_kfold",
+    "stream_counter_agg",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

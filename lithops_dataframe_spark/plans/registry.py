@@ -168,6 +168,7 @@ PRIORITY: tuple[str, ...] = (
     "emb_matryoshka_recall",  # NEW r6-cont: truncated-dim retrieval recall
     "pack_concat_chunks",  # NEW r6-cont: GPT concat-and-chunk manifest
     "classifier_lr_kfold",  # NEW r6-cont: k-fold CV confusion per fold
+    "stream_counter_agg",  # NEW r6-cont: order-sensitive streaming state
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

@@ -333,3 +333,90 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "sum_value")
     )
+
+
+@register(
+    "stream_counter_agg",
+    oracle="""
+    SELECT * FROM (
+        WITH seq AS (
+            SELECT user_id, (FLOOR(value * 100 + 0.5))::BIGINT AS cents,
+                   LAG((FLOOR(value * 100 + 0.5))::BIGINT)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        d AS (
+            SELECT user_id,
+                   CASE WHEN prev IS NULL THEN NULL
+                        WHEN cents >= prev THEN cents - prev
+                        ELSE cents END AS delta,
+                   CASE WHEN prev IS NOT NULL AND cents < prev THEN 1 ELSE 0 END
+                     AS reset
+            FROM seq
+        )
+        SELECT user_id, COUNT(delta)::BIGINT AS n_deltas,
+               SUM(reset)::BIGINT AS n_resets,
+               SUM(delta)::BIGINT AS total_delta_cents
+        FROM d GROUP BY user_id
+    ) WHERE n_deltas >= 1
+""",
+)
+def stream_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE streaming state: the counter_agg twin run as a REAL
+    structured stream through ``applyInPandasWithState``
+    (streaming/events.py::user_counter_agg). The events table is staged
+    as a TIME-SPLIT two-file replay (first half by event time, second
+    half — split at the exact epoch-ns median so equal timestamps never
+    straddle the boundary), consumed with maxFilesPerTrigger=1 +
+    availableNow, so the per-user last-reading state genuinely carries
+    across micro-batches AND batch order matters — the property that
+    distinguishes this from the commutative running-totals operator. The
+    oracle is the plain batch LAG query over the whole table: the
+    incremental result must equal it exactly (single-event users, which
+    the batch query reports as NULL-sum rows, are filtered on both
+    sides)."""
+    import os
+    import tempfile
+    import uuid
+
+    import duckdb
+
+    from pyspark.sql.window import Window
+
+    from lithops_dataframe_spark.catalog import normalize_events_ts, table_path
+
+    replay = tempfile.mkdtemp(prefix="lds_counter_replay_")
+    src = table_path(sf_dir, "events")
+    con = duckdb.connect()
+    t_ns = con.sql(
+        f"SELECT epoch_ns(quantile_disc(ts, 0.5)) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    for i, cond in enumerate((f"epoch_ns(ts) < {t_ns}", f"epoch_ns(ts) >= {t_ns}")):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') WHERE {cond}) "
+            f"TO '{os.path.join(replay, f'part-000{i}.parquet')}' (FORMAT PARQUET)"
+        )
+    con.close()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(replay).schema
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay, raw_schema))
+    agg = SE.user_counter_agg(stream_in)
+
+    sink = "lds_counter_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emitted = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_deltas").desc())
+    return (
+        emitted.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("n_deltas") >= 1))
+        .select("user_id", "n_deltas", "n_resets", "total_delta_cents")
+    )

@@ -361,3 +361,78 @@ def daily_type_revenue(events: DataFrame) -> DataFrame:
     )
 
 
+
+
+def user_counter_agg(events: DataFrame) -> DataFrame:
+    """ORDER-SENSITIVE custom stateful operator: per-user reset-aware
+    counter aggregation (the streaming twin of the batch
+    events_counter_agg query) via ``applyInPandasWithState``.
+
+    Unlike running totals (commutative — any arrival order works), the
+    counter delta depends on the PREVIOUS reading, so state must carry
+    the last (cents) value across micro-batches and each batch must be
+    processed in event order: rows are sorted by (ts, event_id) inside
+    the state function, and correctness across batches requires the
+    file feed to be time-split (no event in batch N+1 precedes one in
+    batch N for the same user) — the property a partitioned event-log
+    replay or any log-structured source provides naturally.
+
+    State per user: (last_cents, n_deltas, n_resets, total_delta) — four
+    BIGINTs, O(users) regardless of volume. Emits the running aggregate
+    per user per batch (update mode); the final emission equals the
+    batch query exactly (asserted by the shared DuckDB oracle).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_deltas", LongType()),
+            StructField("n_resets", LongType()),
+            StructField("total_delta_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("has_prev", LongType()),
+            StructField("last_cents", LongType()),
+            StructField("n_deltas", LongType()),
+            StructField("n_resets", LongType()),
+            StructField("total", LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import math
+
+        import pandas as pd
+
+        has_prev, last, nd, nr, tot = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        for v in batch["value"]:
+            cents = int(math.floor(v * 100 + 0.5))
+            if has_prev:
+                nd += 1
+                if cents >= last:
+                    tot += cents - last
+                else:
+                    nr += 1
+                    tot += cents
+            last, has_prev = cents, 1
+        state.update((has_prev, last, nd, nr, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_deltas": [nd],
+                "n_resets": [nr],
+                "total_delta_cents": [tot],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
