@@ -151,6 +151,7 @@ R6_ADDITIONS: list[str] = [
     "pack_concat_chunks",
     "classifier_lr_kfold",
     "stream_counter_agg",
+    "join_scd2_pointintime",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

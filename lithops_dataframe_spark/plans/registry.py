@@ -169,6 +169,7 @@ PRIORITY: tuple[str, ...] = (
     "pack_concat_chunks",  # NEW r6-cont: GPT concat-and-chunk manifest
     "classifier_lr_kfold",  # NEW r6-cont: k-fold CV confusion per fold
     "stream_counter_agg",  # NEW r6-cont: order-sensitive streaming state
+    "join_scd2_pointintime",  # NEW r6-cont: leakage-safe PIT enrichment
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

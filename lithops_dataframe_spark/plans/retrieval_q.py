@@ -298,3 +298,84 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return closed.unionAll(fresh)
+
+
+_PIT_ORACLE = """
+    WITH upd AS (
+        SELECT c_custkey, 'SEG' || (c_custkey % 4)::VARCHAR AS new_segment
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    dim AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               DATE '1992-01-01' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL THEN DATE '1995-06-01' END
+                 AS valid_to
+        FROM customer c LEFT JOIN upd u USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, new_segment, DATE '1995-06-01', NULL FROM upd
+    )
+    SELECT d.segment,
+           COUNT(*)::BIGINT AS n_orders,
+           SUM((FLOOR(o.o_totalprice * 100 + 0.5))::BIGINT)::BIGINT
+             AS revenue_cents
+    FROM orders o
+    JOIN dim d
+      ON d.c_custkey = o.o_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.segment
+"""
+
+
+@register("join_scd2_pointintime", oracle=_PIT_ORACLE)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct fact enrichment against an SCD2 dimension —
+    the join that makes slowly-changing dimensions WORTH maintaining:
+    each order joins the customer-segment version that was valid ON ITS
+    ORDER DATE (half-open [valid_from, valid_to)), so facts before the
+    segment change aggregate under the historical segment and facts
+    after it under the new one. Training-data relevance: this is exactly
+    how features must be joined to labels to avoid leakage (no
+    peeking at future attribute values).
+
+    Plan shape: equi-join on the dimension key + residual range
+    predicate — correct and cheap while versions-per-key is small (2
+    here; the common case). With deep version histories the same
+    semantics run as an as-of join on valid_from (operators/joins.py)
+    after a bucketed sort. Revenue sums exact half-up cents — no float
+    tolerance."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    upd = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.concat(F.lit("SEG"), (F.col("c_custkey") % 4).cast("string")).alias(
+            "new_segment"
+        ),
+    )
+    v1 = cust.join(F.broadcast(upd), "c_custkey", "left").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("new_segment").isNotNull(), F.lit("1995-06-01").cast("date")
+        ).alias("valid_to"),
+    )
+    v2 = upd.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit("1995-06-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    dim = v1.unionAll(v2)
+    j = orders.join(
+        dim,
+        (dim.c_custkey == orders.o_custkey)
+        & (dim.valid_from <= orders.o_orderdate)
+        & (dim.valid_to.isNull() | (orders.o_orderdate < dim.valid_to)),
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
