@@ -137,11 +137,12 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the queries below (up to the marker) are the
-    # ONLY never-driver-gated registrations after the r6 sweep (all added
-    # mid-r6, after the 50 slots were full) — promote them into slots
-    # 21+ next round, keeping the 20 anchors; remaining slots to any
-    # r7-modified queries, then rotate previously-gated singles.
+    # ROUND-7 ROTATION PLAN: the 28 queries below (down to
+    # join_scd2_pointintime inclusive) are the ONLY never-driver-gated
+    # registrations after the r6 sweep (all added mid-r6, after the 50
+    # slots were full) — they fill slots 21-48 next round, keeping the 20
+    # anchors; the last two slots go to any r7-modified queries, then
+    # previously-gated singles.
     "classifier_lr_score_corpus",  # NEW r6: train→apply corpus scoring
     "dedup_incremental_batch",  # NEW r6: arriving batch probes LSH index
     "events_gapfill_interpolate",  # NEW r6: per-entity locf + interpolate
