@@ -146,9 +146,13 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform). All-BIGINT; ties in the cut break by key.
 
     Scale shape: one hash aggregate on the key (map-side combine), a
-    two-long-row global stat frame broadcast back, and a top-K over the
-    aggregated key table — never over raw rows. This is the cheap probe
-    that justifies the salting strategy join_salted_skew demonstrates."""
+    two-long-row global stat frame broadcast back, and the heavy-hitter
+    cut as orderBy+limit — TakeOrderedAndProject keeps a k-row heap per
+    partition and merges on the driver, so there is NO single-task global
+    sort over the key table (a row_number window here would be one); the
+    rank is then numbered over the k surviving rows only. This is the
+    cheap probe that justifies the salting strategy join_salted_skew
+    demonstrates."""
     o = load_table(spark, sf_dir, "orders")
     kc = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -159,9 +163,13 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
-    top = kc.withColumn(
-        "rn", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("k")))
-    ).where(F.col("rn") <= _SKEW_TOPK)
+    top = (
+        kc.orderBy(F.col("c").desc(), F.col("k"))
+        .limit(_SKEW_TOPK)
+        .withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("c").desc(), F.col("k")))
+        )
+    )
     return top.crossJoin(F.broadcast(st)).select(
         F.col("k").alias("key"),
         F.col("c").alias("cnt"),
