@@ -110,6 +110,22 @@ HEADLINE = [
     "q07_nation_volume",  # r6 plan change: nation filter below the facts
     # (q22 already in the TPC-H block above; its r6 anti-join retune is
     # audited there)
+    # round-6 continuation additions (classifier_lr_kfold and
+    # stream_counter_agg are omitted: their builders run eager training
+    # collects / an actual availableNow stream at construction time, and
+    # their plan atoms — LR aggregates, applyInPandasWithState — are
+    # audited via classifier_lr_train and the other streaming entries)
+    "dedup_duplicate_spans",
+    "events_markov_transitions",
+    "graph_label_propagation",
+    "events_time_weighted_avg",
+    "events_counter_agg",
+    "cf_part_cooccurrence_lift",
+    "text_distinctive_terms_odds",
+    "dq_key_skew_report",
+    "emb_matryoshka_recall",
+    "pack_concat_chunks",
+    "join_scd2_pointintime",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
@@ -129,6 +145,10 @@ ALLOW_NESTED_LOOP = {
     # against the corpus scan — bounded by the fixed query-set literal;
     # the 100 TB serving path swaps in ann_topk (see the docstring)
     "retrieval_hybrid_rrf",
+    # both rankings are the documented brute_force_topk baseline: the
+    # 5-row query frame (vec_id < literal) broadcast against the corpus
+    # scan; the 100 TB path is ann_topk, exactly as for the hybrid leg
+    "emb_matryoshka_recall",
 }
 
 # Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
@@ -181,6 +201,13 @@ ALLOW_ONE_ROW_BROADCAST = {
     # 30-day generated date spine × (<=2)-type distinct frame: bounded by
     # construction (time_bucket_gapfill analog), never data-sized
     "events_gapfill_daily",
+    # r6 continuation: total-basket count / grand-token-total /
+    # (n_keys, n_rows) stat frames are single-row grouping-free
+    # aggregates crossJoined into the scored tables — the
+    # compare-to-total pattern, Keys: [] provenance checked below
+    "cf_part_cooccurrence_lift",
+    "text_distinctive_terms_odds",
+    "dq_key_skew_report",
     # same generated 30-day spine, broadcast into the per-user cross join
     "events_gapfill_interpolate",
 }
