@@ -532,3 +532,191 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recall_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# binary (sign-bit) quantization + Hamming retrieval recall
+# ---------------------------------------------------------------------------
+def _ham_sql(a: str, b: str) -> str:
+    """Hamming distance between the sign patterns of two vectors — the
+    oracle twin of the packed-BIGINT XOR+bit_count the engine computes."""
+    return (
+        f"list_sum(list_transform(range(1, {S.DIM + 1}), "
+        f"i -> CASE WHEN ({a}[i] > 0) <> ({b}[i] > 0) THEN 1 ELSE 0 END))"
+    )
+
+
+_BINQ_ORACLE = f"""
+    WITH full_rk AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    full_top AS (SELECT query_id, neighbor_id FROM full_rk WHERE rk <= {_K}),
+    ham_rk AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_ham_sql('q.embedding', 'c.embedding')} ASC,
+                            c.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ham_top AS (SELECT query_id, neighbor_id FROM ham_rk WHERE rk <= {_K})
+    SELECT f.query_id, COUNT(h.neighbor_id)::BIGINT AS overlap_at_10,
+           (COUNT(h.neighbor_id) * 100 // {_K})::BIGINT AS recall_pct
+    FROM full_top f
+    LEFT JOIN ham_top h
+      ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+"""
+
+
+def _sign_words(emb_col: str):
+    """Pack the 64 sign bits into two BIGINT words of 32 bits each.
+
+    Two 32-bit words rather than one 64-bit word so no term ever needs
+    bit 63 — the packing stays ANSI-safe (no signed-overflow edge) and
+    works unchanged for any DIM ≤ 64.
+    """
+    def word(lo: int, hi: int):
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi - 1}), CAST(0 AS BIGINT), "
+            f"(acc, j) -> acc + CASE WHEN element_at({emb_col}, j + 1) > 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), j - {lo}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    return word(0, 32), word(32, S.DIM)
+
+
+@register("emb_binary_quantize_recall", oracle=_BINQ_ORACLE)
+def emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) embedding quantization + Hamming retrieval
+    recall: pack each 64-dim float vector into two BIGINT words of sign
+    bits (64× memory cut — float32×64 → 16 bytes), rank the corpus by
+    Hamming distance on the packed words, and report exact top-10 overlap
+    against the full-precision cosine ranking — the recall number that
+    decides whether binary serving ships (the BQ trick every vector DB
+    offers; cf. reference's similarity surface).
+
+    Scale shape: packing is a narrow per-row map (the corpus scan emits
+    16-byte codes, not 256-byte vectors); the Hamming scorer broadcasts
+    the Q packed queries so the corpus never shuffles; XOR+bit_count is
+    whole-stage-codegen JVM arithmetic, no UDF. Exactness: sign bits and
+    Hamming counts are integers; ties break by neighbor id; the recall
+    output is all-BIGINT — no float tolerance anywhere."""
+    emb = _emb(spark, sf_dir)
+    w0, w1 = _sign_words("embedding")
+    packed = emb.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+
+    q = packed.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    )
+    scored = (
+        packed.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("q0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("q1"))),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    ham_top = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    full_top = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K
+    ).select("query_id", "neighbor_id")
+    joined = full_top.join(ham_top, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("overlap_at_10"),
+        F.expr(f"sum(coalesce(hit, 0)) * 100 div {_K}")
+        .cast("long")
+        .alias("recall_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+_HARDNEG_K = 5
+
+_HARDNEG_ORACLE = f"""
+    WITH rk AS (
+        SELECT q.vec_id AS query_id, q.label AS anchor_label,
+               c.vec_id AS neighbor_id, c.label AS neg_label,
+               ROUND({_cos_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC) AS rank
+        FROM embeddings q
+        JOIN embeddings c ON c.vec_id <> q.vec_id AND c.label <> q.label
+        WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, anchor_label, neighbor_id, neg_label, sim, rank::INT AS rank
+    FROM rk WHERE rank <= {_HARDNEG_K}
+"""
+
+
+@register("emb_hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar corpus vectors with a DIFFERENT label — the
+    near-miss negatives that make a contrastive batch informative (the
+    standard dense-retriever / SimCSE training-data op).
+
+    Scale shape: the anchor set broadcasts; the corpus scan applies the
+    label-mismatch filter BEFORE scoring (so same-label rows never pay
+    the dot product) and stays shuffle-free; only scored candidates move
+    into the per-anchor top-k window. Exactness: cosine is the shared
+    in-order fold, ties break by neighbor id, sim rounded to 6dp on both
+    engines."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            F.col("embedding").alias("c_emb"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neg_label") != F.col("anchor_label"))
+        )
+        .withColumn("sim", S.cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HARDNEG_K)
+        .select(
+            "query_id",
+            "anchor_label",
+            "neighbor_id",
+            "neg_label",
+            F.round("sim", 6).alias("sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
