@@ -137,12 +137,12 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 30 queries below (down to
-    # emb_hard_negative_mining inclusive) are the ONLY never-driver-gated
+    # ROUND-7 ROTATION PLAN: the 31 queries below (down to
+    # decontaminate_semantic inclusive) are the ONLY never-driver-gated
     # registrations after the r6 sweep (all added mid-r6, after the 50
-    # slots were full) — they fill slots 21-50 next round, keeping the 20
-    # anchors; any r7-modified queries displace from the tail of this
-    # block, then previously-gated singles.
+    # slots were full) — the first 30 fill slots 21-50 next round,
+    # keeping the 20 anchors; the overflow and any r7-modified queries
+    # displace from the tail of this block, then previously-gated singles.
     "classifier_lr_score_corpus",  # NEW r6: train→apply corpus scoring
     "dedup_incremental_batch",  # NEW r6: arriving batch probes LSH index
     "events_gapfill_interpolate",  # NEW r6: per-entity locf + interpolate
@@ -173,6 +173,7 @@ PRIORITY: tuple[str, ...] = (
     "join_scd2_pointintime",  # NEW r6-cont: leakage-safe PIT enrichment
     "emb_binary_quantize_recall",  # NEW r6-cont: sign-bit BQ Hamming recall
     "emb_hard_negative_mining",  # NEW r6-cont: contrastive hard negatives
+    "decontaminate_semantic",  # NEW r6-cont: embedding-space decontamination
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

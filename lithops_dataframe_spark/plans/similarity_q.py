@@ -720,3 +720,65 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding-space train/test overlap removal)
+# ---------------------------------------------------------------------------
+_DECON_T = 0.35
+_DECON_NTEST = 20  # held-out benchmark set = vec_id < 20
+
+_SEMDECON_ORACLE = f"""
+    WITH t AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_DECON_NTEST}
+    ),
+    c AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id >= {_DECON_NTEST}
+    ),
+    flags AS (
+        SELECT c.vec_id, c.label,
+               MAX(CASE WHEN {_cos_sql('q.embedding', 'c.embedding')}
+                        >= {_DECON_T} THEN 1 ELSE 0 END) AS removed
+        FROM c CROSS JOIN t q
+        GROUP BY c.vec_id, c.label
+    )
+    SELECT label,
+           COUNT(*)::BIGINT AS n_total,
+           SUM(removed)::BIGINT AS n_removed,
+           (COUNT(*) - SUM(removed))::BIGINT AS n_kept
+    FROM flags GROUP BY label
+"""
+
+
+@register("decontaminate_semantic", oracle=_SEMDECON_ORACLE)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: drop every training vector whose cosine
+    to ANY held-out benchmark vector reaches the contamination threshold
+    — the embedding-space analogue of n-gram decontamination (used when
+    paraphrased eval leakage survives exact-match filters), reported as
+    per-label kept/removed counts.
+
+    Scale shape: the benchmark set is bounded and broadcasts; the corpus
+    is split by two short-circuiting broadcast semi/anti passes (a row is
+    emitted on its FIRST contaminating match — no corpus×test pair set is
+    ever materialized or shuffled), and only the per-label count agg
+    shuffles. Exactness: cosine is the shared in-order fold on identical
+    doubles, so the >= threshold verdict is bit-identical in both
+    engines; outputs are BIGINT counts."""
+    emb = _emb(spark, sf_dir)
+    test = emb.filter(F.col("vec_id") < _DECON_NTEST).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _DECON_NTEST)
+    cond = S.cosine(F.col("q_emb"), F.col("embedding")) >= _DECON_T
+    removed = corpus.join(F.broadcast(test), cond, "left_semi")
+    kept = corpus.join(F.broadcast(test), cond, "left_anti")
+    flagged = removed.select("label", F.lit(1).alias("removed")).unionByName(
+        kept.select("label", F.lit(0).alias("removed"))
+    )
+    return flagged.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("removed").cast("long").alias("n_removed"),
+        (F.count(F.lit(1)) - F.sum("removed")).cast("long").alias("n_kept"),
+    )
