@@ -609,3 +609,63 @@ def events_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reset").cast("long").alias("n_resets"),
         F.sum("delta").cast("long").alias("total_delta_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick bars (TimescaleDB `ohlc` / financial downsample parity)
+# ---------------------------------------------------------------------------
+_OHLC_ORACLE = """
+    WITH c AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
+               (FLOOR(value * 100 + 0.5))::BIGINT AS cents
+        FROM events
+    ),
+    rk AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts, event_id) AS rf,
+               row_number() OVER (PARTITION BY event_type, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rl
+        FROM c
+    )
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rf = 1 THEN cents END)::BIGINT AS open_cents,
+           MAX(cents)::BIGINT AS high_cents,
+           MIN(cents)::BIGINT AS low_cents,
+           MAX(CASE WHEN rl = 1 THEN cents END)::BIGINT AS close_cents,
+           COUNT(*)::BIGINT AS n_points,
+           SUM(cents)::BIGINT AS volume_cents
+    FROM rk GROUP BY event_type, bucket
+"""
+
+
+@register("events_ohlc_bars", oracle=_OHLC_ORACLE)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB ``ohlc``/candlestick parity: per (series, hour bucket)
+    the open/high/low/close readings plus point count and volume — the
+    canonical financial/metrics downsample.
+
+    Scale shape: ONE hash aggregate — open/close come from ``min_by``/
+    ``max_by`` keyed on the (ts, event_id) struct, which partial-aggregates
+    map-side like min/max, so the query is a single Exchange on the
+    (series, bucket) key with no window shuffle at all (the oracle's
+    row_number formulation is the semantic spec, not the plan). Exactness:
+    all outputs are half-up integer cents / BIGINT counts; the
+    (ts, event_id) order key is unique, so first/last are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        cents.alias("cents"),
+        ord_key.alias("ok"),
+    )
+    return base.groupBy("event_type", "bucket").agg(
+        F.min_by("cents", F.col("ok")).cast("long").alias("open_cents"),
+        F.max("cents").cast("long").alias("high_cents"),
+        F.min("cents").cast("long").alias("low_cents"),
+        F.max_by("cents", F.col("ok")).cast("long").alias("close_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
