@@ -177,3 +177,112 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("c * n_keys * 1000 div n_rows").cast("long").alias("skew_permille"),
         F.col("rn").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# profile drift between two batch windows (schema-drift / data-drift gate)
+# ---------------------------------------------------------------------------
+_DRIFT_SPLIT = "2024-01-16"
+
+_DRIFT_ORACLE = f"""
+    WITH e AS (
+        SELECT event_type, user_id,
+               (ts < TIMESTAMP '{_DRIFT_SPLIT}') AS in_a,
+               (FLOOR(value * 100 + 0.5))::BIGINT AS cents
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               SUM(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               SUM(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+               COUNT(DISTINCT CASE WHEN in_a THEN user_id END)::BIGINT AS users_a,
+               COUNT(DISTINCT CASE WHEN NOT in_a THEN user_id END)::BIGINT AS users_b,
+               SUM(CASE WHEN in_a THEN cents ELSE 0 END)::BIGINT AS cents_a,
+               SUM(CASE WHEN in_a THEN 0 ELSE cents END)::BIGINT AS cents_b
+        FROM e GROUP BY event_type
+    ),
+    uu AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN in_a THEN 1 ELSE 0 END) AS ha,
+               MAX(CASE WHEN in_a THEN 0 ELSE 1 END) AS hb
+        FROM e GROUP BY event_type, user_id
+    ),
+    nu AS (
+        SELECT event_type,
+               SUM(CASE WHEN hb = 1 AND ha = 0 THEN 1 ELSE 0 END)::BIGINT AS n_new_users,
+               SUM(CASE WHEN ha = 1 AND hb = 0 THEN 1 ELSE 0 END)::BIGINT AS n_churned_users
+        FROM uu GROUP BY event_type
+    )
+    SELECT a.event_type, n_a, n_b,
+           (n_b * 1000 // n_a)::BIGINT AS volume_ratio_permille,
+           users_a, users_b, cents_a, cents_b,
+           ((cents_b * n_a * 1000) // (cents_a * n_b))::BIGINT AS mean_shift_permille,
+           n_new_users, n_churned_users
+    FROM agg a JOIN nu USING (event_type)
+"""
+
+
+@register("dq_profile_drift", oracle=_DRIFT_ORACLE)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-over-batch profile drift: compare each event series' volume,
+    distinct-user, and mean-value profile across two batch windows and
+    report the drift ratios plus user churn — the promotion gate that
+    catches upstream breakage (a feed going quiet, a value-unit change,
+    an audience swap) before a bad batch lands in the lake.
+
+    Scale shape: TWO exchanges total — one conditional hash aggregate on
+    event_type (counts/sums for both windows in a single scan, partial
+    map-side) and one (event_type, user_id) aggregate that feeds the
+    new/churned-user rollup; no joins against a second scan of the fact.
+    Exactness: all-BIGINT half-up cents; drift ratios are integer-permille
+    floor divisions (bound: Σcents · n · 1000 must fit BIGINT — at 100 TB
+    partition the report by day and the per-group magnitudes stay far
+    below 2^63)."""
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    e = ev.select(
+        "event_type",
+        "user_id",
+        (F.col("ts") < split).alias("in_a"),
+        cents.alias("cents"),
+    )
+    in_a = F.col("in_a")
+    agg = e.groupBy("event_type").agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(in_a, 0).otherwise(1)).cast("long").alias("n_b"),
+        F.count_distinct(F.when(in_a, F.col("user_id"))).cast("long").alias("users_a"),
+        F.count_distinct(F.when(~in_a, F.col("user_id"))).cast("long").alias("users_b"),
+        F.sum(F.when(in_a, F.col("cents")).otherwise(0)).cast("long").alias("cents_a"),
+        F.sum(F.when(in_a, 0).otherwise(F.col("cents"))).cast("long").alias("cents_b"),
+    )
+    uu = e.groupBy("event_type", "user_id").agg(
+        F.max(F.when(in_a, 1).otherwise(0)).alias("ha"),
+        F.max(F.when(in_a, 0).otherwise(1)).alias("hb"),
+    )
+    nu = uu.groupBy("event_type").agg(
+        F.sum(F.when((F.col("hb") == 1) & (F.col("ha") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new_users"),
+        F.sum(F.when((F.col("ha") == 1) & (F.col("hb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned_users"),
+    )
+    return (
+        agg.join(nu, "event_type")
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            F.expr("n_b * 1000 div n_a").cast("long").alias("volume_ratio_permille"),
+            "users_a",
+            "users_b",
+            "cents_a",
+            "cents_b",
+            F.expr("(cents_b * n_a * 1000) div (cents_a * n_b)")
+            .cast("long")
+            .alias("mean_shift_permille"),
+            "n_new_users",
+            "n_churned_users",
+        )
+    )

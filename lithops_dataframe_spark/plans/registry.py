@@ -137,8 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 32 queries below (down to
-    # events_ohlc_bars inclusive) are the ONLY never-driver-gated
+    # ROUND-7 ROTATION PLAN: the 33 queries below (down to
+    # dq_profile_drift inclusive) are the ONLY never-driver-gated
     # registrations after the r6 sweep (all added mid-r6, after the 50
     # slots were full) — the first 30 fill slots 21-50 next round,
     # keeping the 20 anchors; the overflow and any r7-modified queries
@@ -175,6 +175,7 @@ PRIORITY: tuple[str, ...] = (
     "emb_hard_negative_mining",  # NEW r6-cont: contrastive hard negatives
     "decontaminate_semantic",  # NEW r6-cont: embedding-space decontamination
     "events_ohlc_bars",  # NEW r6-cont: OHLC candlestick bars, one min_by/max_by agg
+    "dq_profile_drift",  # NEW r6-cont: batch-over-batch profile drift gate
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
