@@ -276,3 +276,75 @@ def red_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — exact-integer formulation
+# ---------------------------------------------------------------------------
+_SPEARMAN_ORACLE = """
+    WITH e AS (
+        SELECT event_type, event_id, ts,
+               (FLOOR(value * 100 + 0.5))::BIGINT AS cents
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS rt
+        FROM e
+    )
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           SUM((rv - rt) * (rv - rt))::BIGINT AS sum_d2,
+           ((2 * COUNT(*) * (COUNT(*) * COUNT(*) - 1)
+             - 6 * SUM((rv - rt) * (rv - rt))) * 1000
+            // (2 * COUNT(*) * (COUNT(*) * COUNT(*) - 1)))::BIGINT
+               AS rho_shifted_permille
+    FROM rk GROUP BY event_type
+"""
+
+
+@register("stat_spearman_trend", oracle=_SPEARMAN_ORACLE)
+def stat_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between each series' value and time —
+    the robust (outlier-immune) monotone-trend test, computed EXACTLY:
+    rho = 1 - 6·Σd²/(n(n²-1)) over integer ranks, reported as the
+    [-1,1]→[0,1000] shifted permille so every output stays a
+    non-negative BIGINT (no float tolerance, no negative intdiv edge).
+
+    Scale shape: one Exchange on event_type, then two in-partition sorts
+    for the two row_number passes (same partitioning — Catalyst reuses
+    the shuffle), then a hash aggregate; nothing leaves the cluster.
+    Rank ties cannot occur: both orderings tie-break on the unique
+    event_id, so the oracle replay is bit-identical. Bound:
+    2n³·1000 must fit BIGINT — holds to n ≈ 1.6M rows per group; at
+    100 TB partition the test per (series, day) before correlating."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    e = ev.select("event_type", "event_id", "ts", cents.alias("cents"))
+    wv = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    rk = e.select(
+        "event_type",
+        F.row_number().over(wv).cast("long").alias("rv"),
+        F.row_number().over(wt).cast("long").alias("rt"),
+    )
+    d2 = (F.col("rv") - F.col("rt")) * (F.col("rv") - F.col("rt"))
+    agg = rk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sum_d2"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "sum_d2",
+        F.expr(
+            "(2 * n * (n * n - 1) - 6 * sum_d2) * 1000 div (2 * n * (n * n - 1))"
+        )
+        .cast("long")
+        .alias("rho_shifted_permille"),
+    )
