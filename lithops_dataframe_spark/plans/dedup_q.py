@@ -491,3 +491,81 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffle for unique content."""
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_span_stats(docs, k=_SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# C4-style chunk-level exact dedup with document reassembly (keep-first)
+# ---------------------------------------------------------------------------
+_CHUNK_W = 8  # words per chunk
+
+_CHUNK_KEEP_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, u.i AS chunk_idx,
+               array_to_string(
+                   words[(u.i * {_CHUNK_W} + 1):(u.i * {_CHUNK_W} + {_CHUNK_W})],
+                   ' ') AS chunk
+        FROM w, UNNEST(range(0, (len(words) + {_CHUNK_W} - 1) // {_CHUNK_W})) AS u(i)
+    ),
+    rk AS (
+        SELECT doc_id, chunk_idx, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    )
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS kept_chunks,
+           (SUM(CASE WHEN rn = 1 THEN length(chunk) ELSE 0 END)
+            + CASE WHEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+                   THEN SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) - 1
+                   ELSE 0 END)::BIGINT AS new_n_chars
+    FROM rk GROUP BY doc_id
+"""
+
+
+@register("dedup_chunk_keep_first", oracle=_CHUNK_KEEP_ORACLE)
+def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document exact dedup with reassembly: split every
+    document into consecutive 8-word chunks, keep only the FIRST
+    global occurrence of each distinct chunk (ordered by doc_id then
+    position — C4 did exactly this at the line level), and report each
+    document's surviving-chunk count plus the reassembled text length —
+    the operator that strips boilerplate repeated across a crawl without
+    dropping whole documents.
+
+    Scale shape: the chunking pass is a narrow per-row transform
+    (sequence → slice → array_join, whole-stage codegen); the only
+    shuffle is the dedup Exchange keyed on the chunk text, exactly the
+    hash-partition a 100 TB run needs (at that scale key on
+    xxhash64(chunk) with string verification inside the bucket — the
+    duplicate_span_stats pattern — to shrink the shuffle payload).
+    Exactness: counts and lengths are BIGINTs; the keep-first choice is
+    the lexicographic (doc_id, chunk_idx) minimum, deterministic in both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size(split(text, ' ')) / {_CHUNK_W})) - 1), "
+        f"i -> array_join(slice(split(text, ' '), i * {_CHUNK_W} + 1, {_CHUNK_W}), ' '))"
+    )
+    ch = (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    rk = ch.withColumn("rn", F.row_number().over(w))
+    keep = (F.col("rn") == 1).cast("long")
+    kept = F.sum(keep)
+    return rk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        kept.cast("long").alias("kept_chunks"),
+        (
+            F.sum(F.when(F.col("rn") == 1, F.length("chunk")).otherwise(0))
+            + F.when(kept > 0, kept - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_n_chars"),
+    )

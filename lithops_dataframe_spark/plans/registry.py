@@ -137,8 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 34 queries below (down to
-    # stat_spearman_trend inclusive) are the ONLY never-driver-gated
+    # ROUND-7 ROTATION PLAN: the 35 queries below (down to
+    # dedup_chunk_keep_first inclusive) are the ONLY never-driver-gated
     # registrations after the r6 sweep (all added mid-r6, after the 50
     # slots were full) — the first 30 fill slots 21-50 next round,
     # keeping the 20 anchors; the overflow and any r7-modified queries
@@ -177,6 +177,7 @@ PRIORITY: tuple[str, ...] = (
     "events_ohlc_bars",  # NEW r6-cont: OHLC candlestick bars, one min_by/max_by agg
     "dq_profile_drift",  # NEW r6-cont: batch-over-batch profile drift gate
     "stat_spearman_trend",  # NEW r6-cont: exact-integer Spearman rank corr
+    "dedup_chunk_keep_first",  # NEW r6-cont: C4 chunk dedup + reassembly
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
