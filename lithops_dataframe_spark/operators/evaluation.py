@@ -81,3 +81,56 @@ def roc_auc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
     )
+
+
+def rank_calibration_bins(
+    scored: DataFrame,
+    score_col: str,
+    id_col: str,
+    label_col: str,
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram binning: split the corpus into ``bins``
+    equal-frequency score bins (by exact global rank of (score, id)) and
+    report each bin's size, positive count, and observed positive rate —
+    the monotonicity check behind every calibration plot.
+
+    The bin index is computed from the exact global row number as
+    ``(rank-1)·B div n`` (a deterministic closed form both engines can
+    replay — no engine-specific NTILE remainder rules), and the global
+    row number itself uses the two-phase pattern: range-partition on the
+    (score, id) key, per-partition local row_number, then a broadcast
+    per-partition-count carry — never a one-task global Window.
+
+    Outputs are BIGINTs plus the bin's 6dp-rounded score bounds (min/max
+    pick existing doubles, no re-summation) — hash-exact cross-engine.
+    """
+    base = scored.select(
+        F.col(score_col).alias("z"),
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    part = base.repartitionByRange(F.col("z").asc(), F.col("id").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid").orderBy("z", "id")
+    local = part.withColumn("__rk_loc", F.row_number().over(wloc).cast("long"))
+    totals = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pt"))
+    wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pt").over(wcum), F.lit(0).cast("long")).alias("__off"),
+    )
+    n_total = base.count()
+    ranked = local.join(F.broadcast(offs), "__pid").withColumn(
+        "bin",
+        F.expr(f"(__rk_loc + __off - 1) * {bins} div {n_total}").cast("long") + 1,
+    )
+    return ranked.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr("sum(y) * 1000 div count(1)").cast("long").alias("pos_rate_permille"),
+        F.round(F.min("z"), 6).alias("z_min"),
+        F.round(F.max("z"), 6).alias("z_max"),
+    )

@@ -342,3 +342,69 @@ def classifier_lr_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = conf if out is None else out.unionAll(conf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# calibration / reliability bins (round 6)
+# ---------------------------------------------------------------------------
+_CAL_BINS = 10
+
+
+def _calibration_oracle(epochs: int, lr: float, bins: int) -> str:
+    """Replay training, score with the fixed-order margin, then bin by the
+    exact global (z, doc_id) rank with the same closed-form bin index the
+    engine computes — no NTILE, no remainder-rule divergence."""
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+    return (
+        _lr_ctes(epochs, lr, with_acc=False)
+        + f""",
+    scored AS (
+        SELECT f.doc_id, f.y, ({z}) AS z FROM feats f, w{epochs} w
+    ),
+    rk AS (
+        SELECT y, z,
+               row_number() OVER (ORDER BY z, doc_id) AS r,
+               COUNT(*) OVER () AS n_total
+        FROM scored
+    )
+    SELECT ((r - 1) * {bins} // n_total + 1)::BIGINT AS bin,
+           COUNT(*)::BIGINT AS n,
+           SUM(y)::BIGINT AS n_pos,
+           (SUM(y) * 1000 // COUNT(*))::BIGINT AS pos_rate_permille,
+           ROUND(MIN(z), 6) AS z_min,
+           ROUND(MAX(z), 6) AS z_max
+    FROM rk GROUP BY 1
+    """
+    )
+
+
+@register(
+    "eval_calibration_bins", oracle=_calibration_oracle(_EPOCHS, _LR, _CAL_BINS)
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the trained quality filter: the corpus
+    split into 10 equal-frequency score bins with each bin's observed
+    positive rate — the calibration check that tells you whether the
+    filter's score ORDERING is trustworthy enough to threshold at corpus
+    scale (AUC says how well it ranks; this says where the mass sits).
+
+    Scoring is the same zero-shuffle literal-weights scan as the other
+    apply-side queries; binning uses operators/evaluation.py's two-phase
+    exact global rank (range partition + local row_number + broadcast
+    carry — no one-task global window). All counts/rates are BIGINTs;
+    bin score bounds are 6dp-rounded existing doubles."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators.classifier import N_FEATURES, feature_frame
+    from lithops_dataframe_spark.operators.evaluation import rank_calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _trained_weights(spark, sf_dir)
+    feats = feature_frame(docs)
+    z = F.lit(w[0]) * F.col("x0")
+    for j in range(1, N_FEATURES):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    scored = feats.select("doc_id", z.alias("z"), "y")
+    return rank_calibration_bins(
+        scored, "z", "doc_id", "y", bins=_CAL_BINS
+    )
