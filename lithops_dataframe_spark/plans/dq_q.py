@@ -286,3 +286,146 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_churned_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity cell-size audit (privacy gate before sharing/training)
+# ---------------------------------------------------------------------------
+_KANON_K = 5
+
+_KANON_ORACLE = f"""
+    WITH cells AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               COUNT(*)::BIGINT AS n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT nationkey, mktsegment, n,
+           (n < {_KANON_K}) AS at_risk
+    FROM cells
+"""
+
+
+@register("dq_k_anonymity_cells", oracle=_KANON_ORACLE)
+def dq_k_anonymity_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: the size of every quasi-identifier cell
+    (nation × market segment) with an at-risk flag for cells below k=5 —
+    the suppression/generalization worklist a privacy review produces
+    before a dataset is shared or trained on.
+
+    Scale shape: one hash aggregate with map-side partials; output is
+    bounded by the quasi-identifier domain, not the row count. All
+    BIGINTs."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("nationkey", "mktsegment", "n", (F.col("n") < _KANON_K).alias("at_risk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# winsorization report (robust preprocessing: exact p05/p95 clamp)
+# ---------------------------------------------------------------------------
+_WINSOR_ORACLE = """
+    WITH c AS (
+        SELECT event_type, event_id,
+               (FLOOR(value * 100 + 0.5))::BIGINT AS cents
+        FROM events
+    ),
+    rk AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    bounds AS (
+        SELECT event_type, MAX(n)::BIGINT AS n,
+               MAX(CASE WHEN r = GREATEST(1, (n * 5 + 99) // 100)
+                        THEN cents END)::BIGINT AS lo_cents,
+               MAX(CASE WHEN r = (n * 95 + 99) // 100
+                        THEN cents END)::BIGINT AS hi_cents,
+               SUM(cents)::BIGINT AS sum_raw_cents
+        FROM rk GROUP BY event_type
+    )
+    SELECT b.event_type, b.n, b.lo_cents, b.hi_cents, b.sum_raw_cents,
+           SUM(CASE WHEN c.cents < b.lo_cents THEN b.lo_cents
+                    WHEN c.cents > b.hi_cents THEN b.hi_cents
+                    ELSE c.cents END)::BIGINT AS sum_winsorized_cents,
+           SUM(CASE WHEN c.cents < b.lo_cents THEN 1 ELSE 0 END)::BIGINT
+               AS n_clamped_low,
+           SUM(CASE WHEN c.cents > b.hi_cents THEN 1 ELSE 0 END)::BIGINT
+               AS n_clamped_high
+    FROM c JOIN bounds b USING (event_type)
+    GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("events_winsorize_stats", oracle=_WINSOR_ORACLE)
+def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report: per series, the EXACT p05/p95 bounds (rank
+    arithmetic on integer cents — ceil(q·n) order statistics, not an
+    approximate sketch) and the clamped sum plus clamp counts — the
+    robust-preprocessing step that tames heavy-tailed values before
+    model features are computed, with the audit numbers a reviewer
+    checks.
+
+    Scale shape: one Exchange on event_type for the rank window, a
+    per-type bounds aggregate, then a broadcast of the tiny bounds frame
+    back onto the same already-partitioned scan for the clamped second
+    pass — two aggregates, one shuffle of the fact. All-BIGINT outputs;
+    the order statistic is deterministic (unique (cents, event_id) tie
+    break)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    c = ev.select("event_type", "event_id", cents.alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    rk = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    bounds = rk.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(
+                F.col("r") == F.greatest(F.lit(1), F.expr("(n * 5 + 99) div 100")),
+                F.col("cents"),
+            )
+        )
+        .cast("long")
+        .alias("lo_cents"),
+        F.max(
+            F.when(F.col("r") == F.expr("(n * 95 + 99) div 100"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("hi_cents"),
+        F.sum("cents").cast("long").alias("sum_raw_cents"),
+    )
+    clamped = c.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        "lo_cents",
+        "hi_cents",
+        "sum_raw_cents",
+        F.when(F.col("cents") < F.col("lo_cents"), F.col("lo_cents"))
+        .when(F.col("cents") > F.col("hi_cents"), F.col("hi_cents"))
+        .otherwise(F.col("cents"))
+        .alias("wc"),
+        (F.col("cents") < F.col("lo_cents")).cast("long").alias("cl"),
+        (F.col("cents") > F.col("hi_cents")).cast("long").alias("ch"),
+    )
+    return clamped.groupBy(
+        "event_type", "n", "lo_cents", "hi_cents", "sum_raw_cents"
+    ).agg(
+        F.sum("wc").cast("long").alias("sum_winsorized_cents"),
+        F.sum("cl").cast("long").alias("n_clamped_low"),
+        F.sum("ch").cast("long").alias("n_clamped_high"),
+    )
