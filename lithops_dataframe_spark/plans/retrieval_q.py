@@ -379,3 +379,191 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified retrieval (maximal marginal relevance re-rank)
+# ---------------------------------------------------------------------------
+_MMR_Q = 3  # anchors = vec_id < 3
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAM = 0.7
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy replay: pool = cosine top-20, then K−1 exact
+    argmax steps of λ·sim_q − (1−λ)·max-sim-to-selected, each on the
+    same rounded-6dp inputs and (score DESC, id ASC) tie-break the
+    engine's pandas selector uses."""
+    from lithops_dataframe_spark.plans.similarity_q import _cos_sql
+
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+    sql = f"""
+    WITH pool0 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND({_cos_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
+                            c.vec_id ASC) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_MMR_Q}
+    ),
+    pool AS (SELECT query_id, neighbor_id, sim FROM pool0 WHERE rk <= {_MMR_POOL}),
+    pp AS (
+        SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+               ROUND({_cos_sql('e1.embedding', 'e2.embedding')}, 6) AS sim
+        FROM pool p1
+        JOIN pool p2 ON p1.query_id = p2.query_id
+                    AND p1.neighbor_id <> p2.neighbor_id
+        JOIN embeddings e1 ON e1.vec_id = p1.neighbor_id
+        JOIN embeddings e2 ON e2.vec_id = p2.neighbor_id
+    ),
+    pick1 AS (
+        SELECT query_id, neighbor_id, {lam} * sim AS score
+        FROM pool WHERE sim = (SELECT MAX(sim) FROM pool p2
+                               WHERE p2.query_id = pool.query_id)
+    ),
+    pick1u AS (
+        SELECT query_id, MIN(neighbor_id) AS neighbor_id FROM pick1
+        GROUP BY query_id
+    ),
+    sel1 AS (
+        SELECT p.query_id, 1 AS step, p.neighbor_id, p.score
+        FROM pick1 p JOIN pick1u u
+          ON u.query_id = p.query_id AND u.neighbor_id = p.neighbor_id
+    )"""
+    prev = "sel1"
+    for t in range(2, _MMR_K + 1):
+        sql += f""",
+    cand{t} AS (
+        SELECT p.query_id, p.neighbor_id,
+               {lam} * p.sim - {mu} * MAX(pr.sim) AS score
+        FROM pool p
+        JOIN pp pr ON pr.query_id = p.query_id AND pr.a = p.neighbor_id
+        JOIN {prev} s ON s.query_id = pr.query_id AND s.neighbor_id = pr.b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM {prev} s2
+            WHERE s2.query_id = p.query_id AND s2.neighbor_id = p.neighbor_id)
+        GROUP BY p.query_id, p.neighbor_id, p.sim
+    ),
+    pick{t} AS (
+        SELECT query_id, neighbor_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS pr
+        FROM cand{t}
+    ),
+    sel{t} AS (
+        SELECT query_id, step, neighbor_id, score FROM {prev}
+        UNION ALL
+        SELECT query_id, {t} AS step, neighbor_id, score
+        FROM pick{t} WHERE pr = 1
+    )"""
+        prev = f"sel{t}"
+    sql += f"""
+    SELECT query_id, step::INT AS step, neighbor_id,
+           ROUND(score, 6) AS mmr_score
+    FROM {prev}
+    """
+    return sql
+
+
+@register("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: take each anchor's cosine
+    top-20 candidate pool and greedily select 5 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    diversity-aware re-rank every RAG retriever runs so five near-copies
+    don't fill the context window.
+
+    Scale shape: relevance and the pool×pool similarity matrix are both
+    JVM-side (broadcast anchors; pool joins are k²-bounded per anchor,
+    never corpus×corpus); only the inherently sequential K-step greedy
+    runs in a cogrouped ``applyInPandas`` — each task receives ONE
+    anchor's 20-row pool + 380-row pair matrix, so the Python stage
+    touches O(anchors·k²) rows regardless of corpus size. Exactness: all
+    sims enter the greedy pre-rounded to 6dp; the score is the identical
+    IEEE expression in pandas and the unrolled DuckDB replay; ties break
+    (score DESC, id ASC) in both."""
+    import pandas as pd
+
+    from lithops_dataframe_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _MMR_Q), k=_MMR_POOL
+    ).select("query_id", "neighbor_id", "sim")
+
+    # pair matrix built on a FRESH scan lineage (cogroup sides must not
+    # share exprIds — the self-join attribute-dedup trap documented at
+    # udf_cogroup_reconcile); the pool×pool self-join uses the supported
+    # alias() + qualified-column route
+    emb_b = load_table(spark, sf_dir, "embeddings")
+    pool_b = S.brute_force_topk(
+        emb_b, emb_b.filter(F.col("vec_id") < _MMR_Q), k=_MMR_POOL
+    ).select("query_id", "neighbor_id")
+    e1 = emb_b.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
+    e2 = emb_b.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
+    pairs = (
+        pool_b.alias("x")
+        .join(
+            pool_b.alias("y"),
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.neighbor_id") != F.col("y.neighbor_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.col("x.neighbor_id").alias("a"),
+            F.col("y.neighbor_id").alias("b"),
+        )
+        .join(F.broadcast(e1), "a")
+        .join(F.broadcast(e2), "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(S.cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+        )
+    )
+
+    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+
+    def greedy(key, pool_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
+        if pool_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "step", "neighbor_id", "mmr_score"]
+            )
+        qid = int(pool_pdf["query_id"].iloc[0])
+        sims = dict(zip(pool_pdf["neighbor_id"], pool_pdf["sim"]))
+        pair = {
+            (int(a), int(b)): s
+            for a, b, s in zip(pair_pdf["a"], pair_pdf["b"], pair_pdf["sim"])
+        }
+        remaining = sorted(sims)
+        # step 1: pure relevance, tie-break smallest id
+        first = max(remaining, key=lambda c: (sims[c], -c))
+        selected = [(1, first, lam * sims[first])]
+        remaining.remove(first)
+        for step in range(2, _MMR_K + 1):
+            best, best_score = None, None
+            for c in remaining:  # ascending id = tie-break order
+                maxsel = max(pair[(c, s)] for _, s, _ in selected)
+                score = lam * sims[c] - mu * maxsel
+                if best_score is None or score > best_score:
+                    best, best_score = c, score
+            selected.append((step, best, best_score))
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "step": [s for s, _, _ in selected],
+                "neighbor_id": [n for _, n, _ in selected],
+                "mmr_score": [round(sc, 6) for _, _, sc in selected],
+            }
+        )
+
+    out_schema = "query_id bigint, step int, neighbor_id bigint, mmr_score double"
+    return (
+        pool.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(greedy, schema=out_schema)
+    )
