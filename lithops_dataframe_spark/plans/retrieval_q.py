@@ -387,31 +387,36 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_Q = 3  # anchors = vec_id < 3
 _MMR_POOL = 20
 _MMR_K = 5
-_MMR_LAM = 0.7
+# λ = 0.7 expressed in integer tenths: score_decimicro = 7·sim − 3·maxsel
+_MMR_LAM10 = 7
+_MMR_MU10 = 3
 
 
 def _mmr_oracle() -> str:
     """Unrolled greedy replay: pool = cosine top-20, then K−1 exact
-    argmax steps of λ·sim_q − (1−λ)·max-sim-to-selected, each on the
-    same rounded-6dp inputs and (score DESC, id ASC) tie-break the
-    engine's pandas selector uses."""
+    argmax steps of λ·sim_q − (1−λ)·max-sim-to-selected. All arithmetic
+    is integer: sims enter as FLOOR(cos·1e6 + 0.5) micros (floor of the
+    identical binary double — no decimal ROUND semantics anywhere) and
+    λ=0.7 becomes the 7/3 decimicro weights, so the argmax and the
+    output score replay bit-identically."""
     from lithops_dataframe_spark.plans.similarity_q import _cos_sql
 
-    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
     sql = f"""
     WITH pool0 AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROUND({_cos_sql('q.embedding', 'c.embedding')}, 6) AS sim,
+               (FLOOR({_cos_sql('q.embedding', 'c.embedding')} * 1000000 + 0.5))::BIGINT
+                   AS sim_micro,
                row_number() OVER (PARTITION BY q.vec_id
                    ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC,
                             c.vec_id ASC) AS rk
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {_MMR_Q}
     ),
-    pool AS (SELECT query_id, neighbor_id, sim FROM pool0 WHERE rk <= {_MMR_POOL}),
+    pool AS (SELECT query_id, neighbor_id, sim_micro FROM pool0 WHERE rk <= {_MMR_POOL}),
     pp AS (
         SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
-               ROUND({_cos_sql('e1.embedding', 'e2.embedding')}, 6) AS sim
+               (FLOOR({_cos_sql('e1.embedding', 'e2.embedding')} * 1000000 + 0.5))::BIGINT
+                   AS sim_micro
         FROM pool p1
         JOIN pool p2 ON p1.query_id = p2.query_id
                     AND p1.neighbor_id <> p2.neighbor_id
@@ -419,32 +424,28 @@ def _mmr_oracle() -> str:
         JOIN embeddings e2 ON e2.vec_id = p2.neighbor_id
     ),
     pick1 AS (
-        SELECT query_id, neighbor_id, {lam} * sim AS score
-        FROM pool WHERE sim = (SELECT MAX(sim) FROM pool p2
-                               WHERE p2.query_id = pool.query_id)
-    ),
-    pick1u AS (
-        SELECT query_id, MIN(neighbor_id) AS neighbor_id FROM pick1
-        GROUP BY query_id
+        SELECT query_id, neighbor_id, {_MMR_LAM10} * sim_micro AS score,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY sim_micro DESC, neighbor_id ASC) AS pr
+        FROM pool
     ),
     sel1 AS (
-        SELECT p.query_id, 1 AS step, p.neighbor_id, p.score
-        FROM pick1 p JOIN pick1u u
-          ON u.query_id = p.query_id AND u.neighbor_id = p.neighbor_id
+        SELECT query_id, 1 AS step, neighbor_id, score
+        FROM pick1 WHERE pr = 1
     )"""
     prev = "sel1"
     for t in range(2, _MMR_K + 1):
         sql += f""",
     cand{t} AS (
         SELECT p.query_id, p.neighbor_id,
-               {lam} * p.sim - {mu} * MAX(pr.sim) AS score
+               {_MMR_LAM10} * p.sim_micro - {_MMR_MU10} * MAX(pr.sim_micro) AS score
         FROM pool p
         JOIN pp pr ON pr.query_id = p.query_id AND pr.a = p.neighbor_id
         JOIN {prev} s ON s.query_id = pr.query_id AND s.neighbor_id = pr.b
         WHERE NOT EXISTS (
             SELECT 1 FROM {prev} s2
             WHERE s2.query_id = p.query_id AND s2.neighbor_id = p.neighbor_id)
-        GROUP BY p.query_id, p.neighbor_id, p.sim
+        GROUP BY p.query_id, p.neighbor_id, p.sim_micro
     ),
     pick{t} AS (
         SELECT query_id, neighbor_id, score,
@@ -461,7 +462,7 @@ def _mmr_oracle() -> str:
         prev = f"sel{t}"
     sql += f"""
     SELECT query_id, step::INT AS step, neighbor_id,
-           ROUND(score, 6) AS mmr_score
+           score::BIGINT AS score_decimicro
     FROM {prev}
     """
     return sql
@@ -480,27 +481,55 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus×corpus); only the inherently sequential K-step greedy
     runs in a cogrouped ``applyInPandas`` — each task receives ONE
     anchor's 20-row pool + 380-row pair matrix, so the Python stage
-    touches O(anchors·k²) rows regardless of corpus size. Exactness: all
-    sims enter the greedy pre-rounded to 6dp; the score is the identical
-    IEEE expression in pandas and the unrolled DuckDB replay; ties break
-    (score DESC, id ASC) in both."""
+    touches O(anchors·k²) rows regardless of corpus size. Exactness:
+    sims are converted to integer micros JVM-side (FLOOR of the binary
+    double — no decimal-ROUND tie class), λ=0.7 becomes exact 7/3
+    decimicro weights, and the whole greedy is BIGINT arithmetic, so the
+    unrolled DuckDB replay is bit-identical (the first float version of
+    this query diverged on .xxxxx55 rounding ties at BOTH test SFs)."""
     import pandas as pd
+
+    from pyspark.sql.window import Window
 
     from lithops_dataframe_spark.operators import similarity as S
 
+    def micros(col):
+        return F.floor(col * F.lit(1000000) + F.lit(0.5)).cast("long")
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pool = S.brute_force_topk(
-        emb, emb.filter(F.col("vec_id") < _MMR_Q), k=_MMR_POOL
-    ).select("query_id", "neighbor_id", "sim")
+    q = emb.filter(F.col("vec_id") < _MMR_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    pool = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", S.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .select("query_id", "neighbor_id", micros(F.col("sim")).alias("sim_micro"))
+    )
 
     # pair matrix built on a FRESH scan lineage (cogroup sides must not
     # share exprIds — the self-join attribute-dedup trap documented at
     # udf_cogroup_reconcile); the pool×pool self-join uses the supported
     # alias() + qualified-column route
     emb_b = load_table(spark, sf_dir, "embeddings")
-    pool_b = S.brute_force_topk(
-        emb_b, emb_b.filter(F.col("vec_id") < _MMR_Q), k=_MMR_POOL
-    ).select("query_id", "neighbor_id")
+    q_b = emb_b.filter(F.col("vec_id") < _MMR_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c_b = emb_b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    pool_b = (
+        c_b.crossJoin(F.broadcast(q_b))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", S.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_POOL)
+        .select("query_id", "neighbor_id")
+    )
     e1 = emb_b.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
     e2 = emb_b.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
     pairs = (
@@ -521,35 +550,37 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "a",
             "b",
-            F.round(S.cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("sim"),
+            micros(S.cosine(F.col("emb_a"), F.col("emb_b"))).alias("sim_micro"),
         )
     )
 
-    lam, mu = _MMR_LAM, round(1 - _MMR_LAM, 10)
+    lam10, mu10 = _MMR_LAM10, _MMR_MU10
 
     def greedy(key, pool_pdf: pd.DataFrame, pair_pdf: pd.DataFrame) -> pd.DataFrame:
         if pool_pdf.empty:
             return pd.DataFrame(
-                columns=["query_id", "step", "neighbor_id", "mmr_score"]
+                columns=["query_id", "step", "neighbor_id", "score_decimicro"]
             )
         qid = int(pool_pdf["query_id"].iloc[0])
-        sims = dict(zip(pool_pdf["neighbor_id"], pool_pdf["sim"]))
+        sims = {
+            int(n): int(s)
+            for n, s in zip(pool_pdf["neighbor_id"], pool_pdf["sim_micro"])
+        }
         pair = {
-            (int(a), int(b)): s
-            for a, b, s in zip(pair_pdf["a"], pair_pdf["b"], pair_pdf["sim"])
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pair_pdf["a"], pair_pdf["b"], pair_pdf["sim_micro"])
         }
         remaining = sorted(sims)
-        # step 1: pure relevance, tie-break smallest id
-        first = max(remaining, key=lambda c: (sims[c], -c))
-        selected = [(1, first, lam * sims[first])]
+        first = max(remaining, key=lambda cand: (sims[cand], -cand))
+        selected = [(1, first, lam10 * sims[first])]
         remaining.remove(first)
         for step in range(2, _MMR_K + 1):
             best, best_score = None, None
-            for c in remaining:  # ascending id = tie-break order
-                maxsel = max(pair[(c, s)] for _, s, _ in selected)
-                score = lam * sims[c] - mu * maxsel
+            for cand in remaining:  # ascending id = tie-break order
+                maxsel = max(pair[(cand, s)] for _, s, _ in selected)
+                score = lam10 * sims[cand] - mu10 * maxsel
                 if best_score is None or score > best_score:
-                    best, best_score = c, score
+                    best, best_score = cand, score
             selected.append((step, best, best_score))
             remaining.remove(best)
         return pd.DataFrame(
@@ -557,11 +588,13 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "query_id": qid,
                 "step": [s for s, _, _ in selected],
                 "neighbor_id": [n for _, n, _ in selected],
-                "mmr_score": [round(sc, 6) for _, _, sc in selected],
+                "score_decimicro": [sc for _, _, sc in selected],
             }
         )
 
-    out_schema = "query_id bigint, step int, neighbor_id bigint, mmr_score double"
+    out_schema = (
+        "query_id bigint, step int, neighbor_id bigint, score_decimicro bigint"
+    )
     return (
         pool.groupBy("query_id")
         .cogroup(pairs.groupBy("query_id"))
