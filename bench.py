@@ -152,6 +152,19 @@ R6_ADDITIONS: list[str] = [
     "classifier_lr_kfold",
     "stream_counter_agg",
     "join_scd2_pointintime",
+    # r6 continuation, third batch
+    "emb_binary_quantize_recall",
+    "emb_hard_negative_mining",
+    "decontaminate_semantic",
+    "events_ohlc_bars",
+    "dq_profile_drift",
+    "stat_spearman_trend",
+    "dedup_chunk_keep_first",
+    "eval_calibration_bins",
+    "dq_k_anonymity_cells",
+    "events_winsorize_stats",
+    "retrieval_mmr_rerank",
+    "stream_window_topk_users",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -172,7 +185,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers", "q07_nation_volume"],
     "window": ["q02_min_cost_supplier", "pack_training_sequences", "pack_concat_chunks"],
     "text": ["text_quality_by_source", "text_hashed_tfidf"],
-    "streaming": ["stream_session_windows"],
+    "streaming": ["stream_session_windows", "stream_window_topk_users"],
     "ann": ["sim_cosine_topk_lsh"],
     "narrow": ["emb_int8_quantize"],
     # round-3 families: bloom build+probe (distinct eval set is constant
@@ -187,6 +200,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
         "events_markov_transitions",
         "events_time_weighted_avg",
         "events_counter_agg",
+        "events_ohlc_bars",
     ],
     # ADC serving: corpus codes scale linearly, query tables are constant.
     # (graph_triangle_count is excluded like the pair ops: the 10x fixture
@@ -246,8 +260,8 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # dedup_jaccard_prefix_filter stay EXCLUDED like every pair-finding
     # op: 10 identical copies multiply the pair output for data reasons.)
     "selection": ["select_dsir_importance"],
-    "evaluation": ["eval_classifier_auc"],
-    "retrieval": ["retrieval_hybrid_rrf"],
+    "evaluation": ["eval_classifier_auc", "eval_calibration_bins"],
+    "retrieval": ["retrieval_hybrid_rrf", "retrieval_mmr_rerank"],
     "robust_ts": ["events_anomaly_mad", "events_seasonal_decompose"],
     "mixing": ["mix_interleave_epoch"],
     # r6 continuation: basket pair mining is copy-local (order/part keys
@@ -260,10 +274,23 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # plan). dedup_duplicate_spans stays EXCLUDED with the other
     # pair-finding ops: 10 identical text copies make every gram
     # corpus-duplicated, exploding span OUTPUT for data reasons.
+    # r6 continuation, third batch: BQ recall / hard negatives / MMR score a
+    # 10x corpus against constant anchor sets (linear legs, k²-bounded
+    # greedy); semantic decon is corpus × fixed-test-set broadcast passes;
+    # OHLC is one hash agg (same calendar buckets, 10x rows each); drift /
+    # k-anonymity are conditional aggs; calibration adds the two-phase rank
+    # to the constant training replay; Spearman/winsorize are per-type rank
+    # windows (NOTE: 5 fixed type partitions — at real scale partition per
+    # (type, day) first, as their docstrings state); chunk keep-first is a
+    # narrow chunking map + one dedup Exchange (copy-local window groups).
+    "decon_semantic": ["decontaminate_semantic"],
+    "rank_stats": ["stat_spearman_trend", "events_winsorize_stats"],
+    "chunk_dedup": ["dedup_chunk_keep_first"],
     "basket": ["cf_part_cooccurrence_lift"],
     "corpus_stats": ["text_distinctive_terms_odds"],
-    "dq_probe": ["dq_key_skew_report"],
-    "ann_eval": ["emb_matryoshka_recall"],
+    "dq_probe": ["dq_key_skew_report", "dq_profile_drift", "dq_k_anonymity_cells"],
+    "ann_eval": ["emb_matryoshka_recall", "emb_binary_quantize_recall",
+                 "emb_hard_negative_mining"],
 }
 
 # Curve-only callables (not registered queries): same signature as a

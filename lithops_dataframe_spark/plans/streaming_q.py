@@ -420,3 +420,32 @@ def stream_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__rn") == 1) & (F.col("n_deltas") >= 1))
         .select("user_id", "n_deltas", "n_resets", "total_delta_cents")
     )
+
+
+_TOPK_HH_ORACLE = """
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, user_id,
+               COUNT(*)::BIGINT AS n_events,
+               SUM((FLOOR(value * 100 + 0.5))::BIGINT)::BIGINT AS sum_cents
+        FROM events GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY w_start
+                   ORDER BY n_events DESC, sum_cents DESC, user_id ASC) AS rank
+        FROM c
+    )
+    SELECT w_start, rank::INT AS rank, user_id, n_events, sum_cents
+    FROM rk WHERE rank <= 3
+"""
+
+
+@register("stream_window_topk_users", oracle=_TOPK_HH_ORACLE)
+def stream_window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k heavy hitters: the 3 most active users of every
+    6-hour tumbling window (count, exact cents) — the leaderboard /
+    abuse-detection shape. The aggregation half is the streamable
+    incremental state (windowed_user_counts); the rank half runs per
+    FINALIZED window (foreachBatch / sink-side in streaming — asserted
+    stream≡batch in tests/test_streaming.py). All-BIGINT outputs;
+    deterministic (count, cents, user) tie-break."""
+    return SE.topk_per_window(SE.windowed_user_counts(_events(spark, sf_dir)))

@@ -436,3 +436,51 @@ def user_counter_agg(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def windowed_user_counts(events: DataFrame, *, size: str = "6 hours") -> DataFrame:
+    """Per (tumbling window, user) event counts + exact cents — the
+    streamable aggregation half of the windowed top-k heavy-hitters
+    operator.
+
+    Streaming: incremental state keyed by (window, user_id), watermark
+    evicts closed windows; batch: one hash aggregate. The rank step lives
+    in :func:`topk_per_window` — applied downstream of the sink in
+    streaming mode (rank-over-aggregate is not incrementally maintainable;
+    the standard deployment ranks each FINALIZED window in foreachBatch
+    or on the sink table, which is what tests/test_streaming.py drives).
+    """
+    w = F.window("ts", size)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        with_watermark(events)
+        .select("ts", "user_id", cents.alias("cents"))
+        .groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            _ntz("w.start", "w_start"),
+            "user_id",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def topk_per_window(counts: DataFrame, *, k: int = 3) -> DataFrame:
+    """Top-k heavy hitters per finalized window: rank users inside each
+    window by (count DESC, cents DESC, user_id ASC) and keep k. Batch /
+    foreachBatch step — one rank window partitioned by w_start (bounded
+    per-window cardinality after the upstream aggregation)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("w_start").orderBy(
+        F.col("n_events").desc(), F.col("sum_cents").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("w_start", "rank", "user_id", "n_events", "sum_cents")
+    )

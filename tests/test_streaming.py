@@ -251,3 +251,19 @@ def test_watermark_finalizes_and_drops_late_data(spark, tmp_path):
     assert len(early_rows) == 1  # emitted exactly once, never re-emitted
     assert early_rows[0].n_events == 1  # late arrival (event 4) was dropped
     assert early_rows[0].sum_value == 1.0
+
+
+def test_windowed_topk_stream_equals_batch(spark, replay_dir):
+    """Windowed heavy hitters: the aggregation half streams (complete
+    mode over the replay), the rank half is applied to the sink table —
+    result must equal the all-batch plan."""
+    raw = spark.read.parquet(replay_dir)
+    batch = SE.topk_per_window(SE.windowed_user_counts(normalize_events_ts(raw)))
+
+    stream_in = normalize_events_ts(
+        SE.read_events_stream(spark, replay_dir, raw.schema)
+    )
+    counts = _run_stream_mode(spark, SE.windowed_user_counts(stream_in), "complete")
+    got = SE.topk_per_window(counts)
+
+    assert _rows(got, batch.columns) == _rows(batch)
