@@ -165,6 +165,8 @@ R6_ADDITIONS: list[str] = [
     "events_winsorize_stats",
     "retrieval_mmr_rerank",
     "stream_window_topk_users",
+    "dq_snapshot_diff",
+    "stat_chi2_independence",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -287,8 +289,9 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "rank_stats": ["stat_spearman_trend", "events_winsorize_stats"],
     "chunk_dedup": ["dedup_chunk_keep_first"],
     "basket": ["cf_part_cooccurrence_lift"],
-    "corpus_stats": ["text_distinctive_terms_odds"],
-    "dq_probe": ["dq_key_skew_report", "dq_profile_drift", "dq_k_anonymity_cells"],
+    "corpus_stats": ["text_distinctive_terms_odds", "stat_chi2_independence"],
+    "dq_probe": ["dq_key_skew_report", "dq_profile_drift", "dq_k_anonymity_cells",
+                 "dq_snapshot_diff"],
     "ann_eval": ["emb_matryoshka_recall", "emb_binary_quantize_recall",
                  "emb_hard_negative_mining"],
 }

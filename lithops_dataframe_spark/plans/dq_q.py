@@ -429,3 +429,95 @@ def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cl").cast("long").alias("n_clamped_low"),
         F.sum("ch").cast("long").alias("n_clamped_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation diff (crawl-over-crawl corpus accounting)
+# ---------------------------------------------------------------------------
+# Snapshot B is a DETERMINISTIC simulated next crawl of the documents
+# table: docs with doc_id % 17 = 3 vanish, docs with doc_id % 13 = 2 get
+# re-extracted text (upper-cased), docs with doc_id % 11 = 0 reappear
+# under a new id (doc_id + 1000000). Both engines derive B identically.
+_SNAPDIFF_ORACLE = """
+    WITH a AS (
+        SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 2 THEN upper(text) ELSE text END) AS fp,
+               n_chars
+        FROM documents WHERE doc_id % 17 <> 3
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp, n_chars
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    j AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.fp <> b.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(a.n_chars, 0) AS ca, COALESCE(b.n_chars, 0) AS cb
+        FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT status, COUNT(*)::BIGINT AS n_docs,
+           SUM(ca)::BIGINT AS sum_chars_a, SUM(cb)::BIGINT AS sum_chars_b
+    FROM j GROUP BY status
+"""
+
+
+@register("dq_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two corpus crawls by content
+    fingerprint (md5 of the text) and report added / removed / changed /
+    unchanged document counts with char-volume on each side — the
+    crawl-over-crawl accounting every corpus refresh publishes before
+    the new snapshot is promoted.
+
+    Scale shape: fingerprints are narrow per-row hashes computed in the
+    scan; the diff is ONE full outer join on doc_id (hash-partitioned
+    both sides) followed by a 4-group aggregate — no pairwise content
+    comparison anywhere. md5 is byte-identical across engines, so the
+    changed/unchanged split hash-matches exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5("text").alias("fp"), "n_chars")
+    docs_b = load_table(spark, sf_dir, "documents")
+    b = (
+        docs_b.filter(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 13 == 2, F.upper("text")).otherwise(
+                    F.col("text")
+                )
+            ).alias("fp"),
+            "n_chars",
+        )
+        .unionByName(
+            docs_b.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5("text").alias("fp"),
+                "n_chars",
+            )
+        )
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full")
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.fp") != F.col("b.fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            status.alias("status"),
+            F.coalesce(F.col("a.n_chars"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("b.n_chars"), F.lit(0)).alias("cb"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ca").cast("long").alias("sum_chars_a"),
+            F.sum("cb").cast("long").alias("sum_chars_b"),
+        )
+    )

@@ -348,3 +348,61 @@ def stat_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rho_shifted_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence cells (contingency-table association test)
+# ---------------------------------------------------------------------------
+_CHI2_ORACLE = """
+    WITH o AS (
+        SELECT lang, source, COUNT(*)::BIGINT AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    r AS (SELECT lang, SUM(o)::BIGINT AS r FROM o GROUP BY lang),
+    c AS (SELECT source, SUM(o)::BIGINT AS c FROM o GROUP BY source),
+    n AS (SELECT SUM(o)::BIGINT AS n FROM o)
+    SELECT o.lang, o.source, o.o, r.r, c.c,
+           (r.r * c.c)::DOUBLE / n.n AS expected,
+           (o.o - (r.r * c.c)::DOUBLE / n.n)
+             * (o.o - (r.r * c.c)::DOUBLE / n.n)
+             / ((r.r * c.c)::DOUBLE / n.n) AS chi2_contrib
+    FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n
+"""
+
+
+@register("stat_chi2_independence", oracle=_CHI2_ORACLE)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for the lang × source contingency
+    table: observed count, marginals, expected count, and the cell's χ²
+    contribution — the association test a corpus review runs to see
+    whether language mix differs by source (summing chi2_contrib gives
+    the statistic; per-cell rows keep every number hash-checkable).
+
+    Scale shape: one hash aggregate builds the O table (domain-bounded);
+    marginals and the total are aggregates OF the cell table, broadcast
+    back — the fact is scanned once. Exactness: counts/marginals are
+    BIGINTs; expected and the contribution are the SAME IEEE expression
+    over those exact integers in both engines (single multiply-divide
+    chains, no re-summation, no rounding step needed — identical doubles
+    hash identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    r = o.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    c = o.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    n = o.agg(F.sum("o").cast("long").alias("n"))
+    j = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    expected = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    dev = F.col("o") - expected
+    return j.select(
+        "lang",
+        "source",
+        "o",
+        "r",
+        "c",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_contrib"),
+    )
