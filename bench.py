@@ -167,6 +167,7 @@ R6_ADDITIONS: list[str] = [
     "stream_window_topk_users",
     "dq_snapshot_diff",
     "stat_chi2_independence",
+    "io_dpp_prune",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -520,3 +520,77 @@ def io_merge_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("src") == "upd", 1).otherwise(0)).alias("n_updated"),
         F.sum(F.when(F.col("src") == "ins", 1).otherwise(0)).alias("n_inserted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dynamic partition pruning (runtime prune of a partitioned fact scan)
+# ---------------------------------------------------------------------------
+_DPP_ORACLE = """
+    WITH f AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS m,
+               (round(o_totalprice * 100))::BIGINT AS cents
+        FROM orders
+    ),
+    d AS (
+        SELECT DISTINCT m,
+               substr(m, 1, 4) || 'Q' ||
+                   ((substr(m, 6, 2)::INT + 2) // 3)::VARCHAR AS q
+        FROM f
+    )
+    SELECT f.m, COUNT(*)::BIGINT AS n_orders, SUM(f.cents)::BIGINT AS revenue_cents
+    FROM f JOIN d ON d.m = f.m
+    WHERE d.q = '1995Q1'
+    GROUP BY f.m
+"""
+
+
+def dpp_frames(spark: SparkSession, sf_dir: str):
+    """Write the month-partitioned fact + the month dimension, read both
+    back, and return (fact, filtered dim) — shared by the registered
+    query and the plan-assertion test."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    fpath = os.path.join(_scratch("dpp"), "orders_by_month")
+    fact.repartition("m").write.partitionBy("m").mode("overwrite").parquet(fpath)
+
+    dim = fact.select("m").distinct().select(
+        "m",
+        F.concat(
+            F.substring("m", 1, 4),
+            F.lit("Q"),
+            ((F.substring("m", 6, 2).cast("int") + 2) / 3).cast("int").cast("string"),
+        ).alias("q"),
+    )
+    dpath = os.path.join(_scratch("dpp"), "month_dim")
+    dim.write.mode("overwrite").parquet(dpath)
+
+    f = spark.read.parquet(fpath)
+    d = spark.read.parquet(dpath).filter(F.col("q") == "1995Q1")
+    return f, d
+
+
+@register("io_dpp_prune", oracle=_DPP_ORACLE)
+def io_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a month-partitioned fact joined to a
+    month dimension filtered on a NON-partition column (quarter) — the
+    filter's matching partition keys are only known at runtime, so
+    Catalyst injects a dynamicpruning subquery into the fact scan and the
+    job reads 3 month directories out of ~80 (tests/test_dpp.py asserts
+    the plan carries the pruning subquery). This is the star-schema scan
+    pattern that makes a 100 TB date-partitioned fact affordable: the
+    fact never materializes outside the pruned partitions.
+
+    Exactness: revenue as integer cents; counts BIGINT."""
+    f, d = dpp_frames(spark, sf_dir)
+    return (
+        f.join(d, "m")
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
