@@ -184,13 +184,35 @@ def read_csv(
 
     skip_total = 0
     skip_ids: list[int] | None = None  # non-contiguous raw-row ids to drop
+    if callable(skiprows) and not isinstance(skiprows, bool):
+        # pandas applies the callable to EVERY raw row index — only sound
+        # when the whole file is known. If the file fits inside the snoop
+        # bound (EOF reached), evaluate driver-side into the equivalent
+        # index list and fall through to the list path (exact parity,
+        # reference io.py:18 forwards the full pandas surface); larger
+        # files keep the explicit refusal: a parallel scan has no stable
+        # global row order to feed the callable.
+        if any(ch in filepath for ch in "*?[") or "," in filepath:
+            raise ValueError(
+                "skiprows requires a single concrete file: a multi-file scan "
+                "has no stable global row order to skip from"
+            )
+        _raw = _snoop_head(spark, filepath)
+        if len(_raw) >= 262144:
+            raise ValueError(
+                "skiprows callable: file exceeds the snooped head bound — "
+                "the callable's domain is every global row index, which a "
+                "parallel scan has no stable order to provide; pass the "
+                "materialized index list instead"
+            )
+        _n_lines = len(_raw.decode(encoding or "utf-8", errors="replace").splitlines())
+        skiprows = [i for i in range(_n_lines) if skiprows(i)]
     _skip_empty = isinstance(skiprows, (list, tuple, set, range)) and len(skiprows) == 0
     if skiprows is not None and skiprows != 0 and not _skip_empty:
-        if isinstance(skiprows, bool) or callable(skiprows):
+        if isinstance(skiprows, bool):
             raise ValueError(
                 "skiprows: bounded int or bounded list of ints only — a "
-                "callable's domain is every global row index, which a "
-                "parallel scan has no stable order to provide"
+                "bool is not a row count"
             )
         if isinstance(skiprows, int):
             if skiprows < 0:

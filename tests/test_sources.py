@@ -137,8 +137,8 @@ def test_read_csv_skiprows_list_matches_pandas(spark, tmp_path):
 def test_read_csv_skiprows_rejected_forms(spark, csv_path, tmp_path):
     with pytest.raises(ValueError, match="single concrete file"):
         read_csv(spark, str(tmp_path / "*.csv"), skiprows=2)
-    with pytest.raises(ValueError, match="bounded int or bounded list"):
-        read_csv(spark, csv_path, skiprows=lambda i: i % 2 == 0)
+    with pytest.raises(ValueError, match="single concrete file"):
+        read_csv(spark, str(tmp_path / "*.csv"), skiprows=lambda i: i % 2 == 0)
     with pytest.raises(ValueError, match="bounded list of"):
         read_csv(spark, csv_path, skiprows=[0, -2])
     # negative INT must ValueError too, not IndexError on an empty
@@ -347,3 +347,35 @@ def test_pyds_pushdown_end_to_end(spark):
     )
     got = sorted(r["doc_id"] for r in df.collect())
     assert got == [d for d in range(100, 150) if d % 7 == 1]
+
+
+def test_read_csv_skiprows_callable_matches_pandas(spark, tmp_path):
+    """Callable skiprows (r6): exact pandas parity when the whole file is
+    known (fits the snoop bound) — the callable is evaluated driver-side
+    over every raw line index and becomes the equivalent list."""
+    import pandas as pd
+
+    p = tmp_path / "call.csv"
+    p.write_text(
+        "# junk\n"  # 0
+        "a,b\n"  # 1 header (first kept: callable skips 0 only among head)
+        "1,x\n"  # 2
+        "2,y\n"  # 3  skipped (odd raw index)
+        "3,z\n"  # 4
+        "4,w\n"  # 5  skipped
+    )
+    fn = lambda i: i == 0 or (i >= 3 and i % 2 == 1)  # noqa: E731
+    df = read_csv(spark, str(p), skiprows=fn)
+    exp = pd.read_csv(p, skiprows=fn)
+    assert [tuple(r) for r in df.collect()] == list(map(tuple, exp.itertuples(index=False)))
+    assert df.columns == list(exp.columns)
+
+
+def test_read_csv_skiprows_callable_large_file_refused(spark, tmp_path):
+    p = tmp_path / "big.csv"
+    with open(p, "w") as f:
+        f.write("a,b\n")
+        for i in range(40_000):
+            f.write(f"{i},xxxxxxxxxxxxxxxx\n")  # > 256 KiB snoop bound
+    with pytest.raises(ValueError, match="exceeds the snooped head bound"):
+        read_csv(spark, str(p), skiprows=lambda i: i % 2 == 0)
