@@ -168,6 +168,8 @@ R6_ADDITIONS: list[str] = [
     "dq_snapshot_diff",
     "stat_chi2_independence",
     "io_dpp_prune",
+    "events_decayed_value",
+    "split_temporal_cv_manifest",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -204,6 +206,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
         "events_time_weighted_avg",
         "events_counter_agg",
         "events_ohlc_bars",
+        "events_decayed_value",
     ],
     # ADC serving: corpus codes scale linearly, query tables are constant.
     # (graph_triangle_count is excluded like the pair ops: the 10x fixture

@@ -408,3 +408,116 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_calibration_bins(
         scored, "z", "doc_id", "y", bins=_CAL_BINS
     )
+
+
+# ---------------------------------------------------------------------------
+# rolling-origin temporal cross-validation manifest (leakage-safe folds)
+# ---------------------------------------------------------------------------
+# expanding-window folds over the 30-day events fixture: fold k trains on
+# everything before its boundary and tests on the following 6 days.
+_TCV_FOLDS = [
+    ("2024-01-07", "2024-01-13"),
+    ("2024-01-13", "2024-01-19"),
+    ("2024-01-19", "2024-01-25"),
+    ("2024-01-25", "2024-01-31"),
+]
+
+_TCV_FOLD_SQL = " UNION ALL ".join(
+    f"SELECT {k} AS fold, TIMESTAMP '{b}' AS b, TIMESTAMP '{e}' AS e"
+    for k, (b, e) in enumerate(_TCV_FOLDS, start=1)
+)
+
+_TCV_ORACLE = f"""
+    WITH folds AS ({_TCV_FOLD_SQL}),
+    tagged AS (
+        SELECT f.fold, ev.user_id,
+               (ev.ts < f.b) AS in_train,
+               (ev.ts >= f.b AND ev.ts < f.e) AS in_test,
+               (FLOOR(ev.value * 100 + 0.5))::BIGINT AS cents
+        FROM events ev CROSS JOIN folds f
+    ),
+    agg AS (
+        SELECT fold,
+               SUM(CASE WHEN in_train THEN 1 ELSE 0 END)::BIGINT AS train_n,
+               SUM(CASE WHEN in_test THEN 1 ELSE 0 END)::BIGINT AS test_n,
+               SUM(CASE WHEN in_train THEN cents ELSE 0 END)::BIGINT AS train_cents,
+               SUM(CASE WHEN in_test THEN cents ELSE 0 END)::BIGINT AS test_cents
+        FROM tagged GROUP BY fold
+    ),
+    uu AS (
+        SELECT fold, user_id,
+               MAX(CASE WHEN in_train THEN 1 ELSE 0 END) AS ht,
+               MAX(CASE WHEN in_test THEN 1 ELSE 0 END) AS he
+        FROM tagged WHERE in_train OR in_test
+        GROUP BY fold, user_id
+    ),
+    nu AS (
+        SELECT fold,
+               SUM(ht)::BIGINT AS train_users,
+               SUM(he)::BIGINT AS test_users,
+               SUM(CASE WHEN he = 1 AND ht = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS test_cold_users
+        FROM uu GROUP BY fold
+    )
+    SELECT a.fold, train_n, test_n, train_cents, test_cents,
+           train_users, test_users, test_cold_users
+    FROM agg a JOIN nu USING (fold)
+"""
+
+
+@register("split_temporal_cv_manifest", oracle=_TCV_ORACLE)
+def split_temporal_cv_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) temporal cross-validation
+    manifest: for each fold, train = everything before the boundary,
+    test = the following 6 days — the leakage-safe split plan for models
+    over time-ordered data (the temporal sibling of classifier_lr_kfold's
+    random folds), with per-fold row/value volumes and the cold-start
+    user count (test users never seen in train) that decides whether the
+    fold is evaluable.
+
+    Scale shape: the 4-row fold table broadcasts onto one fact scan
+    (conditional aggregates), plus one (fold, user) aggregate for the
+    cold-start rollup — the same two-exchange profile as
+    dq_profile_drift. All-BIGINT."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    folds = spark.createDataFrame(
+        [(k, b, e) for k, (b, e) in enumerate(_TCV_FOLDS, start=1)],
+        "fold int, b string, e string",
+    ).select(
+        "fold",
+        F.col("b").cast("timestamp").alias("b"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    tagged = ev.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        "user_id",
+        (F.col("ts") < F.col("b")).alias("in_train"),
+        ((F.col("ts") >= F.col("b")) & (F.col("ts") < F.col("e"))).alias("in_test"),
+        cents.alias("cents"),
+    )
+    it, ie = F.col("in_train"), F.col("in_test")
+    agg = tagged.groupBy("fold").agg(
+        F.sum(F.when(it, 1).otherwise(0)).cast("long").alias("train_n"),
+        F.sum(F.when(ie, 1).otherwise(0)).cast("long").alias("test_n"),
+        F.sum(F.when(it, F.col("cents")).otherwise(0)).cast("long").alias("train_cents"),
+        F.sum(F.when(ie, F.col("cents")).otherwise(0)).cast("long").alias("test_cents"),
+    )
+    uu = (
+        tagged.filter(it | ie)
+        .groupBy("fold", "user_id")
+        .agg(
+            F.max(F.when(it, 1).otherwise(0)).alias("ht"),
+            F.max(F.when(ie, 1).otherwise(0)).alias("he"),
+        )
+    )
+    nu = uu.groupBy("fold").agg(
+        F.sum("ht").cast("long").alias("train_users"),
+        F.sum("he").cast("long").alias("test_users"),
+        F.sum(F.when((F.col("he") == 1) & (F.col("ht") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("test_cold_users"),
+    )
+    return agg.join(nu, "fold")

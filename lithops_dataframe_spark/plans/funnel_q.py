@@ -669,3 +669,48 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_points"),
         F.sum("cents").cast("long").alias("volume_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# recency-decayed user value (step half-life via exact bit shifts)
+# ---------------------------------------------------------------------------
+_DECAY_ASOF = "2024-01-31"
+
+_DECAY_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id,
+               (FLOOR(value * 100 + 0.5))::BIGINT AS cents,
+               (date_diff('day', ts, TIMESTAMP '{_DECAY_ASOF}') // 7)::INT AS wk
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(cents)::BIGINT AS raw_cents,
+           SUM(cents // (1::BIGINT << wk))::BIGINT AS decayed_cents
+    FROM e GROUP BY user_id
+"""
+
+
+@register("events_decayed_value", oracle=_DECAY_ORACLE)
+def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed user value with a one-week step half-life: each
+    event contributes cents ÷ 2^(age-in-weeks) as of a fixed scoring
+    date — the recency-weighted LTV/engagement feature, computed EXACTLY
+    (integer bit-shift halving, no transcendental decay whose libm
+    rounding could differ between engines).
+
+    Scale shape: one narrow projection + one hash aggregate with map-side
+    partials; nothing else. All-BIGINT."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    wk = F.floor(
+        F.datediff(F.lit(_DECAY_ASOF).cast("date"), F.col("ts").cast("date")) / 7
+    ).cast("int")
+    e = ev.select("user_id", cents.alias("cents"), wk.alias("wk"))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.sum(F.expr("cents div shiftleft(CAST(1 AS BIGINT), wk)"))
+        .cast("long")
+        .alias("decayed_cents"),
+    )

@@ -137,8 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 43 queries below (down to
-    # io_dpp_prune inclusive) are the ONLY never-driver-gated
+    # ROUND-7 ROTATION PLAN: the 45 queries below (down to
+    # split_temporal_cv_manifest inclusive) are the ONLY never-driver-gated
     # registrations after the r6 sweep (all added mid-r6, after the 50
     # slots were full) — the first 30 fill slots 21-50 next round,
     # keeping the 20 anchors; the overflow and any r7-modified queries
@@ -186,6 +186,8 @@ PRIORITY: tuple[str, ...] = (
     "dq_snapshot_diff",  # NEW r6-cont: crawl-over-crawl md5 reconciliation
     "stat_chi2_independence",  # NEW r6-cont: contingency chi-square cells
     "io_dpp_prune",  # NEW r6-cont: dynamic partition pruning star scan
+    "events_decayed_value",  # NEW r6-cont: exact bit-shift recency decay
+    "split_temporal_cv_manifest",  # NEW r6-cont: rolling-origin CV folds
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
