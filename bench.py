@@ -170,6 +170,8 @@ R6_ADDITIONS: list[str] = [
     "io_dpp_prune",
     "events_decayed_value",
     "split_temporal_cv_manifest",
+    "sample_hash_per_group",
+    "events_ab_assignment",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -714,3 +714,65 @@ def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("decayed_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment assignment with sample-ratio-mismatch (SRM) balance sheet
+# ---------------------------------------------------------------------------
+_AB_ARMS = 2
+
+_AB_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               (('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 8))::BIGINT
+                % {_AB_ARMS})::INT AS arm,
+               COUNT(*)::BIGINT AS n_events,
+               SUM((FLOOR(value * 100 + 0.5))::BIGINT)::BIGINT AS cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT arm,
+           COUNT(*)::BIGINT AS n_users,
+           SUM(n_events)::BIGINT AS n_events,
+           SUM(cents)::BIGINT AS sum_cents
+    FROM u GROUP BY arm
+"""
+
+
+@register("events_ab_assignment", oracle=_AB_ORACLE)
+def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based A/B experiment assignment: every user lands in a stable
+    arm via the first 32 bits of a salted md5 (same user → same arm
+    forever, new salt → fresh randomization), reported as per-arm
+    user/event/value volumes — the balance sheet whose user-count
+    symmetry IS the sample-ratio-mismatch check an experiment platform
+    runs before trusting any lift number.
+
+    Scale shape: one (user, arm) aggregate then an arms-row rollup — the
+    assignment never materializes a mapping table. Exactness: md5 is
+    byte-identical across engines and the 8-hex-char value fits BIGINT
+    positive, so arm assignment and every count hash-match."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _AB_ARMS
+    ).cast("int")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    u = (
+        ev.select("user_id", arm.alias("arm"), cents.alias("cents"))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    return u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

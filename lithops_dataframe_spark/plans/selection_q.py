@@ -75,3 +75,53 @@ def select_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return dsir_select(docs, F.col("lang") == _TARGET_LANG, k=_K)
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group hash sample (salted-hash eval-set draw)
+# ---------------------------------------------------------------------------
+_HSAMPLE_K = 10
+
+_HSAMPLE_ORACLE = f"""
+    WITH h AS (
+        SELECT source, doc_id, n_chars,
+               md5('s1:' || doc_id::VARCHAR) AS hk
+        FROM documents
+    ),
+    rk AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rank
+        FROM h
+    )
+    SELECT source, rank::INT AS rank, doc_id, n_chars
+    FROM rk WHERE rank <= {_HSAMPLE_K}
+"""
+
+
+@register("sample_hash_per_group", oracle=_HSAMPLE_ORACLE)
+def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: the k documents per source with the
+    smallest salted md5 — the reproducible "random" eval-set draw (same
+    salt → same sample on any engine, any day, any partitioning; change
+    the salt to redraw). This is how a pipeline freezes a review sample
+    without a seed-dependent RNG.
+
+    Scale shape: a narrow hash projection + one rank window per source
+    (WindowGroupLimit pushes the top-k below the shuffle). md5 is
+    byte-identical across engines; ties (impossible: doc_id is in the
+    ordering) are deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    h = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        h.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _HSAMPLE_K)
+        .select("source", "rank", "doc_id", "n_chars")
+    )
