@@ -172,6 +172,7 @@ R6_ADDITIONS: list[str] = [
     "split_temporal_cv_manifest",
     "sample_hash_per_group",
     "events_ab_assignment",
+    "dedup_ensemble_agreement",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

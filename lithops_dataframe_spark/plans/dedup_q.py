@@ -569,3 +569,96 @@ def dedup_chunk_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("new_n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ensemble dedup agreement (text MinHash-LSH × embedding near-dup)
+# ---------------------------------------------------------------------------
+def _ensemble_oracle() -> str:
+    """Compose the two verified pair sets — the MinHash-LSH text pairs
+    (same CTE chain as _MINHASH_ORACLE) and the exact embedding cosine
+    pairs at the sim threshold (same unit-normalize-then-dot chain as
+    similarity_q) — and classify every pair by which detector found it."""
+    from lithops_dataframe_spark.operators import similarity as S
+    from lithops_dataframe_spark.plans.similarity_q import _NEARDUP_T, _dot_sql
+
+    return f"""
+    WITH shng AS (
+        SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+        SELECT id, sh, {H.minhash_signature_sql('sh')} AS sig FROM shng
+    ),
+    bands AS (
+      {_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    ),
+    tx AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN shng sa ON sa.id = cand.id_a
+        JOIN shng sb ON sb.id = cand.id_b
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+    ),
+    u AS (
+        SELECT vec_id AS id,
+               list_transform(range(1, {S.DIM + 1}),
+                              i -> embedding[i]::DOUBLE
+                                   / sqrt({_dot_sql('embedding', 'embedding')})) AS unit
+        FROM embeddings
+    ),
+    em AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM u a JOIN u b ON a.id < b.id
+        WHERE {_dot_sql('a.unit', 'b.unit')} >= {_NEARDUP_T}
+    ),
+    cls AS (
+        SELECT CASE WHEN t.id_a IS NOT NULL AND e.id_a IS NOT NULL THEN 'both'
+                    WHEN t.id_a IS NOT NULL THEN 'text_only'
+                    ELSE 'embedding_only' END AS detector
+        FROM tx t FULL JOIN em e
+          ON t.id_a = e.id_a AND t.id_b = e.id_b
+    )
+    SELECT detector, COUNT(*)::BIGINT AS n_pairs FROM cls GROUP BY detector
+    """
+
+
+@register("dedup_ensemble_agreement", oracle=_ensemble_oracle())
+def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-detector agreement matrix: run the lexical near-dup pass
+    (MinHash-LSH, Jaccard-verified) and the semantic near-dup pass
+    (embedding cosine) over the same corpus ids and count pairs found by
+    both / only text / only embeddings — the calibration analysis that
+    decides which detector (or the union) a production cleaning pipeline
+    should trust, and at what thresholds.
+
+    Scale shape: each detector keeps its own scale path (banded postings
+    self-join; LSH-bucketed cosine — the exact quadratic is only the
+    oracle's replay); the agreement step is ONE join of two already-tiny
+    pair sets. Counts are BIGINTs."""
+    from lithops_dataframe_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    tx = D.minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
+    emb = load_table(spark, sf_dir, "embeddings")
+    em = S.cosine_near_dup_pairs(emb, threshold=0.4, use_lsh=False).select(
+        F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b")
+    )
+    j = tx.join(
+        em, (F.col("id_a") == F.col("e_a")) & (F.col("id_b") == F.col("e_b")), "full"
+    )
+    detector = (
+        F.when(F.col("id_a").isNotNull() & F.col("e_a").isNotNull(), "both")
+        .when(F.col("id_a").isNotNull(), "text_only")
+        .otherwise("embedding_only")
+    )
+    return (
+        j.select(detector.alias("detector"))
+        .groupBy("detector")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
