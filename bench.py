@@ -173,6 +173,7 @@ R6_ADDITIONS: list[str] = [
     "sample_hash_per_group",
     "events_ab_assignment",
     "dedup_ensemble_agreement",
+    "pack_length_buckets",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -191,7 +192,8 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # shuffles and the old plan's full fact join dominates. The curve
     # records the exponent so that claim stays a number.
     "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers", "q07_nation_volume"],
-    "window": ["q02_min_cost_supplier", "pack_training_sequences", "pack_concat_chunks"],
+    "window": ["q02_min_cost_supplier", "pack_training_sequences", "pack_concat_chunks",
+               "pack_length_buckets"],
     "text": ["text_quality_by_source", "text_hashed_tfidf"],
     "streaming": ["stream_session_windows", "stream_window_topk_users"],
     "ann": ["sim_cosine_topk_lsh"],

@@ -654,3 +654,101 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed inference batch planner (dynamic-batching manifest)
+# ---------------------------------------------------------------------------
+_LB_BUDGET = 1024  # padded tokens per micro-batch
+
+_LB_BUCKET_SQL = """CASE WHEN t <= 8 THEN 8 WHEN t <= 16 THEN 16
+         WHEN t <= 32 THEN 32 WHEN t <= 64 THEN 64 WHEN t <= 128 THEN 128
+         WHEN t <= 256 THEN 256 WHEN t <= 512 THEN 512 ELSE 1024 END"""
+
+_LB_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS t FROM documents
+    ),
+    b AS (
+        SELECT doc_id, t, ({_LB_BUCKET_SQL})::BIGINT AS bucket FROM d
+    ),
+    rk AS (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS r
+        FROM b
+    ),
+    asg AS (
+        SELECT bucket, t,
+               ((r - 1) // ({_LB_BUDGET} // bucket))::BIGINT AS batch_id
+        FROM rk
+    )
+    SELECT bucket, batch_id,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(t)::BIGINT AS real_tokens,
+           (COUNT(*) * bucket)::BIGINT AS padded_tokens,
+           (SUM(t) * 1000 // (COUNT(*) * bucket))::BIGINT AS fill_permille
+    FROM asg GROUP BY bucket, batch_id
+"""
+
+
+@register("pack_length_buckets", oracle=_LB_ORACLE)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batch planner: round every document's
+    token count up to a power-of-two bucket, pack each bucket's documents
+    into fixed-token-budget micro-batches, and report per-batch padding
+    efficiency — the dynamic-batching manifest every LLM inference server
+    builds (padding waste is the cost of serving; the fill_permille
+    column is the number you tune bucket boundaries with).
+
+    Scale shape: token counts and buckets are narrow per-row maps; the
+    in-bucket sequence number uses a GROUPED two-phase exact rank —
+    range-partition on (bucket, doc_id), per-partition local row_number,
+    then a broadcast per-(partition, bucket) count carry — so no bucket
+    ever becomes a one-task global window (the handful of buckets would
+    otherwise cap parallelism at the bucket count). All-BIGINT outputs;
+    batch assignment is a closed-form floor division of the exact rank."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.size(F.split("text", " ")).cast("long")
+    d = docs.select("doc_id", t.alias("t"))
+    bucket = (
+        F.when(F.col("t") <= 8, 8)
+        .when(F.col("t") <= 16, 16)
+        .when(F.col("t") <= 32, 32)
+        .when(F.col("t") <= 64, 64)
+        .when(F.col("t") <= 128, 128)
+        .when(F.col("t") <= 256, 256)
+        .when(F.col("t") <= 512, 512)
+        .otherwise(1024)
+        .cast("long")
+    )
+    b = d.select("doc_id", "t", bucket.alias("bucket"))
+
+    part = b.repartitionByRange(F.col("bucket").asc(), F.col("doc_id").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid", "bucket").orderBy("doc_id")
+    local = part.withColumn("__r_loc", F.row_number().over(wloc).cast("long"))
+    totals = part.groupBy("__pid", "bucket").agg(F.count(F.lit(1)).alias("__pt"))
+    wcum = (
+        Window.partitionBy("bucket")
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        "bucket",
+        F.coalesce(F.sum("__pt").over(wcum), F.lit(0).cast("long")).alias("__off"),
+    )
+    ranked = local.join(F.broadcast(offs), ["__pid", "bucket"]).withColumn(
+        "batch_id",
+        F.expr(f"(__r_loc + __off - 1) div ({_LB_BUDGET} div bucket)").cast("long"),
+    )
+    return ranked.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("t").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.col("bucket")).cast("long").alias("padded_tokens"),
+        F.expr("sum(t) * 1000 div (count(1) * bucket)")
+        .cast("long")
+        .alias("fill_permille"),
+    )
