@@ -126,6 +126,28 @@ HEADLINE = [
     "emb_matryoshka_recall",
     "pack_concat_chunks",
     "join_scd2_pointintime",
+    # round-6 continuation, third batch
+    "emb_binary_quantize_recall",
+    "emb_hard_negative_mining",
+    "decontaminate_semantic",
+    "events_ohlc_bars",
+    "dq_profile_drift",
+    "stat_spearman_trend",
+    "dedup_chunk_keep_first",
+    "eval_calibration_bins",
+    "dq_k_anonymity_cells",
+    "events_winsorize_stats",
+    "retrieval_mmr_rerank",
+    "stream_window_topk_users",
+    "dq_snapshot_diff",
+    "stat_chi2_independence",
+    "io_dpp_prune",
+    "events_decayed_value",
+    "split_temporal_cv_manifest",
+    "sample_hash_per_group",
+    "events_ab_assignment",
+    "dedup_ensemble_agreement",
+    "pack_length_buckets",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
@@ -149,6 +171,22 @@ ALLOW_NESTED_LOOP = {
     # 5-row query frame (vec_id < literal) broadcast against the corpus
     # scan; the 100 TB path is ann_topk, exactly as for the hybrid leg
     "emb_matryoshka_recall",
+    # r6 third batch: every entry below broadcasts a BOUNDED query/anchor
+    # frame against a single corpus scan (the documented brute-force
+    # baseline; the 100 TB serving path is ann_topk / banded LSH):
+    # packed 5-query Hamming scorer + the full-precision top-k leg
+    "emb_binary_quantize_recall",
+    # 5-anchor frame, label-mismatch filtered before scoring
+    "emb_hard_negative_mining",
+    # bounded held-out benchmark set, short-circuiting semi/anti passes
+    "decontaminate_semantic",
+    # 3-anchor top-20 pools; the pair matrix is k²-bounded per anchor
+    "retrieval_mmr_rerank",
+    # 4-row literal fold table cross-joined onto one fact scan
+    "split_temporal_cv_manifest",
+    # composes the exact embedding near-dup baseline (documented small-Q
+    # shape); the text side is the banded-LSH postings join
+    "dedup_ensemble_agreement",
 }
 
 # Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
@@ -210,6 +248,10 @@ ALLOW_ONE_ROW_BROADCAST = {
     "dq_key_skew_report",
     # same generated 30-day spine, broadcast into the per-user cross join
     "events_gapfill_interpolate",
+    # r6 third batch: the grand-total (n) frame is a single-row
+    # grouping-free aggregate crossJoined onto the domain-bounded cell
+    # table — the compare-to-total pattern, Keys: [] provenance checked
+    "stat_chi2_independence",
 }
 
 
