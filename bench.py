@@ -174,6 +174,7 @@ R6_ADDITIONS: list[str] = [
     "events_ab_assignment",
     "dedup_ensemble_agreement",
     "pack_length_buckets",
+    "stream_view_click_full_outer",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -240,7 +241,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "bpe_encode": ["bpe_encode_token_stats"],
     "grouped_ols": ["udf_grouped_ols_trend"],
     "merge_upsert": ["io_merge_upsert_partitioned"],
-    "stream_join": ["stream_view_click_left_outer"],
+    "stream_join": ["stream_view_click_left_outer", "stream_view_click_full_outer"],
     # round-6 (VERDICT_r05 task 8): the distributed-state iterative loop,
     # measured on a copy-local edge set. graph_pagerank itself stays
     # excluded (same-day pairs across key-shifted copies densify the

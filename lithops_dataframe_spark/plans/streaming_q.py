@@ -449,3 +449,40 @@ def stream_window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream≡batch in tests/test_streaming.py). All-BIGINT outputs;
     deterministic (count, cents, user) tie-break."""
     return SE.topk_per_window(SE.windowed_user_counts(_events(spark, sf_dir)))
+
+
+_FULL_OUTER_ORACLE = """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    j AS (
+        SELECT COALESCE(v.user_id, c.user_id) AS user_id,
+               v.ts AS v_ts, c.ts AS c_ts, c.value AS c_value
+        FROM v FULL JOIN c
+          ON c.user_id = v.user_id
+         AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN v_ts IS NOT NULL AND c_ts IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+           SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_orphan_views,
+           SUM(CASE WHEN v_ts IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_orphan_clicks,
+           COALESCE(SUM(CASE WHEN v_ts IS NOT NULL
+                             THEN CAST(ROUND(c_value * 100) AS BIGINT) END),
+                    0)::BIGINT AS attributed_cents
+    FROM j GROUP BY user_id
+"""
+
+
+@register("stream_view_click_full_outer", oracle=_FULL_OUTER_ORACLE)
+def stream_view_click_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (round 6 — completes the
+    inner/left/full matrix), batch twin: the two-sided attribution
+    ledger per user (matched pairs, orphan views, orphan clicks, exact
+    attributed cents). The genuinely-streaming behavior — eager matched
+    emission, BOTH null classes gated on provable watermark eviction,
+    end-of-stream holdback on both sides — is asserted in
+    tests/test_streaming.py::test_stream_full_outer_join."""
+    return SE.view_click_full_outer_coverage(_events(spark, sf_dir))

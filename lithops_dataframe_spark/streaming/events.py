@@ -484,3 +484,61 @@ def topk_per_window(counts: DataFrame, *, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("w_start", "rank", "user_id", "n_events", "sum_cents")
     )
+
+
+def view_click_full_outer_pairs(
+    events: DataFrame, *, within: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (round 6 — completes the
+    inner/left/full matrix): matched view→click pairs emit eagerly;
+    an unmatched VIEW emits with null click columns once the watermark
+    passes ``v_ts + within``; an unmatched CLICK (no preceding view in
+    the window) emits with null view columns once the watermark passes
+    its own state horizon. Both null classes are gated on provable state
+    eviction — the same correctness contract as the left-outer variant,
+    applied to both sides. The batch twin is the plain full outer join;
+    the stream emits its watermark-settled prefix (both sides held back
+    near end-of-stream — asserted in tests/test_streaming.py)."""
+    views = with_watermark(events.filter(F.col("event_type") == "view")).select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    clicks = with_watermark(events.filter(F.col("event_type") == "click")).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        _ntz("v_ts", "v_ts"),
+        _ntz("c_ts", "c_ts"),
+        "c_value",
+    )
+
+
+def view_click_full_outer_coverage(
+    events: DataFrame, *, within: str = "30 minutes"
+) -> DataFrame:
+    """Batch rollup of :func:`view_click_full_outer_pairs` per user:
+    matched pairs, orphan views, orphan clicks, and attributed cents —
+    the two-sided attribution ledger (outer joins can't feed an
+    unwindowed aggregate in streaming mode; the streaming contract is
+    tested on the pair stream itself)."""
+    pairs = view_click_full_outer_pairs(events, within=within)
+    cents = F.round(F.col("c_value") * 100, 0).cast("long")
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.col("v_ts").isNotNull() & F.col("c_ts").isNotNull()).cast("int"))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum((F.col("c_ts").isNull()).cast("int")).cast("long").alias("n_orphan_views"),
+        F.sum((F.col("v_ts").isNull()).cast("int")).cast("long").alias("n_orphan_clicks"),
+        F.coalesce(F.sum(F.when(F.col("v_ts").isNotNull(), cents)), F.lit(0))
+        .cast("long")
+        .alias("attributed_cents"),
+    )

@@ -267,3 +267,45 @@ def test_windowed_topk_stream_equals_batch(spark, replay_dir):
     got = SE.topk_per_window(counts)
 
     assert _rows(got, batch.columns) == _rows(batch)
+
+
+def test_stream_full_outer_join_equals_batch_settled_prefix(spark, replay_dir):
+    """Stream-stream FULL OUTER join: matched pairs equal the batch inner
+    pairs exactly; BOTH null classes (orphan views and orphan clicks)
+    appear only for rows the watermark provably evicted, and every orphan
+    older than the settled horizon must have been emitted."""
+    raw = spark.read.parquet(replay_dir)
+    batch_in = normalize_events_ts(raw)
+    expected = SE.view_click_full_outer_pairs(batch_in)
+
+    stream_in = normalize_events_ts(SE.read_events_stream(spark, replay_dir, raw.schema))
+    got = _run_stream_mode(
+        spark, SE.view_click_full_outer_pairs(stream_in), "append"
+    )
+
+    cols = ["user_id", "v_ts", "c_ts", "c_value"]
+    exp_matched = _rows(expected.filter("v_ts IS NOT NULL AND c_ts IS NOT NULL"), cols)
+    got_matched = _rows(got.filter("v_ts IS NOT NULL AND c_ts IS NOT NULL"), cols)
+    assert got_matched == exp_matched, "matched pairs must equal the inner join"
+
+    import datetime
+
+    max_view = batch_in.filter("event_type = 'view'").agg({"ts": "max"}).collect()[0][0]
+    max_click = batch_in.filter("event_type = 'click'").agg({"ts": "max"}).collect()[0][0]
+    settled = min(max_view, max_click) - datetime.timedelta(days=1, minutes=30)
+
+    # orphan views: subset of batch's, with the settled prefix complete
+    exp_ov = set(_rows(expected.filter("c_ts IS NULL"), ["user_id", "v_ts"]))
+    got_ov = set(_rows(got.filter("c_ts IS NULL"), ["user_id", "v_ts"]))
+    assert got_ov <= exp_ov, "stream emitted an orphan view the batch join refutes"
+    must_ov = {r for r in exp_ov if r[1] < settled}
+    assert must_ov - got_ov == set(), "settled orphan views never emitted"
+    assert must_ov, "fixture produced no settled orphan views — test vacuous"
+
+    # orphan clicks: same contract on the other side
+    exp_oc = set(_rows(expected.filter("v_ts IS NULL"), ["user_id", "c_ts"]))
+    got_oc = set(_rows(got.filter("v_ts IS NULL"), ["user_id", "c_ts"]))
+    assert got_oc <= exp_oc, "stream emitted an orphan click the batch join refutes"
+    must_oc = {r for r in exp_oc if r[1] < settled}
+    assert must_oc - got_oc == set(), "settled orphan clicks never emitted"
+    assert must_oc, "fixture produced no settled orphan clicks — test vacuous"
