@@ -175,6 +175,7 @@ R6_ADDITIONS: list[str] = [
     "dedup_ensemble_agreement",
     "pack_length_buckets",
     "stream_view_click_full_outer",
+    "bpe_fertility_by_lang",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -238,7 +239,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # O(touched) claim. Grouped OLS and BPE encode are linear scans /
     # vocabulary-bounded respectively; the stream outer join's per-user
     # fan-out is copy-local.)
-    "bpe_encode": ["bpe_encode_token_stats"],
+    "bpe_encode": ["bpe_encode_token_stats", "bpe_fertility_by_lang"],
     "grouped_ols": ["udf_grouped_ols_trend"],
     "merge_upsert": ["io_merge_upsert_partitioned"],
     "stream_join": ["stream_view_click_left_outer", "stream_view_click_full_outer"],

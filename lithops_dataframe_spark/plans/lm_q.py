@@ -808,3 +808,86 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the driver. All-integer semantics → the unrolled MATERIALIZED-CTE
     oracle replays the fixed iteration count bit-identically."""
     return label_propagation_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility per language (tokens-per-word under the trained BPE)
+# ---------------------------------------------------------------------------
+_FERTILITY_ORACLE = (
+    _bpe_oracle_ctes(_BPE_MERGES, _BPE_MAX_WORDS)
+    + f""",
+    tw AS (
+        SELECT wid, MAX(pos)::BIGINT AS n_toks FROM tok{_BPE_MERGES} GROUP BY wid
+    ),
+    lw AS (
+        SELECT lang, word, COUNT(*)::BIGINT AS cnt FROM (
+            SELECT lang,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+            FROM documents
+        ) WHERE length(word) > 0
+        GROUP BY lang, word
+    )
+    SELECT lang,
+           SUM(CASE WHEN tw.wid IS NOT NULL THEN lw.cnt ELSE 0 END)::BIGINT
+               AS vocab_words,
+           SUM(CASE WHEN tw.wid IS NULL THEN lw.cnt ELSE 0 END)::BIGINT
+               AS oov_words,
+           SUM(CASE WHEN tw.wid IS NOT NULL THEN lw.cnt * tw.n_toks
+                    ELSE 0 END)::BIGINT AS tokens,
+           (SUM(CASE WHEN tw.wid IS NOT NULL THEN lw.cnt * tw.n_toks ELSE 0 END)
+            * 1000
+            // SUM(CASE WHEN tw.wid IS NOT NULL THEN lw.cnt ELSE 0 END))::BIGINT
+               AS fertility_permille
+    FROM lw LEFT JOIN tw ON tw.wid = lw.word
+    GROUP BY lang
+"""
+)
+
+
+@register("bpe_fertility_by_lang", oracle=_FERTILITY_ORACLE)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: average tokens-per-word under the
+    TRAINED BPE, per language, plus the out-of-vocabulary word volume —
+    the fairness metric every multilingual tokenizer report publishes
+    (a language with fertility 2× pays 2× the context window and 2× the
+    serving cost; OOV volume says whose text the vocab never learned).
+
+    Scale shape: the per-word token count comes from the trained
+    vocabulary table (bounded by max_words, never the corpus); the
+    per-language word counts are one corpus scan + hash aggregate; the
+    join is vocabulary-sized and broadcastable. The oracle replays
+    training + encoding through the same unrolled CTE chain, so every
+    count and the integer-permille fertility hash-match."""
+    from lithops_dataframe_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, tok = bpe_train(
+        docs, "text", n_merges=_BPE_MERGES, max_words=_BPE_MAX_WORDS, return_tokens=True
+    )
+    tw = tok.groupBy("wid").agg(F.max("pos").cast("long").alias("n_toks"))
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower("text"), "[^a-z0-9]+")
+            ).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    j = lw.join(F.broadcast(tw), lw.word == tw.wid, "left")
+    in_vocab = F.col("wid").isNotNull()
+    return j.groupBy("lang").agg(
+        F.sum(F.when(in_vocab, F.col("cnt")).otherwise(0)).cast("long").alias("vocab_words"),
+        F.sum(F.when(~in_vocab, F.col("cnt")).otherwise(0)).cast("long").alias("oov_words"),
+        F.sum(F.when(in_vocab, F.col("cnt") * F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("tokens"),
+        F.expr(
+            "sum(CASE WHEN wid IS NOT NULL THEN cnt * n_toks ELSE 0 END) * 1000 "
+            "div sum(CASE WHEN wid IS NOT NULL THEN cnt ELSE 0 END)"
+        )
+        .cast("long")
+        .alias("fertility_permille"),
+    )

@@ -137,8 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 50 queries below (down to
-    # stream_view_click_full_outer inclusive) are the ONLY never-driver-gated
+    # ROUND-7 ROTATION PLAN: the 51 queries below (down to
+    # bpe_fertility_by_lang inclusive) are the ONLY never-driver-gated
     # registrations after the r6 sweep (all added mid-r6, after the 50
     # slots were full) — the first 30 fill slots 21-50 next round,
     # keeping the 20 anchors; the overflow and any r7-modified queries
@@ -193,6 +193,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_ensemble_agreement",  # NEW r6-cont: text×embedding detector matrix
     "pack_length_buckets",  # NEW r6-cont: dynamic-batching padding manifest
     "stream_view_click_full_outer",  # NEW r6-cont: full-outer stream join
+    "bpe_fertility_by_lang",  # NEW r6-cont: tokens-per-word fairness metric
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
