@@ -176,6 +176,7 @@ R6_ADDITIONS: list[str] = [
     "pack_length_buckets",
     "stream_view_click_full_outer",
     "bpe_fertility_by_lang",
+    "cf_negative_sampling",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -299,7 +300,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "decon_semantic": ["decontaminate_semantic"],
     "rank_stats": ["stat_spearman_trend", "events_winsorize_stats"],
     "chunk_dedup": ["dedup_chunk_keep_first"],
-    "basket": ["cf_part_cooccurrence_lift"],
+    "basket": ["cf_part_cooccurrence_lift", "cf_negative_sampling"],
     "corpus_stats": ["text_distinctive_terms_odds", "stat_chi2_independence"],
     "dq_probe": ["dq_key_skew_report", "dq_profile_drift", "dq_k_anonymity_cells",
                  "dq_snapshot_diff"],

@@ -90,3 +90,127 @@ def cf_part_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_permille").desc(), "part_a", "part_b")
         .limit(_COOC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling for implicit-feedback training
+# ---------------------------------------------------------------------------
+_NEG_CANDS = 4  # hash candidates drawn per positive
+_NEG_KEEP = 2  # negatives kept per positive
+
+
+def _neg_oracle() -> str:
+    cand_union = " UNION ALL ".join(f"SELECT {j} AS j" for j in range(_NEG_CANDS))
+    return f"""
+    WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part_id
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    np AS (SELECT MAX(p_partkey)::BIGINT AS maxp FROM part),
+    js AS ({cand_union}),
+    gen AS (
+        SELECT p.user_id, p.part_id, j.j,
+               (('0x' || substr(md5('neg:' || p.user_id::VARCHAR || ':'
+                                 || p.part_id::VARCHAR || ':' || j.j::VARCHAR),
+                                1, 8))::BIGINT % np.maxp) + 1 AS cand
+        FROM pos p CROSS JOIN js j CROSS JOIN np
+    ),
+    valid AS (
+        SELECT g.user_id, g.part_id, g.j, g.cand
+        FROM gen g
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p2
+            WHERE p2.user_id = g.user_id AND p2.part_id = g.cand)
+    ),
+    kept AS (
+        SELECT user_id, part_id, cand,
+               row_number() OVER (PARTITION BY user_id, part_id
+                                  ORDER BY j) AS rk
+        FROM valid
+    )
+    SELECT user_id,
+           COUNT(DISTINCT part_id)::BIGINT AS n_pos,
+           SUM(CASE WHEN rk <= {_NEG_KEEP} THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+           SUM(CASE WHEN rk <= {_NEG_KEEP} THEN cand ELSE 0 END)::BIGINT
+               AS neg_key_checksum
+    FROM kept GROUP BY user_id
+    """
+
+
+@register("cf_negative_sampling", oracle=_neg_oracle())
+def cf_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training:
+    for every (user, item) positive, draw hash-derived candidate items,
+    drop any that are actually positives for that user (no false
+    negatives), and keep the first k survivors — the contrastive
+    training-pair generator behind every implicit-feedback recommender,
+    made reproducible (salted md5, no RNG) so a re-run or another engine
+    emits the SAME pairs. Reported per user with a checksum over the
+    kept negative keys so the oracle gates the exact pair set, not just
+    counts.
+
+    Scale shape: candidate generation is a narrow map (positives ×
+    {_NEG_CANDS} literal draws); the false-negative filter is one
+    anti-join back onto the positives on the SAME (user, item) key — the
+    shuffle the training-pair build pays anyway; the keep-k is a rank
+    window per positive (bounded {_NEG_CANDS} rows each). All-BIGINT."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"), F.col("l_partkey").alias("part_id"))
+        .distinct()
+    )
+    maxp = load_table(spark, sf_dir, "part").agg(
+        F.max("p_partkey").cast("long").alias("maxp")
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(_NEG_CANDS)])).alias("j")
+    gen = (
+        pos.crossJoin(F.broadcast(maxp))
+        .select("user_id", "part_id", "maxp", js)
+        .withColumn(
+            "cand",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.col("part_id").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("maxp")
+            + 1,
+        )
+    )
+    pos2 = load_table(spark, sf_dir, "orders").join(
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_custkey").alias("u2"), F.col("l_partkey").alias("p2")
+    ).distinct()
+    valid = gen.join(
+        pos2,
+        (F.col("user_id") == F.col("u2")) & (F.col("cand") == F.col("p2")),
+        "left_anti",
+    )
+    w = Window.partitionBy("user_id", "part_id").orderBy("j")
+    kept = valid.withColumn("rk", F.row_number().over(w))
+    return kept.groupBy("user_id").agg(
+        F.count_distinct("part_id").cast("long").alias("n_pos"),
+        F.sum((F.col("rk") <= _NEG_KEEP).cast("int")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("rk") <= _NEG_KEEP, F.col("cand")).otherwise(0))
+        .cast("long")
+        .alias("neg_key_checksum"),
+    )
