@@ -155,3 +155,19 @@ def test_operators_handle_empty_inputs(spark):
     assert D.exact_dedup(docs.select("doc_id", "text")).count() == 0
     assert S.ann_topk(emb, emb, k=3).count() == 0
     assert S.brute_force_topk(emb, emb, k=3).count() == 0
+
+
+def test_sign_word_packing_matches_float_signs(spark, sf_dir):
+    """Binary quantization: the two packed 32-bit sign words must agree
+    bit-for-bit with the float signs of the embedding components."""
+    from lithops_dataframe_spark.catalog import load_table
+    from lithops_dataframe_spark.plans.similarity_q import _sign_words
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    w0, w1 = _sign_words("embedding")
+    rows = emb.select("embedding", w0.alias("w0"), w1.alias("w1")).collect()
+    assert rows, "fixture empty"
+    for r in rows:
+        for j, v in enumerate(r["embedding"]):
+            bit = (r["w0"] >> j) & 1 if j < 32 else (r["w1"] >> (j - 32)) & 1
+            assert bit == (1 if v > 0 else 0), (j, v)
