@@ -177,6 +177,7 @@ R6_ADDITIONS: list[str] = [
     "stream_view_click_full_outer",
     "bpe_fertility_by_lang",
     "cf_negative_sampling",
+    "events_coverage_report",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -215,6 +216,7 @@ SCALE_FAMILIES: dict[str, list[str]] = {
         "events_counter_agg",
         "events_ohlc_bars",
         "events_decayed_value",
+        "events_coverage_report",
     ],
     # ADC serving: corpus codes scale linearly, query tables are constant.
     # (graph_triangle_count is excluded like the pair ops: the 10x fixture

@@ -776,3 +776,85 @@ def events_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("long").alias("n_events"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# activity coverage / gap report (uptime-SLA shape over event streams)
+# ---------------------------------------------------------------------------
+_COV_GAP_US = 10 * 60 * 1_000_000  # same 10-minute session gap as sessionize
+
+_COVERAGE_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts)::BIGINT AS t,
+               epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))::BIGINT AS prev
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, t,
+               CASE WHEN prev IS NULL THEN NULL ELSE t - prev END AS gap
+        FROM e
+    ),
+    agg AS (
+        SELECT user_id,
+               COUNT(*)::BIGINT AS n_events,
+               (1 + SUM(CASE WHEN gap >= {_COV_GAP_US} THEN 1 ELSE 0 END))::BIGINT
+                   AS n_sessions,
+               SUM(CASE WHEN gap < {_COV_GAP_US} THEN gap ELSE 0 END)::BIGINT
+                   AS covered_us,
+               (MAX(t) - MIN(t))::BIGINT AS span_us,
+               COALESCE(MAX(gap), 0)::BIGINT AS max_gap_us
+        FROM d GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_sessions, covered_us, span_us, max_gap_us,
+           (CASE WHEN span_us > 0 THEN covered_us * 1000 // span_us
+                 ELSE 0 END)::BIGINT AS coverage_permille
+    FROM agg
+"""
+
+
+@register("events_coverage_report", oracle=_COVERAGE_ORACLE)
+def events_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity coverage / gap report: per user, how much of their active
+    span is covered by in-session activity (inter-event gaps under the
+    session threshold) vs dead air — the uptime/SLA accounting shape
+    (sessions, covered time, longest outage, integer-permille coverage).
+
+    Scale shape: one LAG window per user (one Exchange) then a hash
+    aggregate — the sessionize/TWA profile. All arithmetic is epoch
+    MICROSECONDS in BIGINT (no ms truncation-parity risk); the
+    (ts, event_id) order key is unique so the replay is bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select("user_id", t.alias("t"), F.lag(t).over(w).alias("prev"))
+    gap = F.when(F.col("prev").isNull(), F.lit(None).cast("long")).otherwise(
+        F.col("t") - F.col("prev")
+    )
+    d = e.select("user_id", "t", gap.alias("gap"))
+    agg = d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (1 + F.sum((F.col("gap") >= _COV_GAP_US).cast("int")))
+        .cast("long")
+        .alias("n_sessions"),
+        F.sum(F.when(F.col("gap") < _COV_GAP_US, F.col("gap")).otherwise(0))
+        .cast("long")
+        .alias("covered_us"),
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap_us"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "n_sessions",
+        "covered_us",
+        "span_us",
+        "max_gap_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.expr("covered_us * 1000 div span_us"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("coverage_permille"),
+    )

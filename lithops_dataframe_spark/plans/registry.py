@@ -137,8 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 52 queries below (down to
-    # cf_negative_sampling inclusive) are the ONLY never-driver-gated
+    # ROUND-7 ROTATION PLAN: the 53 queries below (down to
+    # events_coverage_report inclusive) are the ONLY never-driver-gated
     # registrations after the r6 sweep (all added mid-r6, after the 50
     # slots were full) — the first 30 fill slots 21-50 next round,
     # keeping the 20 anchors; the overflow and any r7-modified queries
@@ -195,6 +195,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_view_click_full_outer",  # NEW r6-cont: full-outer stream join
     "bpe_fertility_by_lang",  # NEW r6-cont: tokens-per-word fairness metric
     "cf_negative_sampling",  # NEW r6-cont: reproducible implicit-feedback negs
+    "events_coverage_report",  # NEW r6-cont: uptime/gap SLA accounting
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",
