@@ -178,6 +178,7 @@ R6_ADDITIONS: list[str] = [
     "bpe_fertility_by_lang",
     "cf_negative_sampling",
     "events_coverage_report",
+    "eval_auc_by_source",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -276,7 +277,8 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # dedup_jaccard_prefix_filter stay EXCLUDED like every pair-finding
     # op: 10 identical copies multiply the pair output for data reasons.)
     "selection": ["select_dsir_importance"],
-    "evaluation": ["eval_classifier_auc", "eval_calibration_bins"],
+    "evaluation": ["eval_classifier_auc", "eval_calibration_bins",
+                   "eval_auc_by_source"],
     "retrieval": ["retrieval_hybrid_rrf", "retrieval_mmr_rerank"],
     "robust_ts": ["events_anomaly_mad", "events_seasonal_decompose"],
     "mixing": ["mix_interleave_epoch"],

@@ -134,3 +134,65 @@ def rank_calibration_bins(
         F.round(F.min("z"), 6).alias("z_min"),
         F.round(F.max("z"), 6).alias("z_max"),
     )
+
+
+def roc_auc_by_group(
+    scored: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact tie-aware ROC-AUC per group — the sliced-evaluation form
+    (per-source / per-language / per-segment model quality, the table a
+    fairness or data-mix review reads). One row per group:
+    (group, n_pos, n_neg, auc_num2) as exact BIGINTs + ``auc`` rounded 6.
+
+    Same pair-free Mann–Whitney construction as :func:`roc_auc`, with the
+    exclusive prefix sum computed per group via the GROUPED two-phase
+    pattern: range-partition on (group, score), per-partition local
+    running sums within each group, then a broadcast per-(partition,
+    group) totals carry — groups never serialize into one task, and a
+    group spanning many partitions still gets an exact global prefix."""
+    y = F.col(label_col).cast("long")
+    g = scored.groupBy(group_col, score_col).agg(
+        F.sum(y).alias("np"),
+        F.sum(F.lit(1) - y).alias("nn"),
+    )
+    part = g.repartitionByRange(
+        F.col(group_col).asc(), F.col(score_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    wloc = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "__cnb_loc", F.coalesce(F.sum("nn").over(wloc), F.lit(0).cast("long"))
+    )
+    totals = part.groupBy("__pid", group_col).agg(F.sum("nn").alias("__pt"))
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__pt").over(wcum), F.lit(0).cast("long")).alias("__off"),
+    )
+    c = local.join(F.broadcast(offs), ["__pid", group_col]).withColumn(
+        "cnb", F.col("__cnb_loc") + F.col("__off")
+    )
+    agg = c.groupBy(group_col).agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (F.lit(2) * F.col("cnb") + F.col("nn")))
+        .cast("long")
+        .alias("auc_num2"),
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.round(
+            F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+        ).alias("auc"),
+    )

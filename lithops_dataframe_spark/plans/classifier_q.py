@@ -521,3 +521,57 @@ def split_temporal_cv_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("test_cold_users"),
     )
     return agg.join(nu, "fold")
+
+
+# ---------------------------------------------------------------------------
+# sliced evaluation: exact per-source ROC-AUC (round 6)
+# ---------------------------------------------------------------------------
+def _auc_by_source_oracle(epochs: int, lr: float) -> str:
+    z = " + ".join(f"w.w{j} * f.x{j}" for j in range(5))
+    num2 = "SUM(np * (2 * cnb + nn))"
+    return (
+        _lr_ctes(epochs, lr, with_acc=False)
+        + f""",
+    scored AS (
+        SELECT f.source, f.y, ({z}) AS z FROM feats f, w{epochs} w
+    ),
+    g AS (
+        SELECT source, z, SUM(y)::BIGINT AS np, SUM(1 - y)::BIGINT AS nn
+        FROM scored GROUP BY source, z
+    ),
+    c AS (
+        SELECT source, np, nn,
+               COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY z
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+        FROM g
+    )
+    SELECT source, SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+           {num2}::BIGINT AS auc_num2,
+           ROUND({num2} / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
+    FROM c GROUP BY source
+    """
+    )
+
+
+@register("eval_auc_by_source", oracle=_auc_by_source_oracle(_EPOCHS, _LR))
+def eval_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliced evaluation: the trained quality filter's EXACT ROC-AUC per
+    corpus source — the per-slice model-quality table that catches a
+    filter that ranks well overall but fails one source's documents (the
+    data-mix fairness check). Scoring is the zero-shuffle literal-weights
+    scan; the per-group AUC uses operators/evaluation.py's GROUPED
+    two-phase prefix sum (no group ever serializes into one task). The
+    doubled tie-aware numerator stays an exact BIGINT per group."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators.classifier import N_FEATURES, feature_frame
+    from lithops_dataframe_spark.operators.evaluation import roc_auc_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _trained_weights(spark, sf_dir)
+    base = feature_frame(docs, keep=("source",))
+    z = F.lit(w[0]) * F.col("x0")
+    for j in range(1, N_FEATURES):
+        z = z + F.lit(w[j]) * F.col(f"x{j}")
+    scored = base.select("source", z.alias("z"), "y")
+    return roc_auc_by_group(scored, "source", "z", "y")
