@@ -179,6 +179,7 @@ R6_ADDITIONS: list[str] = [
     "cf_negative_sampling",
     "events_coverage_report",
     "eval_auc_by_source",
+    "retrieval_rbo_lex_vs_sem",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -279,7 +280,8 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "selection": ["select_dsir_importance"],
     "evaluation": ["eval_classifier_auc", "eval_calibration_bins",
                    "eval_auc_by_source"],
-    "retrieval": ["retrieval_hybrid_rrf", "retrieval_mmr_rerank"],
+    "retrieval": ["retrieval_hybrid_rrf", "retrieval_mmr_rerank",
+                  "retrieval_rbo_lex_vs_sem"],
     "robust_ts": ["events_anomaly_mad", "events_seasonal_decompose"],
     "mixing": ["mix_interleave_epoch"],
     # r6 continuation: basket pair mining is copy-local (order/part keys

@@ -600,3 +600,117 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(pairs.groupBy("query_id"))
         .applyInPandas(greedy, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# rank-biased overlap between the lexical and semantic rankings
+# ---------------------------------------------------------------------------
+_RBO_D = 10  # truncation depth
+# p = 1/2 makes every weight an exact dyadic rational: the truncated
+# RBO-min is Σ_{d=1..D} X_d / (d·2^d) with X_d = |lex@d ∩ sem@d|. A pair
+# seen at ranks (rl, rs) contributes to every depth d ≥ max(rl, rs), so
+# its total weight is W(m) = Σ_{d=m..D} SCALE/(d·2^d) — a 10-entry exact
+# integer lookup with SCALE = lcm(1..10) · 2^10.
+_RBO_SCALE = 2520 * 1024
+
+
+def _rbo_weights() -> list[int]:
+    per_d = [_RBO_SCALE // (d * (1 << d)) for d in range(1, _RBO_D + 1)]
+    assert all(_RBO_SCALE % (d * (1 << d)) == 0 for d in range(1, _RBO_D + 1))
+    return [sum(per_d[m - 1 :]) for m in range(1, _RBO_D + 1)]
+
+
+_RBO_W = _rbo_weights()
+_RBO_W_SQL = "CASE m " + " ".join(
+    f"WHEN {m} THEN {w}" for m, w in enumerate(_RBO_W, start=1)
+) + " END"
+
+
+def _rbo_oracle() -> str:
+    from lithops_dataframe_spark.plans.similarity_q import _cos_sql
+
+    qids = ", ".join(str(qid) for qid, _ in _QUERIES)
+    return f"""
+    {_BM25_CTES},
+    lex AS (
+        SELECT query_id, doc_id, rank::INT AS rl
+        FROM ranked WHERE rank <= {_RBO_D}
+    ),
+    qv AS (
+        SELECT vec_id::INT AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id IN ({qids})
+    ),
+    sems AS (
+        SELECT query_id, doc_id, rk::INT AS rs FROM (
+            SELECT qv.query_id, e.vec_id AS doc_id,
+                   row_number() OVER (PARTITION BY qv.query_id
+                       ORDER BY {_cos_sql('qv.q_emb', 'e.embedding')} DESC,
+                                e.vec_id) AS rk
+            FROM embeddings e CROSS JOIN qv
+        ) WHERE rk <= {_RBO_D}
+    ),
+    pairs AS (
+        SELECT l.query_id, GREATEST(l.rl, s.rs) AS m
+        FROM lex l JOIN sems s
+          ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT q.query_id,
+           COUNT(p.m)::BIGINT AS n_common,
+           COALESCE(SUM({_RBO_W_SQL}), 0)::BIGINT AS rbo_scaled
+    FROM (SELECT DISTINCT query_id FROM lex) q
+    LEFT JOIN pairs p ON p.query_id = q.query_id
+    GROUP BY q.query_id
+"""
+
+
+@register("retrieval_rbo_lex_vs_sem", oracle=_rbo_oracle())
+def retrieval_rbo_lex_vs_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the lexical BM25
+    top-10 and the semantic cosine top-10, per query — the top-weighted
+    ranking-agreement metric that tells a hybrid-retrieval owner how
+    complementary the two legs actually are (RBO≈1 → the semantic index
+    adds nothing; RBO≈0 → fusion is load-bearing). Computed EXACTLY: with
+    persistence p=1/2 every depth weight is a dyadic rational, so each
+    matched pair contributes a precomputed integer W(max(rank_lex,
+    rank_sem)) and the score is an all-BIGINT sum (scale 2520·1024 —
+    divide by it for the [0, ~0.65] truncated-RBO value).
+
+    Scale shape: both legs are the existing bounded-query rankings (the
+    semantic leg swaps to ann_topk at serving scale); the metric itself
+    joins two ≤(queries×10)-row frames and aggregates — free at any
+    corpus size."""
+    from lithops_dataframe_spark.operators import similarity as S
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    lex = _bm25_ranked(spark, docs, _RBO_D).select(
+        "query_id", "doc_id", F.col("rank").alias("rl")
+    )
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    qids = [qid for qid, _ in _QUERIES]
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("int").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    sims = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        S.cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    )
+    wsem = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
+    sem = (
+        sims.withColumn("rs", F.row_number().over(wsem).cast("int"))
+        .filter(F.col("rs") <= _RBO_D)
+        .select("query_id", "doc_id", "rs")
+    )
+    pairs = lex.join(sem, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("rl", "rs").alias("m")
+    )
+    w_expr = F.expr(_RBO_W_SQL)
+    qframe = lex.select("query_id").distinct()
+    return (
+        qframe.join(pairs, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("m").cast("long").alias("n_common"),
+            F.coalesce(F.sum(w_expr), F.lit(0)).cast("long").alias("rbo_scaled"),
+        )
+    )
