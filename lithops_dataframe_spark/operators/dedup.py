@@ -681,6 +681,12 @@ def containment_pairs(
         )
         .select(F.col("pa.id").alias("id_small"), F.col("pb.id").alias("id_big"))
         .dropDuplicates(["id_small", "id_big"])
+        # same AQE trap as jaccard_prefix_filter_pairs: the candidate set
+        # is byte-small but array_intersect verification is CPU-bound —
+        # pin the verify stage at full parallelism
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "id_small", "id_big"
+        )
     )
 
     arr_a = base.select(F.col("id").alias("id_small"), F.col("sh").alias("sh_a"))
