@@ -134,6 +134,9 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        # byte-small candidates, CPU-bound array verify: pin the verify
+        # stage at full parallelism (AQE coalesces by bytes, not CPU)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
     )
     sh = base.select("id", "__shingles")
     cand = (
