@@ -180,6 +180,7 @@ R6_ADDITIONS: list[str] = [
     "events_coverage_report",
     "eval_auc_by_source",
     "retrieval_rbo_lex_vs_sem",
+    "io_csv_corrupt_audit",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

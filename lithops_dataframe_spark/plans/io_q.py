@@ -594,3 +594,93 @@ def io_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# malformed-ingest audit: PERMISSIVE corrupt-record accounting
+# ---------------------------------------------------------------------------
+# Deterministic malformed fixture: derived from `nation` so both engines
+# can reproduce every line. Rows with n_nationkey % 5 == 2 get a
+# non-numeric key token ("bad<k>") → _corrupt_record under PERMISSIVE.
+# Rows with % 5 == 4 lose their last field — MEASURED Spark semantics
+# (4.1): a SHORT row is NOT quarantined; missing trailing fields are
+# null-padded and the row stays good (only parse/type failures populate
+# the corrupt column). The oracle encodes exactly that split, so the
+# driver gate pins the engine's dead-letter contract, not a guess.
+_CORRUPT_ORACLE = """
+    SELECT
+        COUNT(*)::BIGINT AS n_rows,
+        SUM(CASE WHEN n_nationkey % 5 = 2 THEN 1 ELSE 0 END)::BIGINT
+            AS n_quarantined,
+        SUM(CASE WHEN n_nationkey % 5 <> 2 THEN 1 ELSE 0 END)::BIGINT
+            AS n_good,
+        SUM(CASE WHEN n_nationkey % 5 <> 2
+                 THEN n_nationkey ELSE 0 END)::BIGINT AS good_key_sum,
+        SUM(CASE WHEN n_nationkey % 5 NOT IN (2, 4)
+                 THEN n_regionkey ELSE 0 END)::BIGINT AS good_region_sum
+    FROM nation
+"""
+
+
+@register("io_csv_corrupt_audit", oracle=_CORRUPT_ORACLE)
+def io_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE malformed-ingest audit: write a CSV where known rows are
+    corrupted (non-numeric key / truncated line), read it back with an
+    explicit schema + ``columnNameOfCorruptRecord``, and report the
+    quarantine accounting — the dead-letter pattern every production
+    ingest runs so one bad upstream line never kills (FAILFAST) or
+    silently vanishes from (DROPMALFORMED) a 100 TB load. Pins the
+    MEASURED PERMISSIVE split: type-corrupt lines quarantine; SHORT
+    lines null-pad and stay good (their null fields surface in the
+    region sum) — the subtle case an ingest reviewer must know.
+
+    Scale shape: the corruption/write/read is per-row streaming work; the
+    audit is one hash aggregate. The oracle reproduces the fixture's
+    corruption rule from the clean table, so the quarantine SPLIT (not
+    just totals) is value-hash-gated."""
+    from pyspark.sql import types as T
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    line = F.when(
+        F.col("n_nationkey") % 5 == 2,
+        F.concat(
+            F.lit("bad"), F.col("n_nationkey").cast("string"),
+            F.lit(","), F.col("n_name"), F.lit(","),
+            F.col("n_regionkey").cast("string"),
+        ),
+    ).when(
+        F.col("n_nationkey") % 5 == 4,
+        F.concat(F.col("n_nationkey").cast("string"), F.lit(","), F.col("n_name")),
+    ).otherwise(
+        F.concat(
+            F.col("n_nationkey").cast("string"), F.lit(","), F.col("n_name"),
+            F.lit(","), F.col("n_regionkey").cast("string"),
+        )
+    )
+    path = os.path.join(_scratch("corrupt"), "nation_malformed_csv")
+    nation.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("r", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(bad.cast("int")).cast("long").alias("n_quarantined"),
+        F.sum((~bad).cast("int")).cast("long").alias("n_good"),
+        F.sum(F.when(~bad, F.col("k")).otherwise(0)).cast("long").alias("good_key_sum"),
+        F.sum(F.when(~bad, F.col("r")).otherwise(0)).cast("long").alias("good_region_sum"),
+    )
