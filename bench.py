@@ -181,6 +181,7 @@ R6_ADDITIONS: list[str] = [
     "eval_auc_by_source",
     "retrieval_rbo_lex_vs_sem",
     "io_csv_corrupt_audit",
+    "scd_late_arriving_dim",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

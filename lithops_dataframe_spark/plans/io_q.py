@@ -684,3 +684,72 @@ def io_csv_corrupt_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~bad, F.col("k")).otherwise(0)).cast("long").alias("good_key_sum"),
         F.sum(F.when(~bad, F.col("r")).otherwise(0)).cast("long").alias("good_region_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# late-arriving dimension (early-arriving fact) handling
+# ---------------------------------------------------------------------------
+# Simulated feed race: the customer dim snapshot is MISSING every member
+# with c_custkey % 7 == 3 (their facts arrived first). The loader must
+# (a) never drop or stall those facts, (b) mint inferred placeholder
+# members so referential integrity holds, (c) report the backfill
+# worklist — the Kimball late-arriving-dimension recipe.
+_LATE_DIM_ORACLE = """
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 3
+    ),
+    f AS (
+        SELECT o_custkey AS k,
+               (round(o_totalprice * 100))::BIGINT AS cents
+        FROM orders
+    ),
+    j AS (
+        SELECT f.k, f.cents,
+               COALESCE(d.c_mktsegment, 'INFERRED') AS segment,
+               (d.c_custkey IS NULL) AS inferred
+        FROM f LEFT JOIN dim d ON d.c_custkey = f.k
+    )
+    SELECT segment,
+           COUNT(*)::BIGINT AS n_orders,
+           SUM(cents)::BIGINT AS revenue_cents,
+           COUNT(DISTINCT CASE WHEN inferred THEN k END)::BIGINT
+               AS n_inferred_members
+    FROM j GROUP BY segment
+"""
+
+
+@register("scd_late_arriving_dim", oracle=_LATE_DIM_ORACLE)
+def scd_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (Kimball): facts whose dimension
+    member has not landed yet are neither dropped nor stalled — they
+    join to a minted INFERRED placeholder member, revenue still rolls up,
+    and the report carries the inferred-member count that sizes the
+    backfill worklist (when the real member arrives, a MERGE — see
+    io_merge_upsert_partitioned — overwrites the placeholder in place).
+
+    Scale shape: one left join of the fact against the (filtered) dim on
+    the natural key plus one rollup — the enrichment join the load pays
+    anyway; placeholder minting is a COALESCE, not a second pass. Exact
+    integer cents; all counts BIGINT."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_custkey") % 7 != 3).select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    j = f.join(dim, f.k == dim.c_custkey, "left").select(
+        "k",
+        "cents",
+        F.coalesce(F.col("c_mktsegment"), F.lit("INFERRED")).alias("segment"),
+        F.col("c_custkey").isNull().alias("inferred"),
+    )
+    return j.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count_distinct(F.when(F.col("inferred"), F.col("k")))
+        .cast("long")
+        .alias("n_inferred_members"),
+    )
