@@ -182,6 +182,7 @@ R6_ADDITIONS: list[str] = [
     "retrieval_rbo_lex_vs_sem",
     "io_csv_corrupt_audit",
     "scd_late_arriving_dim",
+    "feat_quantile_normalize",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -306,7 +307,8 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # (type, day) first, as their docstrings state); chunk keep-first is a
     # narrow chunking map + one dedup Exchange (copy-local window groups).
     "decon_semantic": ["decontaminate_semantic"],
-    "rank_stats": ["stat_spearman_trend", "events_winsorize_stats"],
+    "rank_stats": ["stat_spearman_trend", "events_winsorize_stats",
+                   "feat_quantile_normalize"],
     "chunk_dedup": ["dedup_chunk_keep_first"],
     "basket": ["cf_part_cooccurrence_lift", "cf_negative_sampling"],
     "corpus_stats": ["text_distinctive_terms_odds", "stat_chi2_independence"],

@@ -406,3 +406,104 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         (dev * dev / expected).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile normalization across groups (batch-effect correction)
+# ---------------------------------------------------------------------------
+_QNORM_ORACLE = """
+    WITH c AS (
+        SELECT event_type, event_id,
+               (FLOOR(value * 100 + 0.5))::BIGINT AS cents
+        FROM events
+    ),
+    gstats AS (
+        SELECT cents AS gcents,
+               row_number() OVER (ORDER BY cents, event_id) AS g
+        FROM c
+    ),
+    nn AS (SELECT COUNT(*)::BIGINT AS n_total FROM c),
+    loc AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    tgt AS (
+        SELECT l.event_type, l.cents,
+               ((l.r * nn.n_total + l.n - 1) // l.n) AS g
+        FROM loc l CROSS JOIN nn
+    )
+    SELECT t.event_type,
+           COUNT(*)::BIGINT AS n,
+           SUM(t.cents)::BIGINT AS raw_cents,
+           SUM(gl.gcents)::BIGINT AS normalized_cents,
+           SUM(ABS(gl.gcents - t.cents))::BIGINT AS total_shift_cents,
+           MIN(gl.gcents)::BIGINT AS norm_min,
+           MAX(gl.gcents)::BIGINT AS norm_max
+    FROM tgt t JOIN gstats gl ON gl.g = t.g
+    GROUP BY t.event_type
+"""
+
+
+@register("feat_quantile_normalize", oracle=_QNORM_ORACLE)
+def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect correction
+    from bioinformatics, equally used to align feature distributions
+    across data sources): each value is replaced by the GLOBAL value at
+    its within-group quantile — after normalization every group shares
+    the global distribution exactly. Reported per group with the total
+    correction magnitude (Σ|shift|), the number that says how far the
+    group's distribution sat from the pooled one.
+
+    Scale shape: the global order statistics come from the two-phase
+    exact rank (range partition + local row_number + broadcast carry —
+    no one-task window); the within-group ranks use a per-group window
+    (group count is the fixture's 5 — at real scale lift to the grouped
+    two-phase form, as pack_length_buckets does); the quantile lookup is
+    ONE equi-join on the computed global rank. All-BIGINT half-up cents;
+    ranks tie-break on the unique event_id, so the mapping replays
+    bit-identically."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    c = ev.select("event_type", "event_id", cents.alias("cents"))
+
+    # global exact ranks, two-phase
+    part = c.repartitionByRange(F.col("cents").asc(), F.col("event_id").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid").orderBy("cents", "event_id")
+    local = part.withColumn("__r_loc", F.row_number().over(wloc).cast("long"))
+    totals = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pt"))
+    wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pt").over(wcum), F.lit(0).cast("long")).alias("__off"),
+    )
+    glob = (
+        local.join(F.broadcast(offs), "__pid")
+        .select((F.col("__r_loc") + F.col("__off")).alias("g"), F.col("cents").alias("gcents"))
+    )
+    n_total = c.count()
+
+    wl = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    loc = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wl).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+    )
+    tgt = loc.withColumn("g", F.expr(f"(r * {n_total} + n - 1) div n").cast("long"))
+    j = tgt.join(glob, "g")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("raw_cents"),
+        F.sum("gcents").cast("long").alias("normalized_cents"),
+        F.sum(F.abs(F.col("gcents") - F.col("cents"))).cast("long").alias("total_shift_cents"),
+        F.min("gcents").cast("long").alias("norm_min"),
+        F.max("gcents").cast("long").alias("norm_max"),
+    )
