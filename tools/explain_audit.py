@@ -148,6 +148,15 @@ HEADLINE = [
     "events_ab_assignment",
     "dedup_ensemble_agreement",
     "pack_length_buckets",
+    "stream_view_click_full_outer",
+    "bpe_fertility_by_lang",
+    "cf_negative_sampling",
+    "events_coverage_report",
+    "eval_auc_by_source",
+    "retrieval_rbo_lex_vs_sem",
+    "io_csv_corrupt_audit",
+    "scd_late_arriving_dim",
+    "feat_quantile_normalize",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
@@ -187,6 +196,9 @@ ALLOW_NESTED_LOOP = {
     # composes the exact embedding near-dup baseline (documented small-Q
     # shape); the text side is the banded-LSH postings join
     "dedup_ensemble_agreement",
+    # both legs are the bounded-query brute-force baselines (BM25 query
+    # literals + cosine broadcast anchors), as for retrieval_hybrid_rrf
+    "retrieval_rbo_lex_vs_sem",
 }
 
 # Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
@@ -252,6 +264,12 @@ ALLOW_ONE_ROW_BROADCAST = {
     # grouping-free aggregate crossJoined onto the domain-bounded cell
     # table — the compare-to-total pattern, Keys: [] provenance checked
     "stat_chi2_independence",
+    # max-partkey frame is a single-row grouping-free aggregate
+    # crossJoined into the candidate generator — same pattern
+    "cf_negative_sampling",
+    # corpus stats (N, avgdl) ride as the BM25 one-row broadcast, same as
+    # text_bm25_search / retrieval_hybrid_rrf
+    "retrieval_rbo_lex_vs_sem",
 }
 
 
