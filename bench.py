@@ -183,6 +183,7 @@ R6_ADDITIONS: list[str] = [
     "io_csv_corrupt_audit",
     "scd_late_arriving_dim",
     "feat_quantile_normalize",
+    "text_corpus_datasheet",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

@@ -393,3 +393,129 @@ def text_distinctive_terms_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _ODDS_TOPK)
         .select("source", "token", "cnt_in", "cnt_out", "odds_permille", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus datasheet (dataset-card stats in one pass-set)
+# ---------------------------------------------------------------------------
+_DATASHEET_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(string_split(text, ' '))::BIGINT AS words,
+               md5(text) AS fp
+        FROM documents
+    ),
+    base AS (
+        SELECT COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS total_chars,
+               SUM(words)::BIGINT AS total_words,
+               COUNT(DISTINCT lang)::BIGINT AS n_langs,
+               COUNT(DISTINCT source)::BIGINT AS n_sources,
+               (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS n_exact_dups,
+               MIN(words)::BIGINT AS min_words,
+               MAX(words)::BIGINT AS max_words
+        FROM d
+    ),
+    med AS (
+        SELECT words AS median_words FROM (
+            SELECT words, row_number() OVER (ORDER BY words, doc_id) AS r,
+                   COUNT(*) OVER () AS n
+            FROM d
+        ) WHERE r = (n + 1) // 2
+    )
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        UNION ALL SELECT 'total_chars', total_chars FROM base
+        UNION ALL SELECT 'total_words', total_words FROM base
+        UNION ALL SELECT 'n_langs', n_langs FROM base
+        UNION ALL SELECT 'n_sources', n_sources FROM base
+        UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM base
+        UNION ALL SELECT 'min_words', min_words FROM base
+        UNION ALL SELECT 'max_words', max_words FROM base
+        UNION ALL SELECT 'median_words', median_words FROM med
+        UNION ALL SELECT 'dup_permille', n_exact_dups * 1000 // n_docs FROM base
+        UNION ALL SELECT 'mean_words_milli', total_words * 1000 // n_docs FROM base
+    )
+"""
+
+
+@register("text_corpus_datasheet", oracle=_DATASHEET_ORACLE)
+def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet: the dataset-card summary a corpus release ships
+    (sizes, vocabulary-of-metadata cardinalities, exact duplicate rate,
+    word-length distribution incl. the EXACT median) as one
+    (metric, value) table — the read-only capstone that composes the
+    profiling families into a publishable artifact.
+
+    Scale shape: one conditional hash aggregate over a single scan
+    carries everything except the median, which uses the exact global
+    rank via the two-phase pattern (range partition + local row_number +
+    broadcast carry — no one-task window); md5 fingerprints make the
+    dup-rate a count-distinct, never a pairwise comparison. All values
+    BIGINT (ratios as integer permille/milli)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("long").alias("words"),
+        F.md5("text").alias("fp"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("words").cast("long").alias("total_words"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).cast("long").alias("n_exact_dups"),
+        F.min("words").cast("long").alias("min_words"),
+        F.max("words").cast("long").alias("max_words"),
+    )
+
+    part = d.repartitionByRange(F.col("words").asc(), F.col("doc_id").asc()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid").orderBy("words", "doc_id")
+    local = part.withColumn("__r_loc", F.row_number().over(wloc).cast("long"))
+    totals = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pt"))
+    wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pt").over(wcum), F.lit(0).cast("long")).alias("__off"),
+    )
+    n_docs = d.count()
+    med = (
+        local.join(F.broadcast(offs), "__pid")
+        .filter((F.col("__r_loc") + F.col("__off")) == (n_docs + 1) // 2)
+        .select(F.col("words").alias("median_words"))
+    )
+
+    def row(src, name, col):
+        return src.select(F.lit(name).alias("metric"), F.col(col).cast("long").alias("value"))
+
+    return (
+        row(base, "n_docs", "n_docs")
+        .unionAll(row(base, "total_chars", "total_chars"))
+        .unionAll(row(base, "total_words", "total_words"))
+        .unionAll(row(base, "n_langs", "n_langs"))
+        .unionAll(row(base, "n_sources", "n_sources"))
+        .unionAll(row(base, "n_exact_dups", "n_exact_dups"))
+        .unionAll(row(base, "min_words", "min_words"))
+        .unionAll(row(base, "max_words", "max_words"))
+        .unionAll(row(med, "median_words", "median_words"))
+        .unionAll(
+            base.select(
+                F.lit("dup_permille").alias("metric"),
+                F.expr("n_exact_dups * 1000 div n_docs").cast("long").alias("value"),
+            )
+        )
+        .unionAll(
+            base.select(
+                F.lit("mean_words_milli").alias("metric"),
+                F.expr("total_words * 1000 div n_docs").cast("long").alias("value"),
+            )
+        )
+    )
