@@ -184,6 +184,7 @@ R6_ADDITIONS: list[str] = [
     "scd_late_arriving_dim",
     "feat_quantile_normalize",
     "text_corpus_datasheet",
+    "emb_table_audit",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

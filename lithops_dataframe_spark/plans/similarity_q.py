@@ -782,3 +782,80 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("removed").cast("long").alias("n_removed"),
         (F.count(F.lit(1)) - F.sum("removed")).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-table quality audit (dq for vector columns)
+# ---------------------------------------------------------------------------
+_EMB_AUDIT_ORACLE = f"""
+    WITH e AS (
+        SELECT label, len(embedding)::BIGINT AS dim,
+               sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+               list_sum(list_transform(range(1, {S.DIM + 1}),
+                        i -> CASE WHEN embedding[i] = 0 THEN 1 ELSE 0 END))
+                   AS n_zero_comp,
+               list_sum(list_transform(range(1, {S.DIM + 1}),
+                        i -> CASE WHEN isnan(embedding[i]) THEN 1 ELSE 0 END))
+                   AS n_nan_comp
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*)::BIGINT AS n_vectors,
+           SUM(CASE WHEN dim <> {S.DIM} THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+           SUM(CASE WHEN n_nan_comp > 0 THEN 1 ELSE 0 END)::BIGINT AS n_with_nan,
+           SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+           SUM(n_zero_comp)::BIGINT AS total_zero_components,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm
+    FROM e GROUP BY label
+"""
+
+
+@register("emb_table_audit", oracle=_EMB_AUDIT_ORACLE)
+def emb_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality audit: per label, the vector-column
+    constraint report (wrong dimensionality, NaN components, zero-norm
+    vectors — each one poisons a cosine index silently — plus sparsity
+    and the norm envelope). This is the dq_constraint_suite shape applied
+    to the vector payload, the gate an embedding pipeline runs before
+    (re)building an ANN index.
+
+    Scale shape: one narrow per-row fold (JVM higher-order functions, no
+    UDF) + one hash aggregate. Counts are BIGINTs; min/max norms pick
+    identical fold-computed doubles (rounded 6dp for display, never
+    re-summed)."""
+    emb = _emb(spark, sf_dir)
+    dim = F.size("embedding").cast("long")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    n_zero_comp = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(x == 0, 1).otherwise(0).cast("long"),
+    )
+    n_nan_comp = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.when(F.isnan(x), 1).otherwise(0).cast("long"),
+    )
+    e = emb.select(
+        "label",
+        dim.alias("dim"),
+        nrm.alias("nrm"),
+        n_zero_comp.alias("n_zero_comp"),
+        n_nan_comp.alias("n_nan_comp"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum((F.col("dim") != S.DIM).cast("int")).cast("long").alias("n_bad_dim"),
+        F.sum((F.col("n_nan_comp") > 0).cast("int")).cast("long").alias("n_with_nan"),
+        F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero_norm"),
+        F.sum("n_zero_comp").cast("long").alias("total_zero_components"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
