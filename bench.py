@@ -185,6 +185,7 @@ R6_ADDITIONS: list[str] = [
     "feat_quantile_normalize",
     "text_corpus_datasheet",
     "emb_table_audit",
+    "join_asof_tolerance_attribution",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,

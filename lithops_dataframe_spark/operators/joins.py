@@ -40,6 +40,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     matched_on: str | None = None,
     left_key: str | Sequence[str] | None = None,
+    tolerance: int | float | str | None = None,
 ) -> DataFrame:
     """pandas ``merge_asof`` semantics: for each left row, attach the single
     nearest right row with ``right.on <= left.on`` (backward), ``right.on
@@ -70,6 +71,13 @@ def asof_join(
     ``on`` value under this name (e.g. the click timestamp a purchase was
     attributed to); when None the bookkeeping column is dropped.
 
+    ``tolerance`` (pandas parity): a max staleness for the match — a
+    number for numeric ``on`` columns, or an interval string (e.g.
+    ``"15 minutes"``) for timestamps. A match farther than the tolerance
+    is DISCARDED: the left row survives with null right columns, exactly
+    pandas ``merge_asof(tolerance=...)``. Applied as a post-predicate on
+    the matched ``on`` value, so it adds no shuffle.
+
     Implementation: tag and union both sides, sort within key partitions by
     the ``on`` column, and carry the last-seen right ROW (an atomic struct,
     so a matched row's own nulls are carried as-is rather than mixed with
@@ -96,16 +104,29 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     if direction == "nearest":
-        return _asof_nearest(
+        _mo = matched_on if tolerance is None else (matched_on or "__asof_tol_on")
+        res = _asof_nearest(
             left,
             right,
             on,
             by,
             suffix=suffix,
             allow_exact_matches=allow_exact_matches,
-            matched_on=matched_on,
+            matched_on=_mo,
             left_key=left_key,
         )
+        if tolerance is not None:
+            _by = [by] if isinstance(by, str) else list(by or [])
+            _l = [c for c in left.columns if c != on and c not in _by]
+            _rn = [
+                (c + suffix if c in _l else c)
+                for c in right.columns
+                if c != on and c not in _by
+            ]
+            res = _apply_asof_tolerance(res, on, _mo, _rn, tolerance)
+            if matched_on is None:
+                res = res.drop(_mo)
+        return res
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
     lcols = [c for c in left.columns if c != on and c not in by_cols]
@@ -195,10 +216,39 @@ def asof_join(
         *[F.col("__r")[rmap[c]].alias(rmap[c]) for c in rcols],
         F.col("__r")["__matched_on"].alias("__asof_" + on),
     )
+    if tolerance is not None:
+        out = _apply_asof_tolerance(
+            out, on, "__asof_" + on, [rmap[c] for c in rcols], tolerance
+        )
     if matched_on is not None:
         out = out.withColumnRenamed("__asof_" + on, matched_on)
     else:
         out = out.drop("__asof_" + on)
+    return out
+
+
+def _apply_asof_tolerance(
+    out: DataFrame,
+    on: str,
+    mo_col: str,
+    right_names: Sequence[str],
+    tolerance: int | float | str,
+) -> DataFrame:
+    """Null out a match (all right columns + the matched-on bookkeeping)
+    when it lies farther from ``on`` than ``tolerance`` — pandas
+    ``merge_asof(tolerance=...)``. String tolerances are INTERVALs for
+    time columns; numbers compare absolute differences."""
+    if isinstance(tolerance, str):
+        delta = F.expr(f"INTERVAL {tolerance}")
+        beyond = F.col(mo_col).isNotNull() & (
+            (F.col(mo_col) < F.col(on) - delta) | (F.col(mo_col) > F.col(on) + delta)
+        )
+    else:
+        beyond = F.col(mo_col).isNotNull() & (
+            F.abs(F.col(on) - F.col(mo_col)) > F.lit(tolerance)
+        )
+    for c in list(right_names) + [mo_col]:
+        out = out.withColumn(c, F.when(beyond, F.lit(None)).otherwise(F.col(c)))
     return out
 
 

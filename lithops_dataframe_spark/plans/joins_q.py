@@ -471,3 +471,47 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "join_asof_tolerance_attribution",
+    oracle="""
+    WITH j AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               c.ts AS click_ts, ROUND(c.value, 4) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN click_ts >= ts - INTERVAL '15 minutes'
+                THEN click_ts END AS click_ts,
+           CASE WHEN click_ts >= ts - INTERVAL '15 minutes'
+                THEN click_value END AS click_value
+    FROM j
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    parity, round 6): attribute each purchase to the user's most recent
+    click, but only if it happened within the last 15 minutes — stale
+    matches are discarded and the purchase keeps null attribution (the
+    marketing attribution-window semantics; an unbounded as-of would
+    credit a click from days ago). The tolerance is a zero-shuffle
+    post-predicate on the matched timestamp (operators/joins.py), so the
+    plan is identical to the plain as-of plus one projection."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.round("value", 4).alias("click_value")
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        matched_on="click_ts",
+        tolerance="15 minutes",
+    )

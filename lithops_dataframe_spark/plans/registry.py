@@ -137,8 +137,8 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
     "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
     # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 60 queries below (down to
-    # emb_table_audit inclusive) are the ONLY never-driver-gated
+    # ROUND-7 ROTATION PLAN: the 61 queries below (down to
+    # join_asof_tolerance_attribution inclusive) are the ONLY never-driver-gated
     # registrations after the r6 sweep (all added mid-r6, after the 50
     # slots were full) — the first 30 fill slots 21-50 next round,
     # keeping the 20 anchors; the overflow and any r7-modified queries
@@ -203,6 +203,7 @@ PRIORITY: tuple[str, ...] = (
     "feat_quantile_normalize",  # NEW r6-cont: cross-group quantile norm
     "text_corpus_datasheet",  # NEW r6-cont: dataset-card capstone
     "emb_table_audit",  # NEW r6-cont: vector-column dq constraint report
+    "join_asof_tolerance_attribution",  # NEW r6-cont: merge_asof tolerance parity
     # every name below already has a green driver row in some round;
     # they remain covered by the local full-battery run
     "sketch_theta_overlap_estimate",

@@ -283,3 +283,26 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     exp = exp[(exp["llo"] < exp["rhi"]) & (exp["rlo"] < exp["lhi"])]
     assert sorted(zip(got["lid"], got["rid"])) == sorted(zip(exp["lid"], exp["rid"]))
     assert len(got) == len(set(zip(got["lid"], got["rid"]))), "duplicates emitted"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("by", [None, "g"])
+def test_asof_tolerance_matches_pandas(spark, by, direction):
+    """tolerance (r6): matches farther than the tolerance are discarded —
+    the left row survives with nulls, exactly pandas merge_asof."""
+    l = spark.createDataFrame(LEFT)
+    r = spark.createDataFrame(_right(by))
+    got = asof_join(
+        l, r, on="t", by=by, direction=direction, tolerance=1.5
+    ).toPandas()
+    got_rows = sorted(map(tuple, got[["t", "g", "lv", "rv"]].fillna(-1).values.tolist()))
+    exp = pd.merge_asof(
+        LEFT.sort_values("t"),
+        _right(by).sort_values("t"),
+        on="t",
+        by=by,
+        direction=direction,
+        tolerance=1.5,
+    )
+    exp_rows = sorted(map(tuple, exp[["t", "g", "lv", "rv"]].fillna(-1).values.tolist()))
+    assert got_rows == exp_rows, f"by={by} direction={direction}"
