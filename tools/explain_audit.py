@@ -157,6 +157,9 @@ HEADLINE = [
     "io_csv_corrupt_audit",
     "scd_late_arriving_dim",
     "feat_quantile_normalize",
+    "text_corpus_datasheet",
+    "emb_table_audit",
+    "join_asof_tolerance_attribution",
 ]
 
 # brute-force baselines are intentionally quadratic at small input;
