@@ -103,6 +103,7 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
+    _validate_asof_tolerance(left, on, tolerance)
     if direction == "nearest":
         _mo = matched_on if tolerance is None else (matched_on or "__asof_tol_on")
         res = _asof_nearest(
@@ -225,6 +226,50 @@ def asof_join(
     else:
         out = out.drop("__asof_" + on)
     return out
+
+
+_NUMERIC_ON_PREFIXES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "decimal",
+)
+
+
+def _validate_asof_tolerance(
+    left: DataFrame, on: str, tolerance: int | float | str | None
+) -> None:
+    """pandas-parity upfront check (ADVICE r6): a numeric tolerance against a
+    timestamp/date ``on`` column would reach ``abs(ts - ts) > number`` — an
+    interval-vs-numeric comparison that fails at EXECUTION time with an
+    opaque Catalyst analysis error. Match the rest of the surface and raise
+    a clear ``ValueError`` at entry instead: temporal ``on`` needs an
+    interval STRING tolerance; numeric ``on`` needs a numeric tolerance;
+    any other ``on`` dtype supports no tolerance at all."""
+    if tolerance is None:
+        return
+    dtype = dict(left.dtypes).get(on)
+    if dtype is None:
+        raise ValueError(f"asof_join: 'on' column {on!r} not in left frame")
+    temporal = dtype == "date" or dtype.startswith("timestamp")
+    numeric = dtype.startswith(_NUMERIC_ON_PREFIXES)
+    if temporal and not isinstance(tolerance, str):
+        raise ValueError(
+            "asof_join: tolerance must be an interval string (e.g. "
+            f"'15 minutes') when 'on' is {dtype}; got {type(tolerance).__name__}"
+        )
+    if numeric and not isinstance(tolerance, (int, float)):
+        raise ValueError(
+            "asof_join: tolerance must be numeric when 'on' is "
+            f"{dtype}; got {type(tolerance).__name__}"
+        )
+    if not temporal and not numeric:
+        raise ValueError(
+            f"asof_join: tolerance is not supported for 'on' dtype {dtype}"
+        )
 
 
 def _apply_asof_tolerance(

@@ -686,7 +686,8 @@ _DECAY_ORACLE = f"""
     SELECT user_id,
            COUNT(*)::BIGINT AS n_events,
            SUM(cents)::BIGINT AS raw_cents,
-           SUM(cents // (1::BIGINT << wk))::BIGINT AS decayed_cents
+           SUM(cents // (1::BIGINT << greatest(0, least(62, wk))))::BIGINT
+               AS decayed_cents
     FROM e GROUP BY user_id
 """
 
@@ -699,6 +700,12 @@ def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer bit-shift halving, no transcendental decay whose libm
     rounding could differ between engines).
 
+    Bound: the shift amount is clamped to [0, 62] in BOTH engines.
+    Events after the scoring date (negative age) count at full value
+    (shift 0) instead of hitting Spark's mod-64 shiftleft wraparound /
+    DuckDB's negative-shift error, and ages beyond 62 weeks decay to 0
+    without signed-BIGINT overflow divergence.
+
     Scale shape: one narrow projection + one hash aggregate with map-side
     partials; nothing else. All-BIGINT."""
     ev = load_table(spark, sf_dir, "events")
@@ -710,7 +717,11 @@ def events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("cents").cast("long").alias("raw_cents"),
-        F.sum(F.expr("cents div shiftleft(CAST(1 AS BIGINT), wk)"))
+        F.sum(
+            F.expr(
+                "cents div shiftleft(CAST(1 AS BIGINT), greatest(0, least(62, wk)))"
+            )
+        )
         .cast("long")
         .alias("decayed_cents"),
     )
@@ -834,7 +845,10 @@ def events_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.select("user_id", "t", gap.alias("gap"))
     agg = d.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        (1 + F.sum((F.col("gap") >= _COV_GAP_US).cast("int")))
+        # NULL-safe like the oracle's SUM(CASE ... ELSE 0 END): a user with
+        # exactly one event has only a NULL gap row; (NULL >= k) is NULL so a
+        # bare cast-sum would return NULL n_sessions where the oracle says 1.
+        (1 + F.sum(F.when(F.col("gap") >= _COV_GAP_US, 1).otherwise(0)))
         .cast("long")
         .alias("n_sessions"),
         F.sum(F.when(F.col("gap") < _COV_GAP_US, F.col("gap")).otherwise(0))
