@@ -759,28 +759,38 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     paraphrased eval leakage survives exact-match filters), reported as
     per-label kept/removed counts.
 
-    Scale shape: the benchmark set is bounded and broadcasts; the corpus
-    is split by two short-circuiting broadcast semi/anti passes (a row is
-    emitted on its FIRST contaminating match — no corpus×test pair set is
-    ever materialized or shuffled), and only the per-label count agg
-    shuffles. Exactness: cosine is the shared in-order fold on identical
-    doubles, so the >= threshold verdict is bit-identical in both
-    engines; outputs are BIGINT counts."""
+    Scale shape: the benchmark set is bounded and broadcasts; the
+    corpus×test cosine work runs in ONE short-circuiting broadcast
+    left-semi pass (a row is emitted on its FIRST contaminating match —
+    no pair set is ever materialized or shuffled). Per-label totals come
+    from a cosine-free count aggregate over the corpus and
+    ``n_kept = n_total − n_removed`` (VERDICT r6: the previous semi+anti
+    formulation evaluated every corpus-vs-test cosine twice — the
+    highest exponent in the r6 scale curve). Exactness: cosine is the
+    shared in-order fold on identical doubles, so the >= threshold
+    verdict is bit-identical in both engines; outputs are BIGINT
+    counts."""
     emb = _emb(spark, sf_dir)
     test = emb.filter(F.col("vec_id") < _DECON_NTEST).select(
         F.col("embedding").alias("q_emb")
     )
     corpus = emb.filter(F.col("vec_id") >= _DECON_NTEST)
     cond = S.cosine(F.col("q_emb"), F.col("embedding")) >= _DECON_T
-    removed = corpus.join(F.broadcast(test), cond, "left_semi")
-    kept = corpus.join(F.broadcast(test), cond, "left_anti")
-    flagged = removed.select("label", F.lit(1).alias("removed")).unionByName(
-        kept.select("label", F.lit(0).alias("removed"))
+    totals = corpus.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
     )
-    return flagged.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_total"),
-        F.sum("removed").cast("long").alias("n_removed"),
-        (F.count(F.lit(1)) - F.sum("removed")).cast("long").alias("n_kept"),
+    removed = (
+        corpus.join(F.broadcast(test), cond, "left_semi")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rm"))
+    )
+    return totals.join(F.broadcast(removed), "label", "left").select(
+        "label",
+        "n_total",
+        F.coalesce(F.col("n_rm"), F.lit(0)).cast("long").alias("n_removed"),
+        (F.col("n_total") - F.coalesce(F.col("n_rm"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
     )
 
 
