@@ -61,56 +61,117 @@ def query_names() -> list[str]:
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries()
 # in dict order (round-1/2 evidence: CORRECTNESS_r0{1,2}.json are exactly
-# registry positions 1-50). Round-6 rotation (VERDICT_r05 task 4): slots
-# 1-20 keep the 20 family anchors. Slots 21-22 re-gate the two r5 FAILs,
-# both FIXED this round (dedup_cdc_chunks: BIGINT window hash under ANSI;
-# emb_pca_power_iteration: v_micro scalar serialization). Slots 23-46
-# promote the staged never-gated tail — the 5 round-5 additions, 9
-# never-gated TPC-H singles, ANN/text/multimodal/frame/join/window/
-# streaming singles — plus events_gapfill_daily (oracle changed r5).
-# Slots 47-50 gate this round's modified/new queries: q07 (nation filter
-# pushed below the fact joins), stream_view_click_correlation (integer-
-# cents oracle), join_asof_nearest_mark (NEW — first gate on the nearest
-# path), emb_semantic_dedup_keep (NEW — SemDeDup composition). With this
-# rotation every query registered BEFORE r6 has had a hard driver row
-# (the seven r6-mid-round additions are staged at 51+ for r7). Displaced
-# r5 promotions return to the 51+ block; they remain covered by the
-# local tools/driver_sim.py full-battery run (now driver-shaped: ANSI
-# on, default configs, complex-output-column rejection).
+# registry positions 1-50). Round-7 rotation (VERDICT r6 task 1 — burn
+# down the driver-gate debt): slots 1-20 keep the 20 family anchors.
+# Slots 21-50 promote 30 of the 61 never-driver-gated registrations,
+# prioritized by first-contact risk: the stateful/streaming and
+# pandas-path queries first (the r5 escape class), then the two r6
+# `weak` plans FIXED this round (cf_negative_sampling single positives
+# build, decontaminate_semantic single corpus pass), the two ADVICE-r6
+# fixes (events_coverage_report NULL n_sessions, events_decayed_value
+# shift clamp), the heavy curve entries, and exact-integer singles.
+# Displaced r6 rows (all driver-green in CORRECTNESS_r06.json) return to
+# the previously-gated tail; the remaining 31 never-gated names are
+# staged first in the 51+ block so ONE more rotation (r8) clears the
+# backlog. New-query registration stays frozen until then (VERDICT r6).
 PRIORITY: tuple[str, ...] = (
-    # --- kept family anchors (driver-green r2+r3+r4) ---
-    "q03_shipping_priority",  # core relational: scan/filter/join/agg/top-k
-    "red_stats_combined",  # §2.4 reductions
-    "join_types_combined",  # §2.3 left/right/full/semi/anti/cross/theta
-    "join_asof_purchase_last_click",  # §2.3 temporal (as-of)
-    "win_ranking_combined",  # §2.5 ranking family
-    "setop_combined",  # §2.7 union/intersect/except/distinct
-    "agg_shapes_combined",  # §2.4 cube/rollup/pivot/melt
-    "agg_percentiles_approx",  # §2.4 percentile scale path
-    "scalar_funcs_combined",  # §2.8 string/date/math/array
-    "scalar_json_map_events",  # §2.8 json+map (round-1 FAIL-env canary)
-    "csv_roundtrip",  # §2.1 sources — MODIFIED r5 (short-read-safe head snoop)
-    "udtf_long_token_index",  # §2.9 UDTF
-    "stream_session_windows",  # §2.10 streaming
-    "dedup_minhash_lsh_pairs",  # LLM dedup flagship
-    "sim_cosine_topk_lsh",  # ANN
-    "sim_cosine_topk_ivf",  # ANN (trained centroids)
-    "kmeans_cells",  # clustering (IVF trainer)
-    "text_hashed_tfidf",  # text flagship
-    "mm_phash_neardup",  # multimodal near-dup
-    "pipeline_clean_corpus",  # end-to-end composition
-    # --- slots 21-22: the two r5 FAILs, fixed this round ---
+    # --- slots 1-20: kept family anchors (driver-green r2-r6) ---
+    "q03_shipping_priority",
+    "red_stats_combined",
+    "join_types_combined",
+    "join_asof_purchase_last_click",
+    "win_ranking_combined",
+    "setop_combined",
+    "agg_shapes_combined",
+    "agg_percentiles_approx",
+    "scalar_funcs_combined",
+    "scalar_json_map_events",
+    "csv_roundtrip",
+    "udtf_long_token_index",
+    "stream_session_windows",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk_lsh",
+    "sim_cosine_topk_ivf",
+    "kmeans_cells",
+    "text_hashed_tfidf",
+    "mm_phash_neardup",
+    "pipeline_clean_corpus",
+    # --- slots 21-50: first-contact rotation (never driver-gated before;
+    # cf_negative_sampling/decontaminate_semantic/events_coverage_report/
+    # events_decayed_value also MODIFIED this round) ---
+    "stream_counter_agg",
+    "stream_merge_upsert_sink",
+    "stream_view_click_full_outer",
+    "stream_enriched_segment_windows",
+    "stream_window_topk_users",
+    "retrieval_mmr_rerank",
+    "dedup_duplicate_spans",
+    "classifier_lr_kfold",
+    "classifier_lr_score_corpus",
+    "eval_auc_by_source",
+    "eval_classifier_auc",
+    "eval_calibration_bins",
+    "feat_quantile_normalize",
+    "io_dpp_prune",
+    "join_asof_tolerance_attribution",
+    "dedup_incremental_batch",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_pairs",
+    "dedup_chunk_keep_first",
+    "cf_part_cooccurrence_lift",
+    "cf_negative_sampling",
+    "decontaminate_semantic",
+    "events_coverage_report",
+    "events_decayed_value",
+    "events_counter_agg",
+    "graph_label_propagation",
+    "emb_hard_negative_mining",
+    "pack_length_buckets",
+    "retrieval_hybrid_rrf",
+    "text_corpus_datasheet",
+    # --- 51+: the remaining never-gated backlog, staged in r8 rotation
+    # order — one more round clears it ---
+    "pack_concat_chunks",
+    "emb_matryoshka_recall",
+    "emb_binary_quantize_recall",
+    "emb_table_audit",
+    "dedup_ensemble_agreement",
+    "retrieval_rbo_lex_vs_sem",
+    "events_lttb_downsample",
+    "stat_spearman_trend",
+    "stat_chi2_independence",
+    "scd_late_arriving_dim",
+    "io_csv_corrupt_audit",
+    "join_scd2_pointintime",
+    "events_gapfill_interpolate",
+    "sample_systematic_weighted",
+    "events_seasonal_decompose",
+    "events_anomaly_mad",
+    "mix_interleave_epoch",
+    "select_dsir_importance",
+    "events_markov_transitions",
+    "events_time_weighted_avg",
+    "text_distinctive_terms_odds",
+    "dq_key_skew_report",
+    "events_ohlc_bars",
+    "dq_profile_drift",
+    "dq_k_anonymity_cells",
+    "events_winsorize_stats",
+    "dq_snapshot_diff",
+    "split_temporal_cv_manifest",
+    "sample_hash_per_group",
+    "events_ab_assignment",
+    "bpe_fertility_by_lang",
+    # every name below is driver-green in an earlier round
+    # (CORRECTNESS_r01-r06); they remain covered by the local
+    # full-battery driver_sim run
     "dedup_cdc_chunks",
     "emb_pca_power_iteration",
-    # --- slots 23-46: the staged never-gated tail (exhausts it) ---
-    # round-5 additions (BPE encode, grouped OLS training, PageRank,
-    # MERGE-style dynamic-partition upsert, stream-stream LEFT OUTER):
     "bpe_encode_token_stats",
     "udf_grouped_ols_trend",
     "graph_pagerank",
     "io_merge_upsert_partitioned",
     "stream_view_click_left_outer",
-    # never-gated TPC-H singles:
     "q04_priority_with_late_lines",
     "q08_market_share",
     "q10_returned_items_topk",
@@ -119,8 +180,7 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_revenue_share",
     "q15_top_supplier",
     "q19_brand_quantity_bands",
-    "q22_global_sales_opportunity",  # de-vacuated r6 (recent-orders anti-join)
-    # never-gated r1-r4 singles:
+    "q22_global_sales_opportunity",
     "sim_cosine_neardup_exact",
     "text_top_tokens",
     "mm_resize_images",
@@ -130,82 +190,11 @@ PRIORITY: tuple[str, ...] = (
     "win_percent_cume",
     "stream_sliding_activity",
     "stream_daily_type_revenue",
-    "events_gapfill_daily",  # oracle changed r5 (literal spine)
-    # --- slots 47-50: r6-modified + r6-new ---
-    "q07_nation_volume",  # nation-pair filter pushed below the fact joins
-    "stream_view_click_correlation",  # integer-cents oracle (ADVICE r5)
-    "join_asof_nearest_mark",  # NEW r6: first gate on asof nearest
-    "emb_semantic_dedup_keep",  # NEW r6: SemDeDup composition
-    # --- 51+: next-most-valuable if the sweep extends past 50 ---
-    # ROUND-7 ROTATION PLAN: the 61 queries below (down to
-    # join_asof_tolerance_attribution inclusive) are the ONLY never-driver-gated
-    # registrations after the r6 sweep (all added mid-r6, after the 50
-    # slots were full) — the first 30 fill slots 21-50 next round,
-    # keeping the 20 anchors; the overflow and any r7-modified queries
-    # displace from the tail of this block, then previously-gated singles.
-    "classifier_lr_score_corpus",  # NEW r6: train→apply corpus scoring
-    "dedup_incremental_batch",  # NEW r6: arriving batch probes LSH index
-    "events_gapfill_interpolate",  # NEW r6: per-entity locf + interpolate
-    "stream_enriched_segment_windows",  # NEW r6: stream-static enrichment
-    "events_lttb_downsample",  # NEW r6: parallel LTTB, exact-int argmax
-    "sample_systematic_weighted",  # NEW r6: deterministic PPS sampling
-    "stream_merge_upsert_sink",  # NEW r6: foreachBatch CDC-apply MERGE
-    "dedup_jaccard_prefix_filter",  # NEW r6-cont: AllPairs prefix filter
-    "events_seasonal_decompose",  # NEW r6-cont: additive seasonal/trend
-    "events_anomaly_mad",  # NEW r6-cont: Hampel median/MAD outliers
-    "mix_interleave_epoch",  # NEW r6-cont: weighted-round-robin epoch mix
-    "select_dsir_importance",  # NEW r6-cont: DSIR hashed-ngram selection
-    "eval_classifier_auc",  # NEW r6-cont: exact distributed ROC-AUC
-    "retrieval_hybrid_rrf",  # NEW r6-cont: BM25+cosine rank fusion
-    "dedup_containment_pairs",  # NEW r6-cont: asymmetric doc-in-doc dedup
-    "dedup_duplicate_spans",  # NEW r6-cont: exact duplicated-substring spans
-    "events_markov_transitions",  # NEW r6-cont: next-event transition matrix
-    "graph_label_propagation",  # NEW r6-cont: seeded BSP label spreading
-    "events_time_weighted_avg",  # NEW r6-cont: LOCF time-weighted mean
-    "cf_part_cooccurrence_lift",  # NEW r6-cont: basket mining, integer lift
-    "text_distinctive_terms_odds",  # NEW r6-cont: fightin'-words odds ratio
-    "events_counter_agg",  # NEW r6-cont: reset-aware counter deltas
-    "dq_key_skew_report",  # NEW r6-cont: join-key heavy-hitter skew probe
-    "emb_matryoshka_recall",  # NEW r6-cont: truncated-dim retrieval recall
-    "pack_concat_chunks",  # NEW r6-cont: GPT concat-and-chunk manifest
-    "classifier_lr_kfold",  # NEW r6-cont: k-fold CV confusion per fold
-    "stream_counter_agg",  # NEW r6-cont: order-sensitive streaming state
-    "join_scd2_pointintime",  # NEW r6-cont: leakage-safe PIT enrichment
-    "emb_binary_quantize_recall",  # NEW r6-cont: sign-bit BQ Hamming recall
-    "emb_hard_negative_mining",  # NEW r6-cont: contrastive hard negatives
-    "decontaminate_semantic",  # NEW r6-cont: embedding-space decontamination
-    "events_ohlc_bars",  # NEW r6-cont: OHLC candlestick bars, one min_by/max_by agg
-    "dq_profile_drift",  # NEW r6-cont: batch-over-batch profile drift gate
-    "stat_spearman_trend",  # NEW r6-cont: exact-integer Spearman rank corr
-    "dedup_chunk_keep_first",  # NEW r6-cont: C4 chunk dedup + reassembly
-    "eval_calibration_bins",  # NEW r6-cont: reliability bins, 2-phase rank
-    "dq_k_anonymity_cells",  # NEW r6-cont: privacy cell-size audit
-    "events_winsorize_stats",  # NEW r6-cont: exact p05/p95 winsorize report
-    "retrieval_mmr_rerank",  # NEW r6-cont: MMR diversity re-rank, cogrouped greedy
-    "stream_window_topk_users",  # NEW r6-cont: windowed heavy hitters
-    "dq_snapshot_diff",  # NEW r6-cont: crawl-over-crawl md5 reconciliation
-    "stat_chi2_independence",  # NEW r6-cont: contingency chi-square cells
-    "io_dpp_prune",  # NEW r6-cont: dynamic partition pruning star scan
-    "events_decayed_value",  # NEW r6-cont: exact bit-shift recency decay
-    "split_temporal_cv_manifest",  # NEW r6-cont: rolling-origin CV folds
-    "sample_hash_per_group",  # NEW r6-cont: salted-md5 per-group eval draw
-    "events_ab_assignment",  # NEW r6-cont: A/B arm assignment + SRM sheet
-    "dedup_ensemble_agreement",  # NEW r6-cont: text×embedding detector matrix
-    "pack_length_buckets",  # NEW r6-cont: dynamic-batching padding manifest
-    "stream_view_click_full_outer",  # NEW r6-cont: full-outer stream join
-    "bpe_fertility_by_lang",  # NEW r6-cont: tokens-per-word fairness metric
-    "cf_negative_sampling",  # NEW r6-cont: reproducible implicit-feedback negs
-    "events_coverage_report",  # NEW r6-cont: uptime/gap SLA accounting
-    "eval_auc_by_source",  # NEW r6-cont: sliced per-source exact AUC
-    "retrieval_rbo_lex_vs_sem",  # NEW r6-cont: exact dyadic-weight RBO
-    "io_csv_corrupt_audit",  # NEW r6-cont: PERMISSIVE dead-letter accounting
-    "scd_late_arriving_dim",  # NEW r6-cont: inferred-member fact enrichment
-    "feat_quantile_normalize",  # NEW r6-cont: cross-group quantile norm
-    "text_corpus_datasheet",  # NEW r6-cont: dataset-card capstone
-    "emb_table_audit",  # NEW r6-cont: vector-column dq constraint report
-    "join_asof_tolerance_attribution",  # NEW r6-cont: merge_asof tolerance parity
-    # every name below already has a green driver row in some round;
-    # they remain covered by the local full-battery run
+    "events_gapfill_daily",
+    "q07_nation_volume",
+    "stream_view_click_correlation",
+    "join_asof_nearest_mark",
+    "emb_semantic_dedup_keep",
     "sketch_theta_overlap_estimate",
     "sketch_kll_quantiles_by_type",
     "rollup_sketch_hll_daily",

@@ -57,6 +57,10 @@ def test_top50_covers_every_family():
             # dynamic-partition-overwrite MERGE: writes the upserted
             # partitions and answers from the read-back table
             "io_merge_upsert_partitioned",
+            # foreachBatch CDC-apply MERGE: every micro-batch writes the
+            # merged table to parquet and the query answers from the
+            # read-back result — a streaming writer/reader round trip
+            "stream_merge_upsert_sink",
         },
         "arrow-batched python": {
             "udf_map_in_arrow",
@@ -68,6 +72,7 @@ def test_top50_covers_every_family():
             "mm_wav_spectral_features",
             "udf_grouped_ols_trend",  # bucketed grouped-map applyInPandas
             "mm_resize_images",  # mapInPandas over binary payloads
+            "retrieval_mmr_rerank",  # cogrouped applyInPandas greedy re-rank
         },
         "udtf": {"udtf_long_token_index"},
         "streaming": {"stream_session_windows"},
@@ -79,6 +84,10 @@ def test_top50_covers_every_family():
             # watermarked stream-stream LEFT OUTER holds per-key join
             # state across micro-batches (null emission on eviction)
             "stream_view_click_left_outer",
+            # applyInPandasWithState reset-aware counter deltas
+            "stream_counter_agg",
+            # watermarked FULL OUTER keeps both sides' join state
+            "stream_view_click_full_outer",
         },
         "dedup": {"dedup_minhash_lsh_pairs"},
         "ann": {"sim_cosine_topk_lsh"},
