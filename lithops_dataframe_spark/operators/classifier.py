@@ -67,6 +67,13 @@ def score_frame(
     accuracy, so it replays exactly in any engine. Adds ``pred`` (0/1)
     to the feature frame."""
     feats = feature_frame(docs, keep=keep)
+    return score_features(feats, weights)
+
+
+def score_features(feats: DataFrame, weights: list[float]) -> DataFrame:
+    """Inference over an already-featurized frame (``x0..x{k-1}``) —
+    same exp-free ``z > 0`` predicate as :func:`score_frame`, for
+    callers that hold a cached feature frame (k-fold CV)."""
     z = F.lit(weights[0]) * F.col("x0")
     for j in range(1, N_FEATURES):
         z = z + F.lit(weights[j]) * F.col(f"x{j}")
@@ -81,8 +88,23 @@ def lr_train(
 ) -> DataFrame:
     """Train and return the trajectory: one row per epoch with the updated
     (rounded) weights and the exact training-correct count under them."""
-    spark = docs.sparkSession
-    feats = feature_frame(docs).localCheckpoint(eager=True)
+    return lr_train_features(
+        feature_frame(docs).localCheckpoint(eager=True), epochs=epochs, lr=lr
+    )
+
+
+def lr_train_features(
+    feats: DataFrame,
+    *,
+    epochs: int = 6,
+    lr: float = 5.0,
+) -> DataFrame:
+    """Train on an ALREADY-FEATURIZED (and ideally already-materialized)
+    frame with columns ``y, x0..x{k-1}`` — the hook that lets k-fold CV
+    featurize the corpus once and run every fold's epochs against the
+    same cached frame instead of re-paying the regex-heavy featurize
+    pass per fold (r7; the caller owns materialization)."""
+    spark = feats.sparkSession
     n = feats.count()
     w = [0.0] * N_FEATURES
 

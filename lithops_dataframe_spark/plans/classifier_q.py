@@ -295,28 +295,34 @@ def classifier_lr_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold's whole trajectory replays bit-identically in the oracle's
     per-fold unrolled-epoch chains.
 
-    Scale shape: k independent train loops (each the same driver-state
-    gradient aggregate as classifier_lr_train — model is 5 doubles, data
-    never leaves the cluster) followed by k shuffle-free scoring scans;
-    in production the folds run concurrently from one cached feature
-    frame. Cost is k× a single train, bounded here by folds=3 and
-    epochs=4."""
+    Scale shape: the corpus is featurized ONCE (the regex-heavy text
+    pass) into one eagerly-materialized frame carrying its fold id; each
+    of the k train loops and k shuffle-free scoring scans then reads the
+    cached features (r7 — the previous version re-featurized the
+    complement per fold, 3× the text work; model stays 5 driver-side
+    doubles, data never leaves the cluster). Cost is k× a single
+    cached-scan train, bounded here by folds=3 and epochs=4."""
+    from pyspark.sql import functions as F
+
     from lithops_dataframe_spark.operators import classifier as C
 
     docs = load_table(spark, sf_dir, "documents")
+    feats_all = (
+        C.feature_frame(docs)
+        .withColumn("fold", (F.col("doc_id") % _KF_FOLDS).cast("int"))
+        .localCheckpoint(eager=True)
+    )
     out = None
     for f in range(_KF_FOLDS):
-        from pyspark.sql import functions as F
-
-        tr = docs.filter(F.col("doc_id") % _KF_FOLDS != f)
+        tr = feats_all.filter(F.col("fold") != f)
         traj = sorted(
-            C.lr_train(tr, epochs=_KF_EPOCHS, lr=_LR).collect(),
+            C.lr_train_features(tr, epochs=_KF_EPOCHS, lr=_LR).collect(),
             key=lambda r: r["epoch"],
         )
         w = [float(traj[-1][f"w{j}"]) for j in range(5)]
         n_train = int(tr.count())
-        te = docs.filter(F.col("doc_id") % _KF_FOLDS == f)
-        scored = C.score_frame(te, w)
+        te = feats_all.filter(F.col("fold") == f)
+        scored = C.score_features(te, w)
         conf = scored.agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
             F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("int"))
