@@ -314,11 +314,26 @@ SCALE_FAMILIES: dict[str, list[str]] = {
                    "feat_quantile_normalize"],
     "chunk_dedup": ["dedup_chunk_keep_first"],
     "basket": ["cf_part_cooccurrence_lift", "cf_negative_sampling"],
-    "corpus_stats": ["text_distinctive_terms_odds", "stat_chi2_independence"],
+    "corpus_stats": ["text_distinctive_terms_odds", "stat_chi2_independence",
+                     "text_corpus_datasheet"],
     "dq_probe": ["dq_key_skew_report", "dq_profile_drift", "dq_k_anonymity_cells",
                  "dq_snapshot_diff"],
     "ann_eval": ["emb_matryoshka_recall", "emb_binary_quantize_recall",
                  "emb_hard_negative_mining"],
+    # round-7 (VERDICT r6 task 5): the six post-r6-bench queries join the
+    # curve. text_corpus_datasheet is one conditional hash agg + two-phase
+    # exact median (linear); the asof attribution is the per-user
+    # union+carry window (10x users, same depth — copy-local); the SCD
+    # late-arriving join scales fact and dim together (copy-local keys);
+    # the embedding audit is a narrow per-row JVM fold + per-label agg;
+    # the CSV corrupt audit round-trips the CONSTANT-cardinality nation
+    # dim (single-copy in the fixture, like TPC-H) — its row documents
+    # the constant, it cannot flag. feat_quantile_normalize was already
+    # in rank_stats.
+    "asof": ["join_asof_tolerance_attribution"],
+    "scd": ["scd_late_arriving_dim"],
+    "vector_audit": ["emb_table_audit"],
+    "ingest_audit": ["io_csv_corrupt_audit"],
 }
 
 # Curve-only callables (not registered queries): same signature as a
