@@ -346,18 +346,26 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part attribute with
     a NOT-IN exclusion list. The (part, supplier) association comes from
-    distinct lineitem pairs (no partsupp in fixtures); the exclusion is an
+    lineitem pairs (no partsupp in fixtures); the exclusion is an
     anti-join (NOT IN with non-nullable keys ≡ anti-join), AQE-sized like
-    the part join since both sides scale with SF."""
-    pairs = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    the part join since both sides scale with SF.
+
+    Scale shape (r7): NO standalone pair-distinct — ``countDistinct``
+    already dedups suppliers inside its two-phase aggregate, so the old
+    ``pairs.distinct()`` was a full-lineitem Exchange for nothing. The
+    selective part filter (~16% of parts) joins FIRST, shrinking both
+    the anti-join and the distinct-aggregate shuffle by its selectivity
+    (the q02 semi-below-the-aggregate lesson applied to Q16); one real
+    Exchange total at scale."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
-        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad, F.col("l_suppkey") == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
