@@ -203,6 +203,7 @@ def cf_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1,
         )
     )
+    gen = gen.drop("maxp")  # derived cand only — keep it out of the shuffle
     pos2 = pos.select(
         F.col("user_id").alias("u2"), F.col("part_id").alias("p2")
     )
