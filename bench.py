@@ -188,6 +188,11 @@ R6_ADDITIONS: list[str] = [
     "join_asof_tolerance_attribution",
 ]
 
+# Round-7 additions: same composition-stability rule.
+R7_ADDITIONS: list[str] = [
+    "dq_ks_value_drift",
+]
+
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent
 # log10(t_10x / t_base) flags any family whose runtime grows faster than
@@ -331,6 +336,10 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # the constant, it cannot flag. feat_quantile_normalize was already
     # in rank_stats.
     "asof": ["join_asof_tolerance_attribution"],
+    # round-7: KS drift — the distinct (type, value) table is IDENTICAL
+    # across key-shifted copies (values repeat), so the prefix-sum stage
+    # is constant-size and only the first counting aggregate scans 10x.
+    "ks_drift": ["dq_ks_value_drift"],
     "scd": ["scd_late_arriving_dim"],
     "vector_audit": ["emb_table_audit"],
     "ingest_audit": ["io_csv_corrupt_audit"],
@@ -475,11 +484,11 @@ def main() -> None:
     # are reused — only code paths are warmed.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS:
+        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS:
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 
-    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS if n in QUERIES]
+    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]
     # Best-of-2 per query, as two INTERLEAVED full passes: steady-state
     # engine throughput is the metric, and a single timing is exposed to
@@ -504,6 +513,7 @@ def main() -> None:
     r4 = {n: t for n, t in timings.items() if n in set(R4_ADDITIONS)}
     r5 = {n: t for n, t in timings.items() if n in set(R5_ADDITIONS)}
     r6 = {n: t for n, t in timings.items() if n in set(R6_ADDITIONS)}
+    r7 = {n: t for n, t in timings.items() if n in set(R7_ADDITIONS)}
     total = round(sum(head.values()), 4)
     # The driver captures only the LAST ~2000 bytes of stdout and parses
     # the final line as JSON (BENCH_r03 lesson: a line that embeds every
@@ -527,6 +537,7 @@ def main() -> None:
         "r4_additions_total": round(sum(r4.values()), 4),
         "r5_additions_total": round(sum(r5.values()), 4),
         "r6_additions_total": round(sum(r6.values()), 4),
+        "r7_additions_total": round(sum(r7.values()), 4),
         "detail": "BENCH_FULL.json",
     }
     full = dict(out)

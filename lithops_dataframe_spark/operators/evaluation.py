@@ -196,3 +196,102 @@ def roc_auc_by_group(
             F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
         ).alias("auc"),
     )
+
+
+def ks_two_sample_by_group(
+    df: DataFrame, group_col: str, value_col: str, flag_col: str
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group — the
+    distribution-drift test a data-quality monitor runs per stream
+    (``flag_col`` 1/0 splits each group's rows into the two samples,
+    e.g. before/after a cutover date).
+
+    KS = max_x |F_A(x) − F_B(x)| is computed WITHOUT floats by
+    cross-multiplying through the sample sizes:
+    ``ks_num = max over distinct values of |n_b·cum_a − n_a·cum_b|``
+    and ``KS = ks_num / (n_a·n_b)`` — every term an exact BIGINT, so the
+    statistic replays bit-identically in any engine. Reported as integer
+    micro-units ``ks_micros = ks_num·1e6 div (n_a·n_b)`` (sound while
+    ``ks_num ≤ ~9.2e12``, i.e. per-group sample products to ~3e6 rows
+    per side at full precision — beyond that drop to permille, same
+    class of documented BIGINT bound as stat_spearman_trend).
+
+    Scale shape: one hash aggregate to distinct (group, value) rows with
+    per-sample counts, then the GROUPED two-phase prefix-sum pattern of
+    :func:`roc_auc_by_group` (range-partition on (group, value),
+    per-partition INCLUSIVE running sums for both samples, one tiny
+    per-(partition, group) totals frame broadcast back as carry-in —
+    groups never serialize into one task), a broadcast of the per-group
+    sample sizes, and a final per-group max. No window over a raw fact
+    table, no single-task stage."""
+    from lithops_dataframe_spark import cache
+
+    a = F.col(flag_col).cast("long")
+    g = df.groupBy(group_col, value_col).agg(
+        F.sum(a).alias("ca"),
+        F.sum(F.lit(1) - a).alias("cb"),
+    )
+    # part feeds the local prefix window AND the per-(pid, group) totals;
+    # the tracked persist stops the source aggregate + range shuffle from
+    # running twice (same contract as asof_join's global path: registry
+    # builders auto-evict, direct library callers release_all()).
+    part = cache.persist_tracked(
+        g.repartitionByRange(
+            F.col(group_col).asc(), F.col(value_col).asc()
+        ).withColumn("__pid", F.spark_partition_id())
+    )
+    wloc = (
+        Window.partitionBy("__pid", group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.withColumn("__ca_loc", F.sum("ca").over(wloc)).withColumn(
+        "__cb_loc", F.sum("cb").over(wloc)
+    )
+    totals = part.groupBy("__pid", group_col).agg(
+        F.sum("ca").alias("__pa"), F.sum("cb").alias("__pb")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__pa").over(wcum), F.lit(0).cast("long")).alias("__offa"),
+        F.coalesce(F.sum("__pb").over(wcum), F.lit(0).cast("long")).alias("__offb"),
+    )
+    c = (
+        local.join(F.broadcast(offs), ["__pid", group_col])
+        .withColumn("cuma", F.col("__ca_loc") + F.col("__offa"))
+        .withColumn("cumb", F.col("__cb_loc") + F.col("__offb"))
+    )
+    sizes = totals.groupBy(group_col).agg(
+        F.sum("__pa").cast("long").alias("n_a"),
+        F.sum("__pb").cast("long").alias("n_b"),
+    )
+    d = c.join(F.broadcast(sizes), group_col).withColumn(
+        "__d",
+        F.abs(F.col("n_b") * F.col("cuma") - F.col("n_a") * F.col("cumb")).cast(
+            "long"
+        ),
+    )
+    agg = d.groupBy(group_col).agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max("__d").cast("long").alias("ks_num"),
+    )
+    return agg.select(
+        group_col,
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.when(
+            F.col("n_a") * F.col("n_b") > 0,
+            F.expr("ks_num * 1000000 div (n_a * n_b)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ks_micros"),
+    )

@@ -521,3 +521,71 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cb").cast("long").alias("sum_chars_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample KS drift test per stream (round 7)
+# ---------------------------------------------------------------------------
+_KS_SPLIT = "2024-01-15"
+
+_KS_ORACLE = f"""
+    WITH flagged AS (
+        SELECT event_type, value AS v,
+               CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS a
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, v,
+               SUM(a)::BIGINT AS ca, SUM(1 - a)::BIGINT AS cb
+        FROM flagged GROUP BY event_type, v
+    ),
+    c AS (
+        SELECT event_type, v, ca, cb,
+               SUM(ca) OVER (PARTITION BY event_type ORDER BY v)::BIGINT AS cuma,
+               SUM(cb) OVER (PARTITION BY event_type ORDER BY v)::BIGINT AS cumb
+        FROM g
+    ),
+    t AS (
+        SELECT event_type, SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b
+        FROM g GROUP BY event_type
+    ),
+    d AS (
+        SELECT c.event_type, t.n_a, t.n_b,
+               ABS(t.n_b * c.cuma - t.n_a * c.cumb)::BIGINT AS dd
+        FROM c JOIN t USING (event_type)
+    )
+    SELECT event_type, n_a, n_b,
+           MAX(dd)::BIGINT AS ks_num,
+           (CASE WHEN n_a * n_b > 0
+                 THEN MAX(dd) * 1000000 // (n_a * n_b) ELSE 0 END)::BIGINT
+               AS ks_micros
+    FROM d GROUP BY event_type, n_a, n_b
+"""
+
+
+@register("dq_ks_value_drift", oracle=_KS_ORACLE)
+def dq_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift test per event stream:
+    for each event_type, compare the value distribution BEFORE vs AFTER
+    a cutover date and report the exact KS statistic — the
+    distributional drift monitor (dq_profile_drift catches mean/null
+    shifts; KS catches shape changes those moments miss).
+
+    Exactness: ks_num = max |n_b·cum_a − n_a·cum_b| over distinct values
+    is all-BIGINT (cross-multiplied CDF difference, no division until
+    the final integer micro-units) — value-hash identical cross-engine.
+
+    Scale shape: one (type, value) hash aggregate, then the grouped
+    two-phase prefix-sum pattern (operators/evaluation.py::
+    ks_two_sample_by_group — range-partition, local inclusive sums,
+    broadcast carry), a broadcast of per-group sizes, one final max agg.
+    No raw-fact window, no single-task stage."""
+    from lithops_dataframe_spark.operators.evaluation import ks_two_sample_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "event_type",
+        F.col("value").alias("v"),
+        (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp")).cast("int").alias("a"),
+    )
+    return ks_two_sample_by_group(flagged, "event_type", "v", "a")

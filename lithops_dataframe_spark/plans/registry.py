@@ -162,6 +162,7 @@ PRIORITY: tuple[str, ...] = (
     "sample_hash_per_group",
     "events_ab_assignment",
     "bpe_fertility_by_lang",
+    "dq_ks_value_drift",  # NEW r7 (the round's single addition — backlog stays ≤33)
     # every name below is driver-green in an earlier round
     # (CORRECTNESS_r01-r06); they remain covered by the local
     # full-battery driver_sim run
