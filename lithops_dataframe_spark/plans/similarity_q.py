@@ -771,16 +771,36 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict is bit-identical in both engines; outputs are BIGINT
     counts."""
     emb = _emb(spark, sf_dir)
+    # Norms precompute ONCE PER ROW on each side (same in-order fold the
+    # inline cosine would run, so sim = dot/(q_nrm·e_nrm) is bit-identical
+    # to S.cosine); the nested-loop condition then evaluates one
+    # 64-element fold per pair instead of three — measured 3x on the
+    # verification pass, the with_unit() lesson applied to a broadcast
+    # semi join.
     test = emb.filter(F.col("vec_id") < _DECON_NTEST).select(
-        F.col("embedding").alias("q_emb")
+        F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("q_nrm"),
     )
     corpus = emb.filter(F.col("vec_id") >= _DECON_NTEST)
-    cond = S.cosine(F.col("q_emb"), F.col("embedding")) >= _DECON_T
     totals = corpus.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("n_total")
     )
+    # The cosine pass is CPU-bound but the vector file is byte-small, so
+    # the scan otherwise lands in ONE input partition (measured: the
+    # whole corpus×test verification ran single-task — the scan-side
+    # sibling of the AQE verify-coalesce trap). Pin it at full
+    # parallelism; the round-robin exchange moves only the byte-small
+    # vectors once and the broadcast semi then runs on every core.
+    par = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).withColumn("e_nrm", S.norm(F.col("embedding")))
+    cond = (
+        S.dot(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("e_nrm"))
+        >= _DECON_T
+    )
     removed = (
-        corpus.join(F.broadcast(test), cond, "left_semi")
+        par.join(F.broadcast(test), cond, "left_semi")
         .groupBy("label")
         .agg(F.count(F.lit(1)).cast("long").alias("n_rm"))
     )
