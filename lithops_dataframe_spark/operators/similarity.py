@@ -185,17 +185,36 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, rank, sim); self-matches excluded.
 
-    Scale shape: ``broadcast(queries)`` keeps the corpus scan shuffle-free;
-    the window ranks within query_id partitions — with Q queries the
-    shuffle moves only the (corpus × Q) scored rows, and AQE coalesces.
+    Scale shape: ``broadcast(queries)`` keeps the corpus scan shuffle-free
+    except for one round-robin exchange pinning the CPU-bound scoring at
+    full parallelism (byte-small vector files otherwise land the whole
+    cross product in ONE input partition — the decon r7 lesson); the
+    window ranks within query_id partitions — with Q queries the shuffle
+    moves only the (corpus × Q) scored rows, and AQE coalesces. Norms
+    precompute once per row on each side, so each pair costs ONE fold
+    (``sim = dot/(q_nrm·c_nrm)``, bit-identical to the inline cosine —
+    every factor is the same in-order expression, just bound per row).
     For very large Q, swap the broadcast for a bucket join (see ann_topk).
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "sim",
+            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

@@ -680,28 +680,39 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the anchor set broadcasts; the corpus scan applies the
     label-mismatch filter BEFORE scoring (so same-label rows never pay
-    the dot product) and stays shuffle-free; only scored candidates move
-    into the per-anchor top-k window. Exactness: cosine is the shared
-    in-order fold, ties break by neighbor id, sim rounded to 6dp on both
+    the dot product), is pinned to full parallelism (byte-small vector
+    file → one input partition otherwise — the decon r7 lesson), and
+    stays shuffle-free; only scored candidates move into the per-anchor
+    top-k window. Norms precompute once per row on each side, so each
+    surviving pair costs ONE fold (sim = dot/(q_nrm·c_nrm), bit-identical
+    to the inline cosine). Exactness: cosine is the shared in-order
+    fold, ties break by neighbor id, sim rounded to 6dp on both
     engines."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("q_nrm"),
     )
     scored = (
-        emb.select(
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("label").alias("neg_label"),
             F.col("embedding").alias("c_emb"),
+            S.norm(F.col("embedding")).alias("c_nrm"),
         )
         .crossJoin(F.broadcast(q))
         .filter(
             (F.col("neighbor_id") != F.col("query_id"))
             & (F.col("neg_label") != F.col("anchor_label"))
         )
-        .withColumn("sim", S.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "sim",
+            S.dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     from pyspark.sql import Window
 
