@@ -250,8 +250,18 @@ def ann_topk(
     shape, and the index itself are unchanged — recall rises without
     adding tables or re-hashing the corpus.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"))
+    # Norms ride the payload projections so the per-candidate score is
+    # ONE fold (sim = dot/(q_nrm·c_nrm), bit-identical to inline cosine).
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("q_emb"),
+        norm(F.col(emb_col)).alias("q_nrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("c_emb"),
+        norm(F.col(emb_col)).alias("c_nrm"),
+    )
     # Slim bucket join: postings carry only (id, table_idx, bucket);
     # embeddings rejoin AFTER candidate dedup (payload movement is
     # O(candidates), and the query side re-attaches via broadcast).
@@ -300,7 +310,10 @@ def ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        cand.withColumn("sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        cand.withColumn(
+            "sim",
+            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("sim", 6).alias("sim"))
@@ -450,8 +463,22 @@ def cosine_near_dup_pairs(
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
-            .join(base.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a")), "id_a")
-            .join(base.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b")), "id_b")
+            .join(
+                base.select(
+                    F.col("id").alias("id_a"),
+                    F.col("emb").alias("emb_a"),
+                    norm(F.col("emb")).alias("nrm_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                base.select(
+                    F.col("id").alias("id_b"),
+                    F.col("emb").alias("emb_b"),
+                    norm(F.col("emb")).alias("nrm_b"),
+                ),
+                "id_b",
+            )
         )
     else:
         # exact quadratic baseline: pre-normalize so each of the n²/2
@@ -469,8 +496,13 @@ def cosine_near_dup_pairs(
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
         )
+    # one fold per candidate pair: norms were bound in the rejoin
+    # projections above (bit-identical to inline cosine)
     return (
-        cand.withColumn("sim", cosine(F.col("emb_a"), F.col("emb_b")))
+        cand.withColumn(
+            "sim",
+            dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
     )
