@@ -212,12 +212,23 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     qids = [qid for qid, _ in _QUERIES]
     q = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").cast("int").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("q_nrm"),
     )
-    sims = emb.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        S.cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    # norms bound per row on both sides: one fold per (doc, query) pair,
+    # bit-identical to inline cosine (r7 lesson)
+    sims = (
+        emb.withColumn("e_nrm", S.norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                S.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("e_nrm"))
+            ).alias("sim"),
+        )
     )
     wsem = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
     sem = (
@@ -498,14 +509,23 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _MMR_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("q_nrm"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        S.norm(F.col("embedding")).alias("c_nrm"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     pool = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", S.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "sim",
+            S.dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_POOL)
         .select("query_id", "neighbor_id", micros(F.col("sim")).alias("sim_micro"))
@@ -517,21 +537,36 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alias() + qualified-column route
     emb_b = load_table(spark, sf_dir, "embeddings")
     q_b = emb_b.filter(F.col("vec_id") < _MMR_Q).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("q_nrm"),
     )
     c_b = emb_b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        S.norm(F.col("embedding")).alias("c_nrm"),
     )
     pool_b = (
         c_b.crossJoin(F.broadcast(q_b))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", S.cosine(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "sim",
+            S.dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_POOL)
         .select("query_id", "neighbor_id")
     )
-    e1 = emb_b.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
-    e2 = emb_b.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
+    e1 = emb_b.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        S.norm(F.col("embedding")).alias("nrm_a"),
+    )
+    e2 = emb_b.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        S.norm(F.col("embedding")).alias("nrm_b"),
+    )
     pairs = (
         pool_b.alias("x")
         .join(
@@ -550,7 +585,10 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "a",
             "b",
-            micros(S.cosine(F.col("emb_a"), F.col("emb_b"))).alias("sim_micro"),
+            micros(
+                S.dot(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("sim_micro"),
         )
     )
 
@@ -688,12 +726,23 @@ def retrieval_rbo_lex_vs_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     qids = [qid for qid, _ in _QUERIES]
     q = emb.filter(F.col("vec_id").isin(qids)).select(
-        F.col("vec_id").cast("int").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("q_nrm"),
     )
-    sims = emb.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        F.col("vec_id").alias("doc_id"),
-        S.cosine(F.col("q_emb"), F.col("embedding")).alias("sim"),
+    # norms bound per row on both sides: one fold per (doc, query) pair,
+    # bit-identical to inline cosine (r7 lesson)
+    sims = (
+        emb.withColumn("e_nrm", S.norm(F.col("embedding")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                S.dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("e_nrm"))
+            ).alias("sim"),
+        )
     )
     wsem = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "doc_id")
     sem = (
