@@ -226,6 +226,12 @@ def ks_two_sample_by_group(
     table, no single-task stage."""
     from lithops_dataframe_spark import cache
 
+    # NULL values carry no CDF position — and the engines would ORDER
+    # them differently (Spark windows sort NULLS FIRST ascending, DuckDB
+    # NULLS LAST), silently shifting every cumulative count. Drop them
+    # upfront in BOTH engine and oracle (latent-divergence class: the
+    # fixtures happen to contain no NULL values).
+    df = df.filter(F.col(value_col).isNotNull())
     a = F.col(flag_col).cast("long")
     g = df.groupBy(group_col, value_col).agg(
         F.sum(a).alias("ca"),

@@ -532,7 +532,7 @@ _KS_ORACLE = f"""
     WITH flagged AS (
         SELECT event_type, value AS v,
                CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS a
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     g AS (
         SELECT event_type, v,

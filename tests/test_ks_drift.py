@@ -58,3 +58,20 @@ def test_ks_empty_side_group(spark):
     )
     r = ks_two_sample_by_group(df, "g", "v", "flag").collect()[0]
     assert (r["n_a"], r["n_b"], r["ks_micros"]) == (5, 0, 0)
+
+
+def test_ks_null_values_dropped(spark):
+    """NULL values must not shift the CDF (Spark and DuckDB order NULLs
+    differently) — they are dropped before counting on both engines."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "g": ["x"] * 6,
+                "v": [1.0, None, 2.0, None, 1.0, 3.0],
+                "flag": [1, 1, 1, 0, 0, 0],
+            }
+        )
+    )
+    r = ks_two_sample_by_group(df, "g", "v", "flag").collect()[0]
+    na, nb, ks_num = _ks_numpy(np.array([1.0, 2.0]), np.array([1.0, 3.0]))
+    assert (r["n_a"], r["n_b"], r["ks_num"]) == (na, nb, ks_num)
