@@ -228,14 +228,12 @@ def asof_join(
     return out
 
 
-_NUMERIC_ON_PREFIXES = (
-    "tinyint",
-    "smallint",
-    "int",
-    "bigint",
-    "float",
-    "double",
-    "decimal",
+# Exact dtype names, not prefixes (ADVICE r7): prefix matching classified
+# 'interval day to second' as numeric because it starts with 'int'.
+# decimal keeps a prefix test only because its name carries parameters
+# ('decimal(10,2)').
+_NUMERIC_ON_TYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double"}
 )
 
 
@@ -255,13 +253,15 @@ def _validate_asof_tolerance(
     if dtype is None:
         raise ValueError(f"asof_join: 'on' column {on!r} not in left frame")
     temporal = dtype == "date" or dtype.startswith("timestamp")
-    numeric = dtype.startswith(_NUMERIC_ON_PREFIXES)
+    numeric = dtype in _NUMERIC_ON_TYPES or dtype.startswith("decimal")
     if temporal and not isinstance(tolerance, str):
         raise ValueError(
             "asof_join: tolerance must be an interval string (e.g. "
             f"'15 minutes') when 'on' is {dtype}; got {type(tolerance).__name__}"
         )
-    if numeric and not isinstance(tolerance, (int, float)):
+    if numeric and (
+        isinstance(tolerance, bool) or not isinstance(tolerance, (int, float))
+    ):
         raise ValueError(
             "asof_join: tolerance must be numeric when 'on' is "
             f"{dtype}; got {type(tolerance).__name__}"

@@ -214,9 +214,12 @@ _DRIFT_ORACLE = f"""
         FROM uu GROUP BY event_type
     )
     SELECT a.event_type, n_a, n_b,
-           (n_b * 1000 // n_a)::BIGINT AS volume_ratio_permille,
+           (CASE WHEN n_a > 0 THEN n_b * 1000 // n_a END)::BIGINT
+               AS volume_ratio_permille,
            users_a, users_b, cents_a, cents_b,
-           ((cents_b * n_a * 1000) // (cents_a * n_b))::BIGINT AS mean_shift_permille,
+           (CASE WHEN cents_a * n_b <> 0
+                 THEN (cents_b * n_a * 1000) // (cents_a * n_b) END)::BIGINT
+               AS mean_shift_permille,
            n_new_users, n_churned_users
     FROM agg a JOIN nu USING (event_type)
 """
@@ -274,12 +277,20 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_a",
             "n_b",
-            F.expr("n_b * 1000 div n_a").cast("long").alias("volume_ratio_permille"),
+            # zero-denominator guards (edge-fixture r8): a series empty on
+            # either side of the split is NULL-ratio on both engines, not
+            # an ANSI DIVIDE_BY_ZERO crash
+            F.expr("CASE WHEN n_a > 0 THEN n_b * 1000 div n_a END")
+            .cast("long")
+            .alias("volume_ratio_permille"),
             "users_a",
             "users_b",
             "cents_a",
             "cents_b",
-            F.expr("(cents_b * n_a * 1000) div (cents_a * n_b)")
+            F.expr(
+                "CASE WHEN cents_a * n_b <> 0"
+                " THEN (cents_b * n_a * 1000) div (cents_a * n_b) END"
+            )
             .cast("long")
             .alias("mean_shift_permille"),
             "n_new_users",
@@ -333,7 +344,7 @@ _WINSOR_ORACLE = """
     WITH c AS (
         SELECT event_type, event_id,
                (FLOOR(value * 100 + 0.5))::BIGINT AS cents
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     rk AS (
         SELECT event_type, cents,
@@ -383,7 +394,13 @@ def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    c = ev.select("event_type", "event_id", cents.alias("cents"))
+    # winsorization operates on PRESENT values only — and NULL cents must
+    # not reach the rank window at all: Spark sorts NULLS FIRST ascending,
+    # DuckDB NULLS LAST, so a NULL row silently shifts which row holds the
+    # p05/p95 rank (edge-fixture r8 catch)
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type", "event_id", cents.alias("cents")
+    )
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     wn = Window.partitionBy("event_type")
     rk = c.select(
@@ -419,8 +436,11 @@ def events_winsorize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cents") > F.col("hi_cents"), F.col("hi_cents"))
         .otherwise(F.col("cents"))
         .alias("wc"),
-        (F.col("cents") < F.col("lo_cents")).cast("long").alias("cl"),
-        (F.col("cents") > F.col("hi_cents")).cast("long").alias("ch"),
+        # NULL cents (all-NULL value group) must count as NOT clamped on
+        # both engines — the oracle's CASE ... ELSE 0 END maps NULL → 0,
+        # a bare cast would propagate NULL into the SUM (edge-fixture r8)
+        F.when(F.col("cents") < F.col("lo_cents"), F.lit(1)).otherwise(0).cast("long").alias("cl"),
+        F.when(F.col("cents") > F.col("hi_cents"), F.lit(1)).otherwise(0).cast("long").alias("ch"),
     )
     return clamped.groupBy(
         "event_type", "n", "lo_cents", "hi_cents", "sum_raw_cents"
@@ -586,6 +606,12 @@ def dq_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "event_type",
         F.col("value").alias("v"),
-        (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp")).cast("int").alias("a"),
+        # NULL ts must land in sample B on BOTH engines (ADVICE r7): the
+        # oracle's CASE WHEN ... ELSE 0 maps NULL ts → 0, while a bare
+        # (ts < split) cast would yield NULL and silently drop the row.
+        F.coalesce(
+            (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp")).cast("int"),
+            F.lit(0),
+        ).alias("a"),
     )
     return ks_two_sample_by_group(flagged, "event_type", "v", "a")

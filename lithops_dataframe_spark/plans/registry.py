@@ -61,21 +61,23 @@ def query_names() -> list[str]:
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries()
 # in dict order (round-1/2 evidence: CORRECTNESS_r0{1,2}.json are exactly
-# registry positions 1-50). Round-7 rotation (VERDICT r6 task 1 — burn
-# down the driver-gate debt): slots 1-20 keep the 20 family anchors.
-# Slots 21-50 promote 30 of the 61 never-driver-gated registrations,
-# prioritized by first-contact risk: the stateful/streaming and
-# pandas-path queries first (the r5 escape class), then the two r6
-# `weak` plans FIXED this round (cf_negative_sampling single positives
-# build, decontaminate_semantic single corpus pass), the two ADVICE-r6
-# fixes (events_coverage_report NULL n_sessions, events_decayed_value
-# shift clamp), the heavy curve entries, and exact-integer singles.
-# Displaced r6 rows (all driver-green in CORRECTNESS_r06.json) return to
-# the previously-gated tail; the remaining 31 never-gated names are
-# staged first in the 51+ block so ONE more rotation (r8) clears the
-# backlog. New-query registration stays frozen until then (VERDICT r6).
+# registry positions 1-50). Round-8 rotation (VERDICT r7 task 1 — finish
+# the rotation): slots 1-20 keep the 20 family anchors. Slots 21-50
+# promote 30 of the 32 remaining never-driver-gated registrations, in
+# the order already staged last round, leading with the
+# modified-or-stateful ones the verdict named (dq_ks_value_drift — r7's
+# only new code, now carrying the ADVICE-r7 NULL-ts fix —
+# events_lttb_downsample, sample_systematic_weighted,
+# mix_interleave_epoch, select_dsir_importance, join_scd2_pointintime,
+# scd_late_arriving_dim). Displaced r7 rows (all driver-green in
+# CORRECTNESS_r07.json) return to the previously-gated tail. The 51+
+# staged block is now exactly the r9 leftover batch: the 2 staged names
+# that didn't fit (events_ab_assignment, bpe_fertility_by_lang) plus the
+# 2 registry ghosts (scalar_json_events, scalar_map_funcs — VERDICT r7
+# task 3: superseded by the scalar_json_map_events anchor but given
+# their own driver rows in r9 so "never-gated" is zero-able).
 PRIORITY: tuple[str, ...] = (
-    # --- slots 1-20: kept family anchors (driver-green r2-r6) ---
+    # --- slots 1-20: kept family anchors (driver-green r2-r7) ---
     "q03_shipping_priority",
     "red_stats_combined",
     "join_types_combined",
@@ -96,9 +98,48 @@ PRIORITY: tuple[str, ...] = (
     "text_hashed_tfidf",
     "mm_phash_neardup",
     "pipeline_clean_corpus",
-    # --- slots 21-50: first-contact rotation (never driver-gated before;
-    # cf_negative_sampling/decontaminate_semantic/events_coverage_report/
-    # events_decayed_value also MODIFIED this round) ---
+    # --- slots 21-50: the final first-contact rotation (never
+    # driver-gated before; dq_ks_value_drift also MODIFIED this round —
+    # ADVICE-r7 NULL-ts sample flag) ---
+    "dq_ks_value_drift",
+    "events_lttb_downsample",
+    "sample_systematic_weighted",
+    "mix_interleave_epoch",
+    "select_dsir_importance",
+    "join_scd2_pointintime",
+    "scd_late_arriving_dim",
+    "pack_concat_chunks",
+    "emb_matryoshka_recall",
+    "emb_binary_quantize_recall",
+    "emb_table_audit",
+    "dedup_ensemble_agreement",
+    "retrieval_rbo_lex_vs_sem",
+    "stat_spearman_trend",
+    "stat_chi2_independence",
+    "io_csv_corrupt_audit",
+    "events_gapfill_interpolate",
+    "events_seasonal_decompose",
+    "events_anomaly_mad",
+    "events_markov_transitions",
+    "events_time_weighted_avg",
+    "text_distinctive_terms_odds",
+    "dq_key_skew_report",
+    "events_ohlc_bars",
+    "dq_profile_drift",
+    "dq_k_anonymity_cells",
+    "events_winsorize_stats",
+    "dq_snapshot_diff",
+    "split_temporal_cv_manifest",
+    "sample_hash_per_group",
+    # --- 51+: the r9 leftover batch (2 staged + the 2 registry ghosts)
+    # — gating these four zeroes the never-gated list ---
+    "events_ab_assignment",
+    "bpe_fertility_by_lang",
+    "scalar_json_events",
+    "scalar_map_funcs",
+    # every name below is driver-green in an earlier round
+    # (CORRECTNESS_r01-r07); they remain covered by the local
+    # full-battery driver_sim run
     "stream_counter_agg",
     "stream_merge_upsert_sink",
     "stream_view_click_full_outer",
@@ -129,43 +170,6 @@ PRIORITY: tuple[str, ...] = (
     "pack_length_buckets",
     "retrieval_hybrid_rrf",
     "text_corpus_datasheet",
-    # --- 51+: the remaining never-gated backlog, staged in r8 rotation
-    # order — one more round clears it ---
-    "pack_concat_chunks",
-    "emb_matryoshka_recall",
-    "emb_binary_quantize_recall",
-    "emb_table_audit",
-    "dedup_ensemble_agreement",
-    "retrieval_rbo_lex_vs_sem",
-    "events_lttb_downsample",
-    "stat_spearman_trend",
-    "stat_chi2_independence",
-    "scd_late_arriving_dim",
-    "io_csv_corrupt_audit",
-    "join_scd2_pointintime",
-    "events_gapfill_interpolate",
-    "sample_systematic_weighted",
-    "events_seasonal_decompose",
-    "events_anomaly_mad",
-    "mix_interleave_epoch",
-    "select_dsir_importance",
-    "events_markov_transitions",
-    "events_time_weighted_avg",
-    "text_distinctive_terms_odds",
-    "dq_key_skew_report",
-    "events_ohlc_bars",
-    "dq_profile_drift",
-    "dq_k_anonymity_cells",
-    "events_winsorize_stats",
-    "dq_snapshot_diff",
-    "split_temporal_cv_manifest",
-    "sample_hash_per_group",
-    "events_ab_assignment",
-    "bpe_fertility_by_lang",
-    "dq_ks_value_drift",  # NEW r7 (the round's single addition — backlog stays ≤33)
-    # every name below is driver-green in an earlier round
-    # (CORRECTNESS_r01-r06); they remain covered by the local
-    # full-battery driver_sim run
     "dedup_cdc_chunks",
     "emb_pca_power_iteration",
     "bpe_encode_token_stats",
@@ -314,8 +318,6 @@ PRIORITY: tuple[str, ...] = (
     "join_semi_customers_with_orders",
     "join_anti_customers_without_orders",
     "win_top3_orders_per_customer",
-    "scalar_json_events",
-    "scalar_map_funcs",
     "win_rank_dense_ntile",
     "join_cross_region_segment",
     "dedup_exact_fingerprint",

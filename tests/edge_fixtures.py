@@ -1,0 +1,195 @@
+"""Adversarial micro-fixture builder (VERDICT r7 task 5).
+
+The sf0.001-0.1 driver tables are statistically smooth, so edge shapes —
+single-event users, NULL timestamps, all-NULL value columns, empty
+groups, exact value/timestamp ties, rounding-boundary floats, one-row
+tables — are under-sampled there; all three r6 ADVICE items and both r7
+ADVICE items were latent for exactly that reason. This module writes a
+tiny deterministic star schema (same footprint as TESTDATA.md) packed
+with those shapes, and ``tests/test_edge_fixtures.py`` sweeps the
+event / as-of / window query families against their DuckDB oracles on it.
+
+Deterministic by construction (no randomness, fixed literals) so a
+hash-mismatch is always an engine/oracle divergence, never flake.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+
+_TS = datetime.datetime
+
+
+def _events() -> pd.DataFrame:
+    """Edge shapes: user 1 single event; user 2 exact ts ties; user 3 NULL
+    ts rows; user 4 all-NULL values for one event_type; user 5 a clean
+    multi-day purchase/click trail (keeps as-of/gap-fill queries
+    non-degenerate); rounding-boundary values (x.005 / x.xxxxx55 halves)."""
+    rows = [
+        # user 1: exactly one event (NULL inter-event gap — ADVICE r6 #1)
+        (0, _TS(2024, 1, 10, 12, 0, 0), 1, "view", 10.005, '{"k": 1}'),
+        # user 2: two events with IDENTICAL timestamps (window ties), one
+        # more 1µs later (sub-second session gap)
+        (1, _TS(2024, 1, 11, 9, 0, 0), 2, "click", 2.675, '{"k": 2}'),
+        (2, _TS(2024, 1, 11, 9, 0, 0), 2, "click", 2.675, '{"k": 3}'),
+        (3, _TS(2024, 1, 11, 9, 0, 0, 1), 2, "purchase", 0.005, '{"k": 4}'),
+        # user 3: NULL ts (one with a value → KS sample B, one all-NULL)
+        (4, None, 3, "view", 7.125, '{"k": 5}'),
+        (5, None, 3, "view", None, '{"k": 6}'),
+        # user 4 / event_type 'error': ALL values NULL (all-NULL agg input)
+        (6, _TS(2024, 1, 12, 8, 0, 0), 4, "error", None, "{}"),
+        (7, _TS(2024, 1, 13, 8, 0, 0), 4, "error", None, "{}"),
+        # user 5: clean purchase/click trail across the 2024-01-15 KS
+        # cutover, multi-day (gap-fill / OHLC / retention need >1 bucket);
+        # click at the exact purchase timestamp (as-of backward tie)
+        (8, _TS(2024, 1, 14, 10, 0, 0), 5, "click", 1.115, '{"k": 7}'),
+        (9, _TS(2024, 1, 14, 10, 30, 0), 5, "purchase", 19.995, '{"k": 8}'),
+        (10, _TS(2024, 1, 16, 11, 0, 0), 5, "click", 3.335, '{"k": 9}'),
+        (11, _TS(2024, 1, 16, 11, 0, 0), 5, "purchase", 4.445, '{"k": 10}'),
+        (12, _TS(2024, 1, 18, 9, 15, 0), 5, "view", 6.665, '{"k": 11}'),
+        # a purchase with NO prior click anywhere (as-of miss row)
+        (13, _TS(2024, 1, 2, 7, 0, 0), 6, "purchase", 5.555, '{"k": 12}'),
+        # signup far in the past (decay clamp territory) + one recent
+        (14, _TS(2022, 6, 1, 0, 0, 0), 7, "signup", 100.0, '{"k": 13}'),
+        (15, _TS(2024, 1, 20, 23, 59, 59), 7, "purchase", 8.885, '{"k": 14}'),
+    ]
+    return pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
+def _tpch() -> dict[str, pd.DataFrame]:
+    """One-row and empty-group shapes: customer 103 has no orders, order
+    1003 has no lineitems, supplier table is two rows (one NULL acctbal),
+    part is one row, lineitem has duplicate rows + boundary prices."""
+    region = pd.DataFrame({"r_regionkey": [0], "r_name": ["EDGE"]})
+    nation = pd.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"], "n_regionkey": [0, 0]}
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": [101, 102, 103],
+            "c_name": ["Customer#101", "Customer#102", "Customer#103"],
+            "c_nationkey": [0, 1, 1],
+            "c_acctbal": [0.005, -1.115, None],
+            "c_mktsegment": ["BUILDING", "BUILDING", "MACHINERY"],
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": [11, 12],
+            "s_name": ["Supplier#11", "Supplier#12"],
+            "s_nationkey": [0, 1],
+            "s_acctbal": [5.005, None],
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": [21],
+            "p_name": ["edge lavender part"],
+            "p_brand": ["Brand#13"],
+            "p_type": ["SMALL PLATED TIN"],
+            "p_size": [7],
+            "p_retailprice": [99.995],
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1001, 1002, 1003],
+            "o_custkey": [101, 101, 102],  # customer 103: EMPTY group
+            "o_orderstatus": ["F", "O", "F"],
+            "o_totalprice": [10.005, 20.005, 30.005],
+            "o_orderdate": [
+                _TS(2024, 1, 5),
+                _TS(2024, 1, 5),  # duplicate orderdate (tie)
+                _TS(2024, 2, 1),
+            ],
+            "o_orderpriority": ["3-MEDIUM", "3-MEDIUM", "5-LOW"],
+        }
+    )
+    lineitem = pd.DataFrame(
+        {
+            # order 1003 has NO lineitems; order 1001 has duplicate rows
+            "l_orderkey": [1001, 1001, 1001, 1002],
+            "l_partkey": [21, 21, 21, 21],
+            "l_suppkey": [11, 11, 12, 12],
+            "l_linenumber": [1, 2, 3, 1],
+            "l_quantity": [1.0, 1.0, 2.0, 50.0],
+            "l_extendedprice": [10.005, 10.005, 2.675, 100.005],
+            "l_discount": [0.05, 0.05, 0.0, 0.1],
+            "l_tax": [0.0, 0.0, 0.02, 0.08],
+            "l_returnflag": ["N", "N", "R", "A"],
+            "l_linestatus": ["O", "O", "F", "F"],
+            "l_shipdate": [
+                _TS(2024, 1, 10),
+                _TS(2024, 1, 10),  # exact duplicate row vs line 1 except number
+                _TS(2024, 1, 12),
+                _TS(2024, 2, 10),
+            ],
+        }
+    )
+    return {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+    }
+
+
+def _documents() -> pd.DataFrame:
+    """One-row-per-edge documents: empty text, single repeated token,
+    exact duplicate pair, one doc per lang (k=1 groups)."""
+    rows = [
+        (0, "alpha beta gamma alpha", "en", "src0", 22),
+        (1, "alpha beta gamma alpha", "en", "src1", 22),  # exact dup
+        (2, "", "de", "src0", 0),  # empty text
+        (3, "zzz zzz zzz zzz zzz", "es", "src0", 19),  # one token repeated
+        (4, "unique words only here now", "zh", "src1", 26),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _embeddings() -> pd.DataFrame:
+    """Tiny vectors incl. an exact-duplicate pair and an axis vector."""
+    import numpy as np
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],  # exact duplicate → cosine 1 tie
+        [0.0, 1.0, 0.0, 0.0],
+        [0.5, 0.5, 0.5, 0.5],
+        [-1.0, 0.0, 0.0, 0.0],  # antipodal
+    ]
+    return pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3, 4],
+            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+            "label": pd.array([0, 0, 1, 1, 2], dtype="int32"),
+        }
+    )
+
+
+def build_edge_dir(path) -> str:
+    """Write every fixture table's edge twin under ``path`` (a directory);
+    returns ``str(path)`` for use as an sf_dir."""
+    tables = dict(_tpch())
+    tables["events"] = _events()
+    tables["documents"] = _documents()
+    tables["embeddings"] = _embeddings()
+    for name, df in tables.items():
+        if name == "events":
+            # driver testdata writes events.ts as TIMESTAMP(NANOS) — keep
+            # that here so the edge sweep exercises the nanosAsLong path
+            df.to_parquet(f"{path}/{name}.parquet", index=False)
+        else:
+            # TPC-H tables carry µs timestamps in the driver fixtures;
+            # pandas' ns default would read back as BIGINT in Spark
+            df.to_parquet(
+                f"{path}/{name}.parquet", index=False, coerce_timestamps="us"
+            )
+    return str(path)

@@ -1,0 +1,101 @@
+"""Edge-fixture oracle sweep (VERDICT r7 task 5).
+
+Runs the event / as-of / window / empty-group query families against
+their DuckDB oracles on the adversarial micro-fixture from
+``tests/edge_fixtures.py`` — single-event users, NULL ts, all-NULL value
+columns, exact ts/value ties, rounding-boundary floats, empty groups,
+one-row tables. The sf fixtures under-sample these shapes; every ADVICE
+finding so far (r6 ×3, r7 ×2) was latent for exactly that reason.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from lithops_dataframe_spark.catalog import TABLES
+from lithops_dataframe_spark.plans import ORACLES, QUERIES
+
+from tests.conftest import assert_df_equal
+from tests.edge_fixtures import build_edge_dir
+
+# Families whose semantics hinge on the edge shapes. Kept as an explicit
+# list (not "everything") so each name is a deliberate claim that the
+# query family is edge-exercised; trivially-empty results are caught by
+# the nonempty assertion below.
+EDGE_SWEEP = [
+    # events family
+    "events_coverage_report",
+    "events_decayed_value",
+    "events_counter_agg",
+    "events_sessionize_gap",
+    "events_gapfill_daily",
+    "events_gapfill_interpolate",
+    "events_time_weighted_avg",
+    "events_ohlc_bars",
+    "events_anomaly_mad",
+    "events_winsorize_stats",
+    "events_markov_transitions",
+    "events_lttb_downsample",
+    "events_retention_cohorts",
+    "events_funnel",
+    "events_ewma_user_value",
+    "dq_ks_value_drift",
+    "dq_profile_drift",
+    # as-of family
+    "join_asof_purchase_last_click",
+    "join_asof_tolerance_attribution",
+    "join_asof_nearest_mark",
+    "join_asof_global_market_mark",
+    # window family
+    "win_ranking_combined",
+    "win_lag_lead_daily_revenue",
+    "win_cumsum_per_supplier",
+    "win_first_last_range",
+    "win_rolling_avg_user_value",
+    "win_percent_cume",
+    "win_top3_orders_per_customer",
+    "win_rank_dense_ntile",
+    # empty-group / one-row-table joins and aggs
+    "join_left_outer_order_counts",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "red_stats_combined",
+    "agg_shapes_combined",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory) -> str:
+    return build_edge_dir(tmp_path_factory.mktemp("edge"))
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{edge_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EDGE_SWEEP)
+def test_edge_matches_oracle(name, spark, edge_dir, edge_duck):
+    result = QUERIES[name](spark, edge_dir)
+    assert_df_equal(result, edge_duck.sql(ORACLES[name]))
+
+
+def test_edge_sweep_not_trivially_empty(spark, edge_dir):
+    """At least the core event/as-of/window queries must produce rows on
+    the micro-fixture — an all-empty sweep would vacuously pass."""
+    must_be_nonempty = [
+        "events_coverage_report",
+        "dq_ks_value_drift",
+        "join_asof_purchase_last_click",
+        "win_ranking_combined",
+        "join_anti_customers_without_orders",
+    ]
+    for name in must_be_nonempty:
+        assert QUERIES[name](spark, edge_dir).count() > 0, name
