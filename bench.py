@@ -193,6 +193,12 @@ R7_ADDITIONS: list[str] = [
     "dq_ks_value_drift",
 ]
 
+R8_ADDITIONS: list[str] = [
+    "stream_incremental_dedup",
+    "retrieval_rerank_features",
+    "mix_epoch_schedule",
+]
+
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent
 # log10(t_10x / t_base) flags any family whose runtime grows faster than
@@ -292,9 +298,17 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "evaluation": ["eval_classifier_auc", "eval_calibration_bins",
                    "eval_auc_by_source"],
     "retrieval": ["retrieval_hybrid_rrf", "retrieval_mmr_rerank",
-                  "retrieval_rbo_lex_vs_sem"],
+                  "retrieval_rbo_lex_vs_sem",
+                  # r8: second-stage re-rank — candidate-bounded feature
+                  # joins over one corpus scan + one embeddings scan
+                  "retrieval_rerank_features"],
     "robust_ts": ["events_anomaly_mad", "events_seasonal_decompose"],
-    "mixing": ["mix_interleave_epoch"],
+    # r8: the multi-epoch schedule shares mix_interleave_epoch's single
+    # rank window; epochs are narrow projections, so its exponent is the
+    # same window's. (stream_incremental_dedup is EXCLUDED like every
+    # pair-finding op: 10 identical document copies multiply its
+    # duplicate matches for data reasons — fixture, not plan.)
+    "mixing": ["mix_interleave_epoch", "mix_epoch_schedule"],
     # r6 continuation: basket pair mining is copy-local (order/part keys
     # shift together → per-basket C(k,2) work, linear in baskets); the
     # odds-ratio contingency table is vocabulary-scale (token counts x10,
@@ -484,11 +498,11 @@ def main() -> None:
     # are reused — only code paths are warmed.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS:
+        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS:
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 
-    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS if n in QUERIES]
+    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]
     # Best-of-2 per query, as two INTERLEAVED full passes: steady-state
     # engine throughput is the metric, and a single timing is exposed to
@@ -514,6 +528,7 @@ def main() -> None:
     r5 = {n: t for n, t in timings.items() if n in set(R5_ADDITIONS)}
     r6 = {n: t for n, t in timings.items() if n in set(R6_ADDITIONS)}
     r7 = {n: t for n, t in timings.items() if n in set(R7_ADDITIONS)}
+    r8 = {n: t for n, t in timings.items() if n in set(R8_ADDITIONS)}
     total = round(sum(head.values()), 4)
     # The driver captures only the LAST ~2000 bytes of stdout and parses
     # the final line as JSON (BENCH_r03 lesson: a line that embeds every
@@ -538,6 +553,7 @@ def main() -> None:
         "r5_additions_total": round(sum(r5.values()), 4),
         "r6_additions_total": round(sum(r6.values()), 4),
         "r7_additions_total": round(sum(r7.values()), 4),
+        "r8_additions_total": round(sum(r8.values()), 4),
         "detail": "BENCH_FULL.json",
     }
     full = dict(out)

@@ -162,3 +162,155 @@ def weighted_interleave_epoch(
         "r",
         (F.col("r") + F.aggregate(arr, F.lit(0).cast("long"), term)).alias("epoch_pos"),
     )
+
+
+def _quota_array(ktab: list[tuple[str, int]]):
+    """Per-source quota table as an array-of-structs literal (driver-sized
+    model state, like LR weights or k-means centroids)."""
+    return F.array(
+        *[
+            F.struct(F.lit(s).alias("src"), F.lit(k).cast("long").alias("kk"))
+            for s, k in ktab
+        ]
+    )
+
+
+def _wrr_pos(arr, rank, own_k):
+    """Closed-form weighted-round-robin position (see
+    :func:`weighted_interleave_epoch` for the derivation): the global
+    serve rank of a row with per-source ``rank`` and quota ``own_k``
+    under (rank/quota ASC, source ASC) ordering, computed as ONE
+    ``aggregate`` fold over the broadcast quota array — no global sort,
+    no single-task window."""
+
+    def term(acc, x):
+        q = rank * x["kk"]
+        m = q % own_k
+        ceil_div = ((q - m) / own_k).cast("long") + F.when(m > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        tie = F.when((m == 0) & (x["src"] < F.col("source")), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        return acc + F.when(
+            x["src"] == F.col("source"), F.lit(0).cast("long")
+        ).otherwise(ceil_div - 1 + tie)
+
+    return rank + F.aggregate(arr, F.lit(0).cast("long"), term)
+
+
+#: epoch → per-source integer weight, the annealing curriculum:
+#: uniform (every source equal) → temperature-0.5 (⌊√n⌋) → natural (n).
+#: All integer-exact: IEEE sqrt is correctly rounded, so ⌊√n⌋ replays
+#: bit-identically in any engine.
+EPOCH_WEIGHT_SCHEDULE = ("uniform", "sqrt", "natural")
+
+
+def multi_epoch_interleave(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    *,
+    budget: int,
+    schedule: tuple[str, ...] = EPOCH_WEIGHT_SCHEDULE,
+) -> DataFrame:
+    """Multi-epoch mixture schedule — the TRAINING-RUN extension of
+    :func:`weighted_interleave_epoch` (one epoch) to an annealed
+    curriculum: epoch 0 samples sources uniformly, epoch 1 at
+    temperature 0.5, epoch 2 at natural proportions, and sampling is
+    WITHOUT REPLACEMENT ACROSS EPOCHS — each epoch continues down the
+    per-source md5 pick order where the previous epochs stopped,
+    wrapping (mod n_s) when a source is exhausted, so no document
+    repeats until its whole source has been served once.
+
+    Returns one row per (epoch, selected doc): ``(epoch, id, source,
+    sel_rank, epoch_pos)`` where sel_rank is the within-epoch serve rank
+    of that doc in its source and epoch_pos the closed-form
+    weighted-round-robin position inside the epoch.
+
+    Scale shape: ONE rank window over the corpus (per-source md5 order),
+    persisted and reused by every epoch projection; quota/offset tables
+    are driver-sized model state (S rows per epoch) joined back as
+    broadcasts; epoch_pos is the same one-fold closed form as the
+    single-epoch operator. Work: one shuffle + E narrow projections,
+    independent of E × corpus re-scans."""
+    import math
+
+    from lithops_dataframe_spark import cache
+
+    base = df.select(F.col(source_col).alias("source"), F.col(id_col).alias("id"))
+    counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ntab = {row["source"]: int(row["n"]) for row in counts.collect()}
+
+    def weight(kind: str, n: int) -> int:
+        if kind == "uniform":
+            return 1
+        if kind == "sqrt":
+            # floor of the correctly-rounded IEEE sqrt — what both
+            # engines' floor(sqrt(n)) computes
+            return int(math.floor(math.sqrt(n)))
+        if kind == "natural":
+            return n
+        raise ValueError(f"unknown epoch weight kind: {kind}")
+
+    # per-epoch quotas and cross-epoch start offsets, all in driver-side
+    # integer arithmetic (S × E values of model state)
+    quotas: list[dict[str, int]] = []
+    consumed = {s: 0 for s in ntab}
+    offsets: list[dict[str, int]] = []
+    for kind in schedule:
+        w = {s: weight(kind, n) for s, n in ntab.items()}
+        tw = sum(w.values())
+        k = {s: min(n, (budget * w[s]) // tw) for s, n in ntab.items()}
+        offsets.append({s: consumed[s] % ntab[s] for s in ntab})
+        quotas.append(k)
+        for s in ntab:
+            consumed[s] += k[s]
+
+    from pyspark import StorageLevel
+
+    ranked = cache.track(
+        base.withColumn(
+            "r",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(
+                    F.md5(F.col("id").cast("string")).asc(), F.col("id").asc()
+                )
+            )
+            .cast("long"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    parts = []
+    for e, kind in enumerate(schedule):
+        ktab = sorted((s, k) for s, k in quotas[e].items() if k >= 1)
+        if not ktab:
+            continue
+        qdf = F.broadcast(
+            df.sparkSession.createDataFrame(
+                [(s, k, offsets[e][s], ntab[s]) for s, k in ktab],
+                "source string, k long, c long, n long",
+            )
+        )
+        slot = F.pmod(F.col("r") - 1 - F.col("c"), F.col("n"))
+        sel = (
+            ranked.join(qdf, "source")
+            .withColumn("sel_rank", (slot + 1).cast("long"))
+            .filter(slot < F.col("k"))
+        )
+        parts.append(
+            sel.select(
+                F.lit(e).cast("int").alias("epoch"),
+                "id",
+                "source",
+                "sel_rank",
+                _wrr_pos(_quota_array(ktab), F.col("sel_rank"), F.col("k"))
+                .cast("long")
+                .alias("epoch_pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

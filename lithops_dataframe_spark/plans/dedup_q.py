@@ -261,6 +261,121 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming incremental dedup (round 8 — §2.11's last missing streaming
+# twin): three doc_id-ordered micro-batches flow through foreachBatch;
+# each probes the standing LSH index of every previously-ARRIVED doc
+# (kept or dropped — the signature graveyard) plus smaller-id
+# batch-mates, then appends itself to the index. Because the staged
+# batches are ascending doc_id ranges, "arrived earlier" ≡ "smaller
+# doc_id", so the whole multi-batch run must equal the pure-SQL rule:
+# a doc is kept iff it near-dups no smaller-id doc.
+_STREAM_INCR_ORACLE = f"""
+    WITH shng AS (
+        SELECT doc_id AS id, {_SHINGLES} AS sh FROM documents
+    ),
+    sig AS (
+        SELECT id, sh, {H.minhash_signature_sql('sh')} AS sig FROM shng
+    ),
+    bands AS (
+      {_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS new_id, b.id AS other_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND b.id < a.id
+    ),
+    matches AS (
+        SELECT new_id, other_id
+        FROM cand
+        JOIN shng sa ON sa.id = cand.new_id
+        JOIN shng sb ON sb.id = cand.other_id
+        WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+              / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.6
+    ),
+    nd AS (
+        SELECT new_id, COUNT(*)::BIGINT AS n FROM matches GROUP BY new_id
+    )
+    SELECT s.id AS doc_id,
+           COALESCE(nd.n, 0)::BIGINT AS n_prior_dups,
+           (nd.new_id IS NULL)::INT AS keep,
+           (s.id * 3 // (SELECT MAX(doc_id) + 1 FROM documents))::BIGINT
+               AS batch_no
+    FROM shng s LEFT JOIN nd ON nd.new_id = s.id
+"""
+
+
+@register("stream_incremental_dedup", oracle=_STREAM_INCR_ORACLE)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash dedup (round 8) — a REAL structured
+    stream: the documents table staged as three ascending-doc_id
+    micro-batch files (mtime-pinned), consumed with maxFilesPerTrigger=1
+    + availableNow through ``foreachBatch``
+    (streaming/dedup.py::foreach_batch_incremental_dedup). Each epoch
+    probes the standing band-postings index persisted from ALL earlier
+    epochs, decides keep/drop per arriving doc (near-dup of an indexed
+    doc or a smaller-id batch-mate ⇒ dropped), and appends its own
+    postings+shingles partition to the index — O(batch × bands) probe
+    work per epoch, epoch-keyed idempotent writes. The read-back
+    decision table must hash-match the batch-SQL rule "kept iff no
+    smaller-id near-dup", which is exactly what cross-batch index
+    continuity guarantees."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from lithops_dataframe_spark.streaming.dedup import (
+        foreach_batch_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    # integer floor division, same formula as the oracle's `//` — and the
+    # staged file order (b0 < b1 < b2 by mtime) equals batch_no order
+    batch_expr = F.expr(f"(doc_id * 3) div {int(mx) + 1}")
+
+    work = tempfile.mkdtemp(prefix="lds_stream_dedup_")
+    replay = _os.path.join(work, "replay")
+    _os.makedirs(replay)
+    files = []
+    for b in range(3):
+        d = _os.path.join(replay, f"b{b}")
+        docs.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
+        part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
+        dst = _os.path.join(replay, f"b{b}.parquet")
+        shutil.copy(_os.path.join(d, part), dst)
+        files.append(dst)
+        shutil.rmtree(d)
+    now = _time.time()
+    for i, f in enumerate(files):
+        _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay + "/*.parquet")
+    )
+    q = foreach_batch_incremental_dedup(
+        stream,
+        _os.path.join(work, "index"),
+        _os.path.join(work, "decisions"),
+        _os.path.join(work, "_ckpt"),
+        text_col="text",
+        id_col="doc_id",
+        shingle_n=2,
+        bands=4,
+        threshold=0.6,
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(_os.path.join(work, "decisions")).select(
+        "doc_id",
+        "n_prior_dups",
+        "keep",
+        F.col("epoch").cast("long").alias("batch_no"),
+    )
+
+
 @register("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

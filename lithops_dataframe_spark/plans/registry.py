@@ -131,12 +131,18 @@ PRIORITY: tuple[str, ...] = (
     "dq_snapshot_diff",
     "split_temporal_cv_manifest",
     "sample_hash_per_group",
-    # --- 51+: the r9 leftover batch (2 staged + the 2 registry ghosts)
-    # — gating these four zeroes the never-gated list ---
+    # --- 51+: the r9 staged batch — the 2 rotation leftovers, the 2
+    # registry ghosts (VERDICT r7 task 3: given driver rows instead of
+    # retirement), and the 3 round-8 additions (VERDICT r7 task 6
+    # north-star tail: streaming incremental dedup, cross-encoder-style
+    # feature re-rank, multi-epoch mixture scheduling) ---
     "events_ab_assignment",
     "bpe_fertility_by_lang",
     "scalar_json_events",
     "scalar_map_funcs",
+    "stream_incremental_dedup",
+    "retrieval_rerank_features",
+    "mix_epoch_schedule",
     # every name below is driver-green in an earlier round
     # (CORRECTNESS_r01-r07); they remain covered by the local
     # full-battery driver_sim run

@@ -141,7 +141,9 @@ _FINAL_K = 10
 _RRF_SCALE = 1_000_000_000
 
 
-def _rrf_oracle() -> str:
+def _rrf_ctes() -> str:
+    """CTE chain shared by the RRF oracle and the round-8 feature
+    re-rank oracle: everything up to the ``fused`` candidate frame."""
     from lithops_dataframe_spark.plans.similarity_q import _cos_sql
 
     qids = ", ".join(str(qid) for qid, _ in _QUERIES)
@@ -177,7 +179,12 @@ def _rrf_oracle() -> str:
                 + COALESCE({_RRF_SCALE} // ({_RRF_K} + s.sem_rank), 0))::BIGINT AS rrf_micro
         FROM lex l FULL JOIN sem s
           ON l.query_id = s.query_id AND l.doc_id = s.doc_id
-    )
+    )"""
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    {_rrf_ctes()}
     SELECT query_id, doc_id, lex_rank, sem_rank, rrf_micro, rank
     FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
@@ -187,8 +194,7 @@ def _rrf_oracle() -> str:
 """
 
 
-@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
-def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hybrid_rrf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (public recipe:
     Cormack et al. 2009): fuse a LEXICAL BM25 top-20 with a SEMANTIC
     cosine top-20 (the query's embedding against every document's
@@ -248,6 +254,160 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(wfin).cast("int"))
         .filter(F.col("rank") <= _FINAL_K)
         .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_micro", "rank")
+    )
+
+
+@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hybrid_rrf_frame(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder-style feature re-rank over the RRF candidate set (round 8)
+# ---------------------------------------------------------------------------
+_RERANK_K = 5
+_COS_SCALE = 1_000_000
+#: blend = n_overlap·1e6 + cos_micros + rrf_micro div 1000 — exact-match
+#: term coverage dominates, dense similarity refines within an overlap
+#: level, the fusion prior breaks remaining ties. All-BIGINT.
+_BLEND_SQL = f"n_overlap * {_COS_SCALE} + cos_micros + rrf_micro // 1000"
+
+
+def _rerank_oracle() -> str:
+    from lithops_dataframe_spark.plans.similarity_q import _cos_sql
+
+    return f"""
+    {_rrf_ctes()},
+    final AS (
+        SELECT query_id, doc_id, rrf_micro FROM (
+            SELECT query_id, doc_id, rrf_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_micro DESC, doc_id) AS rk
+            FROM fused
+        ) WHERE rk <= {_FINAL_K}
+    ),
+    ov AS (
+        SELECT q.query_id, tf.doc_id, COUNT(*)::BIGINT AS n_overlap
+        FROM q JOIN tf ON tf.token = q.token
+        GROUP BY 1, 2
+    ),
+    feat AS (
+        SELECT f.query_id, f.doc_id, f.rrf_micro,
+               COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
+               COALESCE(FLOOR({_cos_sql('qv.q_emb', 'e.embedding')}
+                              * {_COS_SCALE} + 0.5), 0)::BIGINT AS cos_micros
+        FROM final f
+        JOIN qv ON qv.query_id = f.query_id
+        LEFT JOIN embeddings e ON e.vec_id = f.doc_id
+        LEFT JOIN ov ON ov.query_id = f.query_id AND ov.doc_id = f.doc_id
+    )
+    SELECT query_id, doc_id, n_overlap, cos_micros, rrf_micro,
+           ({_BLEND_SQL})::BIGINT AS blend, rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {_BLEND_SQL} DESC, doc_id)::INT AS rank
+        FROM feat
+    ) WHERE rank <= {_RERANK_K}
+"""
+
+
+@register("retrieval_rerank_features", oracle=_rerank_oracle())
+def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style feature re-rank (round 8, VERDICT r7 task 6):
+    the second retrieval stage every production stack runs on top of a
+    cheap first stage. The RRF top-10 candidate set (bounded: queries ×
+    10 rows) is re-scored with richer per-pair features — exact
+    query-term coverage (distinct query terms present in the document),
+    full-precision cosine in integer micros, and the fusion prior — and
+    each query's top-5 by the exact-integer blend is returned.
+
+    Exactness: blend = n_overlap·1e6 + FLOOR(cos·1e6 + 0.5) +
+    rrf_micro div 1000 — all BIGINT; candidates without an embedding
+    (doc_id beyond the embeddings table) score cos_micros = 0 on both
+    engines.
+
+    Scale shape: feature extraction is driven BY the bounded candidate
+    set — the term-coverage pass scans the corpus once, semi-joined down
+    to candidate doc_ids via broadcast before the distinct, and the
+    cosine pass touches only candidate embeddings (broadcast candidate
+    keys into the embeddings scan). Everything after the scans is
+    driver-scale (≤ queries × 10 rows), so the re-rank stage adds one
+    corpus scan + one embeddings scan regardless of corpus size — the
+    property that makes a 100 TB second stage affordable. A learned
+    cross-encoder would swap the blend for a model score batched over
+    the same bounded candidate frame (Pandas-UDF), leaving the plan
+    unchanged."""
+    from lithops_dataframe_spark.operators import similarity as S
+
+    fused = _hybrid_rrf_frame(spark, sf_dir)
+    cand = fused.select("query_id", "doc_id", "rrf_micro")
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _QUERIES for t in terms],
+        "query_id int, token string",
+    )
+    cdocs = cand.select("doc_id").distinct()
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    ov = (
+        tok.join(F.broadcast(cdocs), "doc_id")
+        .join(F.broadcast(q), "token")
+        .select("query_id", "doc_id", "token")
+        .distinct()
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    qids = [qid for qid, _ in _QUERIES]
+    qv = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.norm(F.col("embedding")).alias("q_nrm"),
+    )
+    ce = (
+        emb.join(
+            F.broadcast(cdocs.select(F.col("doc_id").alias("vec_id"))), "vec_id"
+        )
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("d_emb"),
+            S.norm(F.col("embedding")).alias("e_nrm"),
+        )
+    )
+    feat = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(F.broadcast(ce), "doc_id", "left")
+        .join(F.broadcast(ov), ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_micro",
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+            F.coalesce(
+                F.floor(
+                    S.dot(F.col("q_emb"), F.col("d_emb"))
+                    / (F.col("q_nrm") * F.col("e_nrm"))
+                    * _COS_SCALE
+                    + 0.5
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("cos_micros"),
+        )
+    )
+    blend = (
+        F.col("n_overlap") * _COS_SCALE
+        + F.col("cos_micros")
+        + F.expr("rrf_micro div 1000")
+    ).cast("long")
+    wr = Window.partitionBy("query_id").orderBy(F.col("blend").desc(), "doc_id")
+    return (
+        feat.withColumn("blend", blend)
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= _RERANK_K)
+        .select(
+            "query_id", "doc_id", "n_overlap", "cos_micros", "rrf_micro", "blend", "rank"
+        )
     )
 
 

@@ -555,6 +555,82 @@ def mix_interleave_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "source", "r", "epoch_pos")
 
 
+# Multi-epoch mixture schedule (round 8): three annealed epochs —
+# uniform → ⌊√n⌋ (temperature 0.5) → natural — sampling WITHOUT
+# replacement across epochs: each epoch continues down the per-source
+# md5 pick order where the previous stopped, wrapping mod n_s. The
+# oracle computes quotas/offsets relationally (windowed cumulative
+# consumed-count per source) and assigns epoch_pos with the naive
+# per-epoch ROW_NUMBER over the virtual-time double; the engine computes
+# the identical rank in closed form (distinct rationals r/k, k ≤ budget,
+# cannot collide in doubles — the proven mix_interleave_epoch argument).
+_EPOCH_SCHED_ORACLE = f"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    sched AS (SELECT unnest(range(3)) AS e),
+    wts AS (
+        SELECT e, source, n,
+               CASE e WHEN 0 THEN 1
+                      WHEN 1 THEN CAST(floor(sqrt(n)) AS BIGINT)
+                      ELSE n END AS w
+        FROM counts, sched
+    ),
+    tw AS (SELECT e, SUM(w) AS tws FROM wts GROUP BY e),
+    ks AS (
+        SELECT wts.e, source, n,
+               LEAST(n, ({_MIX_BUDGET} * w) // tws) AS k
+        FROM wts JOIN tw ON tw.e = wts.e
+    ),
+    cum AS (
+        SELECT e, source, n, k,
+               (COALESCE(SUM(k) OVER (PARTITION BY source ORDER BY e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                % n) AS c
+        FROM ks
+    ),
+    eligible AS (SELECT * FROM cum WHERE k >= 1),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS r
+        FROM documents d
+    ),
+    sel AS (
+        SELECT el.e, rk.doc_id, el.source, el.k,
+               ((rk.r - 1 - el.c) % el.n + el.n) % el.n + 1 AS sel_rank
+        FROM ranked rk JOIN eligible el ON el.source = rk.source
+        WHERE ((rk.r - 1 - el.c) % el.n + el.n) % el.n < el.k
+    )
+    SELECT e::INT AS epoch, doc_id, source, sel_rank::BIGINT AS sel_rank,
+           (ROW_NUMBER() OVER (PARTITION BY e
+                ORDER BY sel_rank * 1.0 / k, source))::BIGINT AS epoch_pos
+    FROM sel
+"""
+
+
+@register("mix_epoch_schedule", oracle=_EPOCH_SCHED_ORACLE)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch mixture scheduling (round 8, VERDICT r7 task 6):
+    materialize a THREE-epoch training schedule with an annealed source
+    curriculum — uniform, then temperature-0.5, then natural proportions
+    — where sampling is without replacement ACROSS epochs (each epoch
+    resumes every source's deterministic md5 pick order where the
+    previous epochs stopped, wrapping only when a source is exhausted).
+    Output: every (epoch, document) served, its within-epoch serve rank
+    and its closed-form weighted-round-robin epoch position — the
+    manifest a multi-epoch dataloader consumes.
+
+    Scale shape (operators/sampling.py::multi_epoch_interleave): ONE
+    persisted rank window over the corpus shared by all epochs, per-epoch
+    quota/offset tables as driver-sized broadcast model state, and the
+    same one-fold closed-form position as mix_interleave_epoch — epochs
+    add narrow projections, never corpus re-shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SA.multi_epoch_interleave(docs, "source", "doc_id", budget=_MIX_BUDGET)
+    return out.select(
+        "epoch", F.col("id").alias("doc_id"), "source", "sel_rank", "epoch_pos"
+    )
+
+
 _CHUNK_LEN = 320  # context-window length (tokens) for concat-and-chunk
 
 _CONCAT_ORACLE = f"""

@@ -1,0 +1,205 @@
+"""Streaming incremental MinHash dedup — the streaming twin of
+:func:`lithops_dataframe_spark.operators.dedup.minhash_incremental_dedup`
+(VERDICT r7 task 6: the one §2.11 operator family that had no streaming
+counterpart).
+
+Shape: each micro-batch of arriving documents is probed against a
+STANDING LSH index persisted between batches (band postings + shingle
+sets of every document that has ever arrived), then appended to it via
+``foreachBatch``. Per-epoch cost is O(batch × bands) probe work against
+the index — never index × index — which is what makes continuous dedup
+of a 100 TB firehose viable: the index is a partitioned parquet layout
+keyed by epoch, each batch writes only its own partition, and the band
+postings join is hash-partitioned on the (uniform by construction)
+band key.
+
+Two deliberate semantics, documented because they ARE the production
+choices:
+
+- **The index keeps every ARRIVED doc, kept or dropped** (a "signature
+  graveyard"): a near-dup of an already-dropped doc is still a dup —
+  indexing only survivors would re-admit the third copy of a pair.
+  Signatures are ~100 bytes/doc, so the graveyard costs nothing
+  relative to payloads.
+- **Exactly-once across retries by epoch-keyed writes**: decisions and
+  index additions land in ``.../epoch=<id>`` with overwrite, and a
+  batch probes only partitions with ``epoch < its own id`` — a retried
+  micro-batch neither double-indexes itself nor probes its own
+  half-written output.
+
+Reference analog: the batch incremental operator covers
+``/root/reference``'s dedup surface; the streaming twin has no
+reference counterpart (the reference has no streaming engine) and
+follows Structured Streaming's standard foreachBatch recipe instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.operators.dedup import with_minhash
+from lithops_dataframe_spark.operators.util import ensure_parallelism
+
+_POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        # band_key is an md5 hex STRING (functions/hashing.py:128)
+        T.StructField("band_key", T.StringType()),
+    ]
+)
+_SHINGLES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("__shingles", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _read_index(spark, path: str, schema: T.StructType, before_epoch: int) -> DataFrame:
+    """Standing-index partitions written by epochs strictly BEFORE
+    ``before_epoch`` (partition-pruned scan); empty frame when the index
+    does not exist yet (first epoch) or has no earlier partitions."""
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    with_epoch = T.StructType(
+        list(schema.fields) + [T.StructField("epoch", T.IntegerType())]
+    )
+    loaded = spark.read.schema(with_epoch).parquet(path)
+    return loaded.filter(F.col("epoch") < before_epoch).drop("epoch")
+
+
+def incremental_dedup_batch_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    decisions_dir: str,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> None:
+    """One micro-batch step: probe the standing index, decide keep/drop
+    per arriving doc, append the batch to the index. Exposed separately
+    from the foreachBatch wiring so tests can drive single steps."""
+    spark = batch_df.sparkSession
+    from pyspark import StorageLevel
+
+    base = (
+        with_minhash(
+            ensure_parallelism(batch_df.select(id_col, text_col)),
+            text_col,
+            shingle_n=shingle_n,
+        )
+        .select(F.col(id_col).alias("id"), "__shingles", "__sig")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # bounded: one micro-batch
+    )
+    posted = base.select(
+        "id", F.explode(H.band_signatures(F.col("__sig"), bands)).alias("band")
+    ).select(
+        "id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    idx_posted = _read_index(spark, f"{index_dir}/postings", _POSTINGS_SCHEMA, epoch_id)
+
+    # probe side: every already-indexed doc can drop an arriving doc; a
+    # batch-mate only if it arrived "earlier" (smaller id — deterministic
+    # first-wins inside the batch, same rule as the batch operator)
+    others = idx_posted.withColumn("require_lt", F.lit(False)).unionByName(
+        posted.withColumn("require_lt", F.lit(True))
+    )
+    a, b = posted.alias("a"), others.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") != F.col("b.id"))
+            & (~F.col("b.require_lt") | (F.col("b.id") < F.col("a.id"))),
+        )
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("other_id"))
+        .dropDuplicates(["new_id", "other_id"])
+        # byte-small candidates, CPU-bound verify: pin full parallelism
+        .repartition(spark.sparkContext.defaultParallelism, "new_id", "other_id")
+    )
+    sh_all = base.select("id", "__shingles").unionByName(
+        _read_index(spark, f"{index_dir}/shingles", _SHINGLES_SCHEMA, epoch_id)
+    )
+    cand = cand.join(
+        sh_all.select(F.col("id").alias("new_id"), F.col("__shingles").alias("sh_a")),
+        "new_id",
+    ).join(
+        sh_all.select(F.col("id").alias("other_id"), F.col("__shingles").alias("sh_b")),
+        "other_id",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    matches = cand.filter(inter / union >= threshold).select("new_id")
+    n_dup = matches.groupBy("new_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prior_dups")
+    )
+    decisions = (
+        base.select("id")
+        .join(n_dup, F.col("id") == F.col("new_id"), "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("n_prior_dups"), F.lit(0).cast("long")).alias(
+                "n_prior_dups"
+            ),
+            F.col("new_id").isNull().cast("int").alias("keep"),
+        )
+    )
+    decisions.write.mode("overwrite").parquet(f"{decisions_dir}/epoch={epoch_id}")
+    posted.write.mode("overwrite").parquet(f"{index_dir}/postings/epoch={epoch_id}")
+    base.select("id", "__shingles").write.mode("overwrite").parquet(
+        f"{index_dir}/shingles/epoch={epoch_id}"
+    )
+    base.unpersist()
+
+
+def foreach_batch_incremental_dedup(
+    stream_df: DataFrame,
+    index_dir: str,
+    decisions_dir: str,
+    checkpoint: str,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    bands: int = 4,
+    threshold: float = 0.6,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire :func:`incremental_dedup_batch_step` into a foreachBatch
+    streaming query (availableNow replay by default)."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        incremental_dedup_batch_step(
+            batch_df,
+            epoch_id,
+            index_dir,
+            decisions_dir,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_n=shingle_n,
+            bands=bands,
+            threshold=threshold,
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,113 @@
+"""Streaming incremental dedup mechanics (round 8).
+
+The oracle sweep gates the end-to-end result; these tests pin the
+streaming-specific properties the oracle can't see:
+
+- cross-batch index continuity (a batch-2 doc is dropped because of a
+  batch-0 near-dup it never shared a micro-batch with),
+- epoch-keyed retry idempotence (re-running a step neither
+  double-indexes nor changes decisions),
+- equivalence with the BATCH incremental operator when everything
+  arrives in one batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from lithops_dataframe_spark.operators.dedup import minhash_incremental_dedup
+from lithops_dataframe_spark.streaming.dedup import incremental_dedup_batch_step
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+
+
+_NEAR_A = "alpha beta gamma delta epsilon zeta eta theta"
+_NEAR_A2 = "alpha beta gamma delta epsilon zeta eta iota"  # near-dup of A
+_UNIQUE = "completely different words appear in this one only"
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "index"), str(tmp_path / "decisions")
+
+
+def _run_epochs(spark, batches, index_dir, decisions_dir):
+    for epoch, rows in enumerate(batches):
+        incremental_dedup_batch_step(
+            _docs(spark, rows),
+            epoch,
+            index_dir,
+            decisions_dir,
+            text_col="text",
+            id_col="doc_id",
+        )
+    return {
+        r["doc_id"]: (r["n_prior_dups"], r["keep"])
+        for r in spark.read.parquet(decisions_dir).collect()
+    }
+
+
+def test_cross_batch_index_continuity(spark, dirs):
+    index_dir, decisions_dir = dirs
+    out = _run_epochs(
+        spark,
+        [
+            [(0, _NEAR_A)],
+            [(10, _UNIQUE)],
+            [(20, _NEAR_A2)],  # near-dups doc 0 — two epochs earlier
+        ],
+        index_dir,
+        decisions_dir,
+    )
+    assert out[0] == (0, 1)
+    assert out[10] == (0, 1)
+    assert out[20] == (1, 0), "batch-2 doc must match the batch-0 index entry"
+
+
+def test_retry_is_idempotent(spark, dirs):
+    index_dir, decisions_dir = dirs
+    batches = [[(0, _NEAR_A)], [(20, _NEAR_A2)]]
+    out1 = _run_epochs(spark, batches, index_dir, decisions_dir)
+    # retry epoch 1 (simulated failure-replay): same decisions, and the
+    # index must not have grown (epoch-keyed overwrite, probe < epoch)
+    incremental_dedup_batch_step(
+        _docs(spark, batches[1]),
+        1,
+        index_dir,
+        decisions_dir,
+        text_col="text",
+        id_col="doc_id",
+    )
+    out2 = {
+        r["doc_id"]: (r["n_prior_dups"], r["keep"])
+        for r in spark.read.parquet(decisions_dir).collect()
+    }
+    assert out1 == out2 == {0: (0, 1), 20: (1, 0)}
+    post = spark.read.parquet(f"{index_dir}/postings")
+    assert post.groupBy("id").count().filter("count > 4").count() == 0, (
+        "a retried epoch must overwrite its own postings, not append"
+    )
+
+
+def test_single_batch_equals_batch_operator(spark, dirs):
+    index_dir, decisions_dir = dirs
+    rows = [(0, _NEAR_A), (1, _NEAR_A2), (2, _UNIQUE)]
+    out = _run_epochs(spark, [rows], index_dir, decisions_dir)
+    batch = {
+        r["id"]: (r["n_dup_matches"], r["keep"])
+        for r in minhash_incremental_dedup(
+            _docs(spark, rows).withColumn("is_new", F.lit(True)),
+            "text",
+            "doc_id",
+            "is_new",
+        ).collect()
+    }
+    assert out == batch == {0: (0, 1), 1: (1, 0), 2: (0, 1)}

@@ -227,6 +227,11 @@ ALLOW_NESTED_LOOP = {
     # both legs are the bounded-query brute-force baselines (BM25 query
     # literals + cosine broadcast anchors), as for retrieval_hybrid_rrf
     "retrieval_rbo_lex_vs_sem",
+    # r8: composes _hybrid_rrf_frame, so it inherits exactly hybrid's
+    # bounded 4-row query × corpus-scan semantic leg; every join the
+    # re-rank stage ADDS is a broadcast-hash equi-join driven by the
+    # ≤(queries × 10)-row candidate set
+    "retrieval_rerank_features",
 }
 
 # Queries whose BroadcastNestedLoopJoin build side is ONE ROW by
