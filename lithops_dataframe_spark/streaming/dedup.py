@@ -158,6 +158,11 @@ def incremental_dedup_batch_step(
             F.col("new_id").isNull().cast("int").alias("keep"),
         )
     )
+    # Writes keep the upstream task layout: A/B-measured at sf0.1, both
+    # coalesce (collapses the probe pipeline: 7.4→8.9 s) and repartition
+    # (extra exchanges: →8.4 s) lose to writing as-is. At 100 TB the
+    # standing index would get a periodic OPTIMIZE/compaction pass
+    # (operators/layout.py) rather than per-epoch write reshaping.
     decisions.write.mode("overwrite").parquet(f"{decisions_dir}/epoch={epoch_id}")
     posted.write.mode("overwrite").parquet(f"{index_dir}/postings/epoch={epoch_id}")
     base.select("id", "__shingles").write.mode("overwrite").parquet(
