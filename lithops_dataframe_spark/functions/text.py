@@ -190,7 +190,13 @@ def quality_score(text: Column) -> Column:
     # (caught at sf0.1: 0.599062 vs 0.599063 on one doc). The scaled-floor
     # form is the same double ops on both engines, so identical raw values
     # give identical output (same discipline as the quantize/phash codes).
-    return F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    # Empty text scores NULL on both engines (edge-fixture r8: the
+    # n/n_chars terms are 0-denominator divisions — an ANSI
+    # DIVIDE_BY_ZERO crash here, NULL in DuckDB; the CASE guard prevents
+    # branch evaluation so both engines agree on NULL).
+    return F.when(
+        n_chars > 0, F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    )
 
 
 def quality_score_sql(expr: str) -> str:
@@ -203,8 +209,10 @@ def quality_score_sql(expr: str) -> str:
     stop = f"least({stopword_hits_sql(toks, all_stop)}::DOUBLE / {n_toks} * 4.0, 1.0)"
     alpha = f"({alpha_chars_sql(expr)}::DOUBLE / {n_chars})"
     return (
-        f"(floor(({QW_TOK} * {tok_per_char} + {QW_UNIQ} * {uniq} "
-        f"+ {QW_STOP} * {stop} + {QW_ALPHA} * {alpha}) * 1000000.0 + 0.5) / 1000000.0)"
+        f"(CASE WHEN {n_chars} > 0 THEN "
+        f"floor(({QW_TOK} * {tok_per_char} + {QW_UNIQ} * {uniq} "
+        f"+ {QW_STOP} * {stop} + {QW_ALPHA} * {alpha}) * 1000000.0 + 0.5) / 1000000.0 "
+        f"END)"
     )
 
 

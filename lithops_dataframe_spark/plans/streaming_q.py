@@ -28,7 +28,7 @@ _TUMBLING_ORACLE = """
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS sum_value
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
 """
 
 _SLIDING_ORACLE = """
@@ -36,7 +36,7 @@ _SLIDING_ORACLE = """
     e AS (
         SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start,
                value
-        FROM events, offs
+        FROM events, offs WHERE ts IS NOT NULL
     )
     SELECT w_start, w_start + INTERVAL '1 hour' AS w_end,
            COUNT(*) AS n_events,
@@ -50,7 +50,7 @@ _SESSION_ORACLE = """
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
                     THEN 1 ELSE 0 END AS new_s
-        FROM events
+        FROM events WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
     ),
     s AS (
@@ -69,7 +69,8 @@ _SESSION_ORACLE = """
 
 _DEDUP_ORACLE = """
     SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-    FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+    FROM (SELECT DISTINCT event_id, event_type, value
+          FROM events WHERE ts IS NOT NULL)
     GROUP BY event_type
 """
 
@@ -79,7 +80,7 @@ _DAILY_ORACLE = """
            COUNT(*) AS n_events,
            ROUND(SUM(value), 4) AS sum_value,
            ROUND(AVG(value), 6) AS avg_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 
@@ -189,7 +190,7 @@ _ENRICHED_ORACLE = """
            COUNT(*) AS n_purchases,
            SUM(CAST(ROUND(e.value * 100) AS BIGINT)) / 100.0 AS revenue
     FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
-    WHERE e.event_type = 'purchase'
+    WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
     GROUP BY 1, 2, 3
 """
 
@@ -226,8 +227,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORRELATION_ORACLE = """
     SELECT v.user_id, COUNT(*) AS n_pairs,
            SUM(CAST(ROUND(c.value * 100) AS BIGINT)) / 100.0 AS clicked_value
-    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
-    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view' AND ts IS NOT NULL) v
+    JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click' AND ts IS NOT NULL) c
       ON c.user_id = v.user_id
      AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
     GROUP BY v.user_id
@@ -247,8 +248,8 @@ _LEFT_OUTER_ORACLE = """
                AS n_unmatched_views,
            COALESCE(SUM(CAST(ROUND(c.value * 100) AS BIGINT)), 0) / 100.0
                AS attributed_value
-    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
-    LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view' AND ts IS NOT NULL) v
+    LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click' AND ts IS NOT NULL) c
       ON c.user_id = v.user_id
      AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'
     GROUP BY v.user_id
@@ -343,7 +344,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
             SELECT user_id, (FLOOR(value * 100 + 0.5))::BIGINT AS cents,
                    LAG((FLOOR(value * 100 + 0.5))::BIGINT)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-            FROM events
+            FROM events WHERE ts IS NOT NULL
         ),
         d AS (
             SELECT user_id,
@@ -427,7 +428,7 @@ _TOPK_HH_ORACLE = """
         SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, user_id,
                COUNT(*)::BIGINT AS n_events,
                SUM((FLOOR(value * 100 + 0.5))::BIGINT)::BIGINT AS sum_cents
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     rk AS (
         SELECT *, row_number() OVER (PARTITION BY w_start
@@ -452,8 +453,8 @@ def stream_window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FULL_OUTER_ORACLE = """
-    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
-    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view' AND ts IS NOT NULL),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
     j AS (
         SELECT COALESCE(v.user_id, c.user_id) AS user_id,
                v.ts AS v_ts, c.ts AS c_ts, c.value AS c_value

@@ -63,7 +63,13 @@ def with_watermark(events: DataFrame) -> DataFrame:
         events.schema["ts"].dataType, T.TimestampNTZType
     ):
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    return events.withWatermark("ts", WATERMARK)
+    # An event-time operator only sees rows WITH an event time: a NULL ts
+    # cannot be watermarked, windowed, or ordered. Made explicit here
+    # (edge-fixture r8) because the engines' implicit behaviors DIVERGE —
+    # Spark's window() silently drops null-window rows while DuckDB's
+    # time_bucket(NULL) keeps a NULL bucket; every routed oracle carries
+    # the matching `WHERE ts IS NOT NULL`.
+    return events.filter(F.col("ts").isNotNull()).withWatermark("ts", WATERMARK)
 
 
 def _ntz(col: str, alias: str):
@@ -384,6 +390,10 @@ def user_counter_agg(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StructField, StructType
+
+    # order-sensitive on ts: a NULL event time has no position in the
+    # reading sequence — excluded identically in the oracle (r8)
+    events = events.filter(F.col("ts").isNotNull())
 
     out_schema = StructType(
         [

@@ -62,6 +62,64 @@ EDGE_SWEEP = [
     "join_semi_customers_with_orders",
     "red_stats_combined",
     "agg_shapes_combined",
+    # dedup family (edge docs: empty text, exact dup pair, one repeated
+    # token, k=1 language groups)
+    "dedup_exact_fingerprint",
+    "dedup_exact_after_union",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_pairs",
+    "dedup_chunk_keep_first",
+    "dedup_duplicate_spans",
+    "dedup_simhash_pairs",
+    "dedup_incremental_batch",
+    "stream_incremental_dedup",
+    # text family (empty-text doc must not crash tokenizers or skew
+    # ratios differently across engines)
+    "text_quality_by_source",
+    "text_token_stats",
+    "text_zipf_slope",
+    "text_fingerprint_stats",
+    "text_hashed_tfidf",
+    "text_top_tokens",
+    "text_corpus_datasheet",
+    "text_distinctive_terms_odds",
+    "text_repetition_filter",
+    # packing / mixing (empty doc spans zero chunks; one-doc sources)
+    "pack_concat_chunks",
+    "pack_training_sequences",
+    "pack_length_buckets",
+    "chunk_documents_overlap",
+    "mix_interleave_epoch",
+    "mix_epoch_schedule",
+    "sample_temperature_weights",
+    "sample_hash_per_group",
+    # dq family on documents
+    "dq_key_skew_report",
+    "dq_k_anonymity_cells",
+    "dq_snapshot_diff",
+    # embeddings edge: 4-dim vectors, exact-duplicate + antipodal pair
+    "emb_table_audit",
+    "emb_int8_quantize",
+    # streaming batch twins over the NULL-ts events
+    "stream_tumbling_counts",
+    "stream_daily_type_revenue",
+    "stream_dedup_events",
+    "stream_sliding_activity",
+    "stream_window_topk_users",
+    "stream_enriched_segment_windows",
+    "stream_view_click_correlation",
+    "stream_view_click_left_outer",
+    "stream_view_click_full_outer",
+    # pipeline + retrieval over the empty-text doc
+    "pipeline_clean_corpus",
+    "text_bm25_search",
+    "text_langid_confusion",
+    "text_pii_redaction",
+    # scan-agg TPC-H shapes over the duplicate-row lineitem
+    "q01_pricing_summary",
+    "q06_forecast_revenue",
 ]
 
 
