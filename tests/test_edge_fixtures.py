@@ -120,6 +120,63 @@ EDGE_SWEEP = [
     # scan-agg TPC-H shapes over the duplicate-row lineitem
     "q01_pricing_summary",
     "q06_forecast_revenue",
+    # specialty joins over the one-row/empty-group star
+    "join_range_value_bands",
+    "join_theta_price_band",
+    "join_salted_skew",
+    "join_cross_region_segment",
+    # grouped UDF stats: k=1 groups stress ddof / zero-variance paths
+    "udf_grouped_zscore",
+    "udf_grouped_trimmed_mean",
+    "udf_grouped_agg_weighted_avg",
+    "udf_grouped_ols_trend",
+    # frame/reduction surface over all-NULL acctbal + duplicate rows
+    "frame_describe",
+    "frame_describe_by_group",
+    "red_min_axis0",
+    "red_max_axis0",
+    "red_mean_axis0",
+    "red_std_axis0",
+    "red_all_any",
+    "red_prod",
+    "red_sum_axis1",
+    "red_max_axis1",
+    "red_mean_axis1",
+    # agg shapes / setops / scalars / sql singles
+    "agg_percentiles",
+    "agg_count_distinct",
+    "agg_unpivot_melt",
+    "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "agg_pivot_status_by_flag",
+    "agg_winsorized_stats",
+    "setop_union_all_counts",
+    "setop_intersect_nations",
+    "setop_except_nations",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_array_funcs",
+    "scalar_json_events",
+    "scalar_map_funcs",
+    "sql_grouping_sets",
+    "sql_correlated_subquery",
+    "sql_cte_window_topn",
+    "sql_recursive_cte",
+    # remaining TPC-H shapes (most filter to empty on the micro star —
+    # still verifies empty-frame parity and that no ANSI crash lurks)
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_priority_with_late_lines",
+    "q05_revenue_by_nation",
+    "q07_nation_volume",
+    "q09_product_type_profit",
+    "q10_returned_items_topk",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q16_supplier_part_counts",
+    "q18_large_volume_customers",
+    "q22_global_sales_opportunity",
 ]
 
 
