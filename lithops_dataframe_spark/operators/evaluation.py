@@ -77,8 +77,14 @@ def roc_auc(scored: DataFrame, score_col: str, label_col: str) -> DataFrame:
         "n_pos",
         "n_neg",
         "auc_num2",
-        F.round(
-            F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+        # single-class input (no positives or no negatives) has no AUC:
+        # NULL on both engines, not an ANSI DIVIDE_BY_ZERO crash (Spark
+        # errors on double/0 under ANSI where DuckDB yields NULL — edge r8)
+        F.when(
+            F.col("n_pos") * F.col("n_neg") > 0,
+            F.round(
+                F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+            ),
         ).alias("auc"),
     )
 
@@ -192,8 +198,13 @@ def roc_auc_by_group(
         "n_pos",
         "n_neg",
         "auc_num2",
-        F.round(
-            F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+        # single-class GROUP (e.g. a source slice with no positives) has
+        # no AUC: NULL on both engines, not an ANSI crash (edge r8)
+        F.when(
+            F.col("n_pos") * F.col("n_neg") > 0,
+            F.round(
+                F.col("auc_num2") / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")), 6
+            ),
         ).alias("auc"),
     )
 

@@ -154,7 +154,8 @@ def _auc_oracle(epochs: int, lr: float) -> str:
     )
     SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
            {num2}::BIGINT AS auc_num2,
-           ROUND({num2} / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
+           (CASE WHEN SUM(np) * SUM(nn) > 0
+                 THEN ROUND({num2} / (2.0 * SUM(np) * SUM(nn)), 6) END) AS auc
     FROM c
     """
     )
@@ -553,7 +554,8 @@ def _auc_by_source_oracle(epochs: int, lr: float) -> str:
     )
     SELECT source, SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
            {num2}::BIGINT AS auc_num2,
-           ROUND({num2} / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
+           (CASE WHEN SUM(np) * SUM(nn) > 0
+                 THEN ROUND({num2} / (2.0 * SUM(np) * SUM(nn)), 6) END) AS auc
     FROM c GROUP BY source
     """
     )

@@ -70,3 +70,22 @@ def test_dsir_scores_are_stable_across_layouts(spark, sf_dir):
     a = dsir_select(docs, F.col("lang") == "en", k=25).collect()
     b = dsir_select(docs.repartition(13), F.col("lang") == "en", k=25).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_roc_auc_single_class_is_null_not_crash(spark):
+    """A single-class input has no AUC: NULL, never an ANSI
+    DIVIDE_BY_ZERO (edge r8 — Spark errors on double/0 under ANSI where
+    DuckDB yields NULL)."""
+    from lithops_dataframe_spark.operators.evaluation import roc_auc_by_group
+
+    all_pos = spark.createDataFrame([(0.3, 1), (0.7, 1)], "s double, y int")
+    row = roc_auc(all_pos, "s", "y").collect()[0]
+    assert row["n_pos"] == 2 and row["n_neg"] == 0 and row["auc"] is None
+
+    mixed = spark.createDataFrame(
+        [("a", 0.3, 1), ("a", 0.7, 1), ("b", 0.2, 0), ("b", 0.9, 1)],
+        "g string, s double, y int",
+    )
+    rows = {r["g"]: r for r in roc_auc_by_group(mixed, "g", "s", "y").collect()}
+    assert rows["a"]["auc"] is None  # single-class group
+    assert rows["b"]["auc"] == 1.0
