@@ -45,6 +45,10 @@ def systematic_weighted_sample(
         F.col(id_col).alias("id"), F.col(weight_col).cast("long").alias("w")
     )
     total = base.agg(F.sum("w").alias("W")).collect()[0]["W"]
+    if not total:  # empty input / all-zero weights: nothing to pick
+        return df.sparkSession.createDataFrame(
+            [], "id long, w long, c_incl long, n_picks long"
+        )
     step = max(1, int(total) // k)
 
     part = base.repartitionByRange(F.col("id").asc()).withColumn(
@@ -115,6 +119,10 @@ def weighted_interleave_epoch(
     counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     wts = counts.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
     total_w = wts.agg(F.sum("w").alias("tw")).collect()[0]["tw"]
+    if not total_w:  # empty corpus: an empty epoch, not a TypeError
+        return df.sparkSession.createDataFrame(
+            [], "id long, source string, r long, epoch_pos long"
+        )
     quotas = wts.select(
         "source",
         F.least(
@@ -241,6 +249,11 @@ def multi_epoch_interleave(
     base = df.select(F.col(source_col).alias("source"), F.col(id_col).alias("id"))
     counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     ntab = {row["source"]: int(row["n"]) for row in counts.collect()}
+    empty = df.sparkSession.createDataFrame(
+        [], "epoch int, id long, source string, sel_rank long, epoch_pos long"
+    )
+    if not ntab:  # empty corpus: an empty schedule, not a ZeroDivisionError
+        return empty
 
     def weight(kind: str, n: int) -> int:
         if kind == "uniform":
@@ -310,6 +323,8 @@ def multi_epoch_interleave(
                 .alias("epoch_pos"),
             )
         )
+    if not parts:  # every epoch's quotas rounded to zero
+        return empty
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

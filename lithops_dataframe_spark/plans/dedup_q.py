@@ -331,6 +331,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    if mx is None:  # empty corpus: nothing to stream, empty decisions
+        return spark.createDataFrame(
+            [], "doc_id long, n_prior_dups long, keep int, batch_no long"
+        )
     # integer floor division, same formula as the oracle's `//` — and the
     # staged file order (b0 < b1 < b2 by mtime) equals batch_no order
     batch_expr = F.expr(f"(doc_id * 3) div {int(mx) + 1}")

@@ -92,3 +92,31 @@ def test_without_replacement_until_wrap(spark):
     assert len(served) == 12
     assert len(set(served[:10])) == 10
     assert served[10:] == served[:2]
+
+
+def test_empty_and_degenerate_inputs(spark):
+    """Empty corpora produce empty frames, not driver-side exceptions
+    (TypeError on None totals / ZeroDivisionError on zero weights)."""
+    import pandas as pd
+
+    from lithops_dataframe_spark.operators.sampling import (
+        systematic_weighted_sample,
+        weighted_interleave_epoch,
+    )
+
+    empty = spark.createDataFrame(
+        pd.DataFrame({"source": pd.Series(dtype="str"), "id": pd.Series(dtype="int64")}),
+        "source string, id long",
+    )
+    assert multi_epoch_interleave(empty, "source", "id", budget=10).count() == 0
+    assert weighted_interleave_epoch(empty, "source", "id", budget=10).count() == 0
+    wempty = spark.createDataFrame(
+        pd.DataFrame({"w": pd.Series(dtype="int64"), "id": pd.Series(dtype="int64")}),
+        "w long, id long",
+    )
+    assert systematic_weighted_sample(wempty, "w", "id", k=5).count() == 0
+    # all-zero weights: picks nothing, never divides by zero
+    wzero = spark.createDataFrame(
+        pd.DataFrame({"w": [0, 0], "id": [1, 2]}), "w long, id long"
+    )
+    assert systematic_weighted_sample(wzero, "w", "id", k=5).count() == 0
