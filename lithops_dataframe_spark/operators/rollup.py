@@ -22,8 +22,14 @@ from pyspark.sql import functions as F
 
 
 def daily_rollup(events: DataFrame) -> DataFrame:
-    """Mergeable per-(day, event_type) partials of the events table."""
-    return events.groupBy(
+    """Mergeable per-(day, event_type) partials of the events table.
+
+    Hypertable contract: a row without event time belongs to no day
+    bucket — excluded here (and in the continuous-aggregate oracle)
+    rather than left to diverge in the history/tail split, where
+    ``day < boundary`` / ``ts >= boundary`` predicates silently drop the
+    NULL-day group from one side only (edge-fixture r8)."""
+    return events.filter(F.col("ts").isNotNull()).groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -212,8 +212,17 @@ def brute_force_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
+            # zero-norm vector (e.g. an all-zero Matryoshka prefix of a
+            # vector supported only on later dims): cosine is undefined →
+            # NULL, ranked last on both engines. DuckDB's x/0.0 already
+            # yields NULL; unguarded Spark throws ANSI DIVIDE_BY_ZERO
+            # (edge-fixture r8).
             "sim",
-            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.when(
+                F.col("q_nrm") * F.col("c_nrm") > 0,
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())

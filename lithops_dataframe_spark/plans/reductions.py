@@ -262,10 +262,21 @@ def red_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment family a stats-profiling pipeline needs.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # corr recomposed from guarded moment pieces instead of F.corr: the
+    # builtin's final division throws ANSI DIVIDE_BY_ZERO inside the
+    # aggregate when either side has zero variance (constant column /
+    # n=1 group), where DuckDB's corr yields NULL — and a select-level
+    # guard around F.corr would come too late (edge-fixture r8).
+    corr_guarded = F.when(
+        F.col("__vq") * F.col("__vp") > 0,
+        F.col("__cv") / (F.sqrt(F.col("__vq")) * F.sqrt(F.col("__vp"))),
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.var_pop("l_quantity").alias("__vq"),
+            F.var_pop("l_extendedprice").alias("__vp"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("__cv"),
             F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qty_price"),
             F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qty_price"),
             F.round(F.var_samp("l_tax"), 6).alias("var_samp_tax"),
@@ -273,6 +284,19 @@ def red_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.skewness("l_discount"), 6).alias("skew_discount"),
             F.round(F.kurtosis("l_discount"), 6).alias("kurt_discount"),
             F.median("l_quantity").alias("median_qty"),
+        )
+        .withColumn("corr_qty_price", F.round(corr_guarded, 6))
+        .drop("__vq", "__vp", "__cv")
+        .select(
+            "l_returnflag",
+            "corr_qty_price",
+            "covar_samp_qty_price",
+            "covar_pop_qty_price",
+            "var_samp_tax",
+            "var_pop_tax",
+            "skew_discount",
+            "kurt_discount",
+            "median_qty",
         )
         .orderBy("l_returnflag")
     )
@@ -415,7 +439,7 @@ _QNORM_ORACLE = """
     WITH c AS (
         SELECT event_type, event_id,
                (FLOOR(value * 100 + 0.5))::BIGINT AS cents
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     gstats AS (
         SELECT cents AS gcents,
@@ -469,7 +493,13 @@ def feat_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    c = ev.select("event_type", "event_id", cents.alias("cents"))
+    # present values only — NULL cents must not reach the rank windows:
+    # Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST, so a NULL row
+    # silently shifts every rank and the quantile lookup (edge r8; same
+    # class as events_winsorize_stats)
+    c = ev.where(F.col("value").isNotNull()).select(
+        "event_type", "event_id", cents.alias("cents")
+    )
 
     # global exact ranks, two-phase
     part = c.repartitionByRange(F.col("cents").asc(), F.col("event_id").asc()).withColumn(

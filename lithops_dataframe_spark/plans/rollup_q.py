@@ -26,7 +26,7 @@ _ROLLUP_ORACLE = """
            ROUND(MIN(value), 4) AS min_value,
            ROUND(MAX(value), 4) AS max_value,
            ROUND(SUM(value) / COUNT(*), 6) AS avg_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """
 
 

@@ -261,7 +261,11 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COGROUP_ORACLE = """
     WITH p AS (
         SELECT user_id, COUNT(*) AS n_purch,
-               SUM(ROUND(value * 100)::BIGINT) AS cents
+               -- canonical half-up cents (FLOOR(x*100 + 0.5)), mirrored
+               -- by np.floor in the pandas side: np.round is HALF-EVEN
+               -- and bit 888.5 -> 888 where both engines say 889
+               -- (edge-fixture r8, value 8.885)
+               SUM((FLOOR(value * 100 + 0.5))::BIGINT) AS cents
         FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ),
     c AS (
@@ -322,8 +326,15 @@ def udf_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left):
+            import numpy as np
+
+            # np.floor(x+0.5), NOT .round(): numpy rounds HALF-EVEN
+            # (888.5 → 888) while the oracle and every JVM-side cents
+            # column round half-up (edge-fixture r8 catch at 8.885)
             p = (
-                left.assign(cents=(left["value"] * 100).round().astype("int64"))
+                left.assign(
+                    cents=np.floor(left["value"] * 100 + 0.5).astype("int64")
+                )
                 .groupby("user_id")
                 .agg(n_purch=("cents", "size"), spend_cents=("cents", "sum"))
                 .reset_index()

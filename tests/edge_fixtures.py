@@ -155,21 +155,29 @@ def _documents() -> pd.DataFrame:
 
 
 def _embeddings() -> pd.DataFrame:
-    """Tiny vectors incl. an exact-duplicate pair and an axis vector."""
+    """64-dim vectors (the similarity operators' dimension contract, see
+    operators/similarity.py DIM) with edge geometry: an exact-duplicate
+    pair (cosine-1 tie), an antipodal pair (cosine −1), an axis vector,
+    and two deterministic mixed vectors; k=1 label groups."""
     import numpy as np
 
+    def vec(fn):
+        return np.asarray([fn(i) for i in range(64)], dtype="float32")
+
+    base = vec(lambda i: 1.0 if i == 0 else 0.0)
     vecs = [
-        [1.0, 0.0, 0.0, 0.0],
-        [1.0, 0.0, 0.0, 0.0],  # exact duplicate → cosine 1 tie
-        [0.0, 1.0, 0.0, 0.0],
-        [0.5, 0.5, 0.5, 0.5],
-        [-1.0, 0.0, 0.0, 0.0],  # antipodal
+        base,
+        base.copy(),  # exact duplicate → cosine 1 tie
+        -base,  # antipodal → cosine -1
+        vec(lambda i: 0.25),  # uniform
+        vec(lambda i: ((i * 37 + 11) % 101 - 50) / 50.0),  # deterministic mix
+        vec(lambda i: 1.0 if i >= 32 else 0.0),  # half-support
     ]
     return pd.DataFrame(
         {
-            "vec_id": [0, 1, 2, 3, 4],
-            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
-            "label": pd.array([0, 0, 1, 1, 2], dtype="int32"),
+            "vec_id": [0, 1, 2, 3, 4, 5],
+            "embedding": vecs,
+            "label": pd.array([0, 0, 1, 1, 2, 3], dtype="int32"),
         }
     )
 

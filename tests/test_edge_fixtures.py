@@ -170,13 +170,99 @@ EDGE_SWEEP = [
     "q04_priority_with_late_lines",
     "q05_revenue_by_nation",
     "q07_nation_volume",
+    "q08_market_share",
     "q09_product_type_profit",
     "q10_returned_items_topk",
+    "q11_important_parts",
+    "q12_late_line_priorities",
     "q13_customer_order_distribution",
     "q14_promo_revenue_share",
+    "q15_top_supplier",
     "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_volume_customers",
+    "q19_brand_quantity_bands",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
+    # batch 4: decontamination / remaining dedup / bpe / sketches /
+    # graphs / splits / rollups / scd / eval / classifier / embeddings
+    "decontaminate_ngram_overlap",
+    "decontaminate_bloom_prefilter",
+    "dedup_cdc_chunks",
+    "dedup_fuzzy_levenshtein_pairs",
+    "dedup_neardup_clusters",
+    "bpe_top_pairs",
+    "bpe_train_merges",
+    "bpe_encode_token_stats",
+    "bpe_fertility_by_lang",
+    "sketch_cms_token_freq",
+    "sketch_hll_union_by_type",
+    "sketch_theta_overlap_estimate",
+    "sketch_kll_quantiles_by_type",
+    "graph_pagerank",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "split_train_val_test",
+    "split_stratified_rebalance",
+    "split_temporal_cv_manifest",
+    "sample_k_per_stratum",
+    "sample_systematic_weighted",
+    "select_dsir_importance",
+    "events_ab_assignment",
+    "feat_quantile_normalize",
+    "frame_profile",
+    "frame_apply_axis1",
+    "frame_map_partitions",
+    "frame_describe_approx",
+    "red_sum_axis0",
+    "red_count_axis0",
+    "red_stats_moments",
+    "rollup_continuous_aggregate",
+    "rollup_sketch_hll_daily",
+    "join_full_outer_nation_coverage",
+    "join_interval_overlap_windows",
+    "join_scd2_pointintime",
+    "join_types_combined",
+    "scd2_customer_dim",
+    "scd_late_arriving_dim",
+    "setop_combined",
+    "setop_distinct_order_priorities",
+    "scalar_funcs_combined",
+    "scalar_json_map_events",
+    "scalar_variant_props",
+    "csv_roundtrip",
+    "dq_constraint_suite",
+    "agg_percentiles_approx",
+    "agg_approx_count_distinct",
+    "cf_part_cooccurrence_lift",
+    "cf_negative_sampling",
+    "eval_classifier_auc",
+    "eval_auc_by_source",
+    "eval_calibration_bins",
+    "classifier_lr_train",
+    "classifier_lr_score_corpus",
+    # embedding family on 64-dim edge vectors (duplicate pair, antipodal
+    # pair, k=1 label groups, 6-row corpus)
+    "emb_pq_encode",
+    "emb_semantic_dedup_keep",
+    "emb_hard_negative_mining",
+    "emb_matryoshka_recall",
+    "emb_binary_quantize_recall",
+    "sim_cosine_topk_bruteforce",
+    "sim_cosine_neardup_exact",
+    "sim_cosine_neardup_lsh",
+    "sim_cosine_topk_lsh",
+    "sim_knn_label_vote",
+    "sim_label_centroids",
+    "retrieval_hybrid_rrf",
+    "retrieval_rerank_features",
+    "retrieval_rbo_lex_vs_sem",
+    "udtf_long_token_index",
+    "udf_map_in_arrow",
+    "udf_cogroup_reconcile",
+    "text_bigram_lm_quality",
+    "stream_session_windows",
 ]
 
 
