@@ -410,50 +410,50 @@ def scale_curve(spark, sf_dir: str) -> dict:
 
     allq = {**_Q, **EXTRA_SCALE_QUERIES}
     names = [n for fam in SCALE_FAMILIES.values() for n in fam if n in allq]
-    # base and 10x BOTH timed through the noop sink (same action shape on
-    # both ends of the ratio; the main-pass collect timings stay the
-    # headline metric, this curve isolates plan scaling)
-    tb: dict[str, float] = {}
-    t10: dict[str, float] = {}
-    for name in names:
-        start = time.perf_counter()
-        _run_noop(allq[name](spark, sf_dir))
-        tb[name] = round(time.perf_counter() - start, 4)
-    for name in names:
-        start = time.perf_counter()
-        _run_noop(allq[name](spark, out_dir))
-        t10[name] = round(time.perf_counter() - start, 4)
+
+    # remeasure_curve.py methodology folded in (VERDICT r8 task 3 — r7+r8
+    # both burned verdict attention on curve rows that were pure host
+    # noise): per query, ONE untimed warmup pass on BOTH legs (JIT/codegen
+    # paid before any timed leg), then base/10x legs ALTERNATE per round
+    # (a host freeze can't land on one leg) with best-of-N kept. Base and
+    # 10x both go through the noop sink — same action shape on both ends
+    # of the ratio; the main-pass collect timings stay the headline
+    # metric, this curve isolates plan scaling.
+    def _alt_legs(fn, rounds: int) -> tuple[float, float]:
+        tb, t10 = [], []
+        for _ in range(rounds):
+            s = time.perf_counter()
+            _run_noop(fn(spark, sf_dir))
+            tb.append(time.perf_counter() - s)
+            s = time.perf_counter()
+            _run_noop(fn(spark, out_dir))
+            t10.append(time.perf_counter() - s)
+        return min(tb), min(t10)
+
+    def _exp(b: float, x: float):
+        return (
+            round(math.log10(x / b) / math.log10(SCALE_COPIES), 3)
+            if b > 0.05
+            else None
+        )
 
     per_q: dict[str, dict] = {}
     for name in names:
-        t1 = tb.get(name)
-        exp = (
-            round(math.log10(t10[name] / t1) / math.log10(SCALE_COPIES), 3)
-            if t1 and t1 > 0.05
-            else None
-        )
-        per_q[name] = {"t_base": t1, "t_10x": t10[name], "exponent": exp}
-    # a lone timing is exposed to the host's rare multi-second freezes:
-    # re-time anything that LOOKS steep (both ends) and keep the min
-    # before judging. Threshold 0.6, not the 1.15 flag level — r4/r5
-    # lesson: decontaminate_bloom_prefilter recorded 0.701 from a single
-    # noisy shot but re-measures at ~0.22 best-of-2; a sub-flag-but-steep
-    # exponent is exactly the range where one bad timing misleads.
-    for name, d in per_q.items():
-        if d["exponent"] is not None and d["exponent"] > 0.6 and d["t_10x"] > 1.0:
-            start = time.perf_counter()
-            _run_noop(allq[name](spark, sf_dir))
-            d["t_base"] = round(min(d["t_base"], time.perf_counter() - start), 4)
-            start = time.perf_counter()
-            _run_noop(allq[name](spark, out_dir))
-            d["t_10x"] = round(min(d["t_10x"], time.perf_counter() - start), 4)
-            # same noise floor as the first pass: a retimed base below
-            # 0.05 s is measurement noise — report None, don't divide by it
-            d["exponent"] = (
-                round(math.log10(d["t_10x"] / d["t_base"]) / math.log10(SCALE_COPIES), 3)
-                if d["t_base"] > 0.05
-                else None
-            )
+        fn = allq[name]
+        _run_noop(fn(spark, sf_dir))
+        _run_noop(fn(spark, out_dir))
+        b, x = _alt_legs(fn, rounds=2)
+        exp = _exp(b, x)
+        # escalate anything that still LOOKS steep to best-of-4 before
+        # judging. Threshold 0.6, not the 1.15 flag level — r4/r5 lesson:
+        # decontaminate_bloom_prefilter recorded 0.701 from a single noisy
+        # shot but re-measures at ~0.22; a sub-flag-but-steep exponent is
+        # exactly the range where one bad timing misleads.
+        if exp is not None and exp > 0.6 and x > 1.0:
+            b2, x2 = _alt_legs(fn, rounds=2)
+            b, x = min(b, b2), min(x, x2)
+            exp = _exp(b, x)
+        per_q[name] = {"t_base": round(b, 4), "t_10x": round(x, 4), "exponent": exp}
     families = {}
     for fam, qs in SCALE_FAMILIES.items():
         exps = [per_q[n]["exponent"] for n in qs if n in per_q and per_q[n]["exponent"] is not None]

@@ -111,9 +111,9 @@ def weighted_interleave_epoch(
     collected once, re-broadcast as an array literal, and folded with one
     ``aggregate`` HOF — so the whole epoch assignment is ONE shuffle (the
     per-source rank window), no global sort, no single-task stage.
-    Integer ceils use (q − q mod k)/k + [q mod k > 0]; exact while
-    r·k' < 2⁵³ (quotas beyond ~9·10⁷ rows per source should switch the
-    division to the SQL `div` operator).
+    Integer ceils use (q − q mod k)/k + [q mod k > 0] with the exact
+    division done in DECIMAL (``_exact_div``), so the formula holds for
+    the full BIGINT range — no 2⁵³ caveat (ADVICE r8).
     """
     base = df.select(F.col(source_col).alias("source"), F.col(id_col).alias("id"))
     counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
@@ -158,7 +158,7 @@ def weighted_interleave_epoch(
     def term(acc, x):
         q = F.col("r") * x["kk"]
         m = q % F.col("k")
-        ceil_div = ((q - m) / F.col("k")).cast("long") + F.when(m > 0, F.lit(1)).otherwise(F.lit(0))
+        ceil_div = _exact_div(q - m, F.col("k")) + F.when(m > 0, F.lit(1)).otherwise(F.lit(0))
         tie = F.when((m == 0) & (x["src"] < F.col("source")), F.lit(1)).otherwise(F.lit(0))
         return acc + F.when(
             x["src"] == F.col("source"), F.lit(0).cast("long")
@@ -183,6 +183,15 @@ def _quota_array(ktab: list[tuple[str, int]]):
     )
 
 
+def _exact_div(num, den):
+    """``num / den`` where ``num`` is an exact multiple of ``den``,
+    computed in DECIMAL so the quotient stays exact for the full BIGINT
+    range (ADVICE r8: the double-division form was exact only while
+    rank·quota < 2^53 — a silent caveat for 100TB-scale schedules where
+    global ranks × per-source quotas can exceed it)."""
+    return (num.cast("decimal(38,0)") / den).cast("long")
+
+
 def _wrr_pos(arr, rank, own_k):
     """Closed-form weighted-round-robin position (see
     :func:`weighted_interleave_epoch` for the derivation): the global
@@ -194,7 +203,7 @@ def _wrr_pos(arr, rank, own_k):
     def term(acc, x):
         q = rank * x["kk"]
         m = q % own_k
-        ceil_div = ((q - m) / own_k).cast("long") + F.when(m > 0, F.lit(1)).otherwise(
+        ceil_div = _exact_div(q - m, own_k) + F.when(m > 0, F.lit(1)).otherwise(
             F.lit(0)
         )
         tie = F.when((m == 0) & (x["src"] < F.col("source")), F.lit(1)).otherwise(

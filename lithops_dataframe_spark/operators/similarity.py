@@ -75,17 +75,33 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Guarded cosine: NULL when either vector has zero norm (undefined
+    similarity), matching DuckDB's x/0.0 → NULL instead of crashing under
+    ANSI (r9 edge sweep). Catalyst's subexpression elimination shares the
+    norm folds between the guard and the division."""
+    prod = norm(a) * norm(b)
+    return F.when(prod > 0, dot(a, b) / prod)
 
 
 def with_unit(df: DataFrame, emb_col: str, out_col: str = "unit") -> DataFrame:
     """Attach the unit-normalized embedding. Norm materializes in its own
     projection so the fold runs once per row, not once per element; pair
     similarity then costs ONE dot instead of three (dot + both norms) —
-    the difference between 1× and 3× work in quadratic all-pairs scoring."""
+    the difference between 1× and 3× work in quadratic all-pairs scoring.
+
+    A zero-norm embedding normalizes to the ZERO vector (not an ANSI
+    DIVIDE_BY_ZERO crash — r9 edge sweep): every downstream unit-dot is
+    then 0, which fails any positive similarity threshold exactly like
+    the oracle's NULL cosine does."""
     return (
         df.withColumn("__norm", norm(F.col(emb_col)))
-        .withColumn(out_col, F.transform(F.col(emb_col), lambda x: x.cast("double") / F.col("__norm")))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__norm") > 0,
+                F.transform(F.col(emb_col), lambda x: x.cast("double") / F.col("__norm")),
+            ).otherwise(F.transform(F.col(emb_col), lambda x: F.lit(0.0))),
+        )
         .drop("__norm")
     )
 
@@ -321,7 +337,12 @@ def ann_topk(
     return (
         cand.withColumn(
             "sim",
-            dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            # zero-norm guard: NULL sim, ranked last on both engines
+            # (Spark desc and DuckDB both order NULLS LAST) — r9 edge sweep
+            F.when(
+                F.col("q_nrm") * F.col("c_nrm") > 0,
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            ),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -397,11 +418,19 @@ def ivf_topk(
             F.array_sort(
                 F.transform(
                     idx,
+                    # zero-norm row or centroid: cosine undefined → negsim
+                    # +inf, so such cells sort LAST and a zero-norm query
+                    # falls back to lowest-cell_id probes — exactly the
+                    # oracle's NULLS-LAST + cell_id tie-break (r9 edge
+                    # sweep, ANSI div-by-zero otherwise)
                     lambda i: F.struct(
-                        (
+                        F.when(
+                            F.col("__rn") * F.element_at(F.col("__cnorms"), i + 1) > 0,
                             -dot(F.col(embc), F.element_at(F.col("__cents"), i + 1))
-                            / (F.col("__rn") * F.element_at(F.col("__cnorms"), i + 1))
-                        ).alias("negsim"),
+                            / (F.col("__rn") * F.element_at(F.col("__cnorms"), i + 1)),
+                        )
+                        .otherwise(F.lit(float("inf")))
+                        .alias("negsim"),
                         F.element_at(F.col("__cids"), i + 1).alias("cell_id"),
                     ),
                 )
@@ -506,11 +535,15 @@ def cosine_near_dup_pairs(
             .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
         )
     # one fold per candidate pair: norms were bound in the rejoin
-    # projections above (bit-identical to inline cosine)
+    # projections above (bit-identical to inline cosine). Zero-norm
+    # guard: NULL sim fails the threshold predicate on both engines.
     return (
         cand.withColumn(
             "sim",
-            dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+            F.when(
+                F.col("nrm_a") * F.col("nrm_b") > 0,
+                dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+            ),
         )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", F.round("sim", 6).alias("sim"))

@@ -340,44 +340,66 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_expr = F.expr(f"(doc_id * 3) div {int(mx) + 1}")
 
     work = tempfile.mkdtemp(prefix="lds_stream_dedup_")
-    replay = _os.path.join(work, "replay")
-    _os.makedirs(replay)
-    files = []
-    for b in range(3):
-        d = _os.path.join(replay, f"b{b}")
-        docs.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
-        part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
-        dst = _os.path.join(replay, f"b{b}.parquet")
-        shutil.copy(_os.path.join(d, part), dst)
-        files.append(dst)
-        shutil.rmtree(d)
-    now = _time.time()
-    for i, f in enumerate(files):
-        _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
+    try:
+        replay = _os.path.join(work, "replay")
+        _os.makedirs(replay)
+        files = []
+        for b in range(3):
+            d = _os.path.join(replay, f"b{b}")
+            docs.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
+            part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
+            dst = _os.path.join(replay, f"b{b}.parquet")
+            shutil.copy(_os.path.join(d, part), dst)
+            files.append(dst)
+            shutil.rmtree(d)
+        now = _time.time()
+        for i, f in enumerate(files):
+            _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
 
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay + "/*.parquet")
-    )
-    q = foreach_batch_incremental_dedup(
-        stream,
-        _os.path.join(work, "index"),
-        _os.path.join(work, "decisions"),
-        _os.path.join(work, "_ckpt"),
-        text_col="text",
-        id_col="doc_id",
-        shingle_n=2,
-        bands=4,
-        threshold=0.6,
-    )
-    q.awaitTermination(300)
-    return spark.read.parquet(_os.path.join(work, "decisions")).select(
-        "doc_id",
-        "n_prior_dups",
-        "keep",
-        F.col("epoch").cast("long").alias("batch_no"),
-    )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay + "/*.parquet")
+        )
+        q = foreach_batch_incremental_dedup(
+            stream,
+            _os.path.join(work, "index"),
+            _os.path.join(work, "decisions"),
+            _os.path.join(work, "_ckpt"),
+            text_col="text",
+            id_col="doc_id",
+            shingle_n=2,
+            bands=4,
+            threshold=0.6,
+        )
+        # ADVICE r8: awaitTermination(timeout) returns False on timeout —
+        # reading back a partial decisions table would silently pass a
+        # wrong result to the gate, so fail loudly instead.
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_incremental_dedup: stream did not finish within 300s"
+            )
+        # Materialize the decisions on the driver so the whole work dir
+        # (staged batches, standing index, checkpoint, decisions) can be
+        # removed — ADVICE r8: every gated run used to leak the temp dir.
+        # The decision table is one narrow row per document at gate scale;
+        # the production path keeps decisions in a durable table instead
+        # (streaming/dedup.py docstring).
+        schema = "doc_id long, n_prior_dups long, keep int, batch_no long"
+        rows = (
+            spark.read.parquet(_os.path.join(work, "decisions"))
+            .select(
+                "doc_id",
+                "n_prior_dups",
+                "keep",
+                F.col("epoch").cast("long").alias("batch_no"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @register("dedup_simhash_pairs", oracle=_SIMHASH_ORACLE)

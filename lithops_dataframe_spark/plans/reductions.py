@@ -310,6 +310,7 @@ _SPEARMAN_ORACLE = """
         SELECT event_type, event_id, ts,
                (FLOOR(value * 100 + 0.5))::BIGINT AS cents
         FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
     ),
     rk AS (
         SELECT event_type,
@@ -322,10 +323,11 @@ _SPEARMAN_ORACLE = """
     SELECT event_type,
            COUNT(*)::BIGINT AS n,
            SUM((rv - rt) * (rv - rt))::BIGINT AS sum_d2,
-           ((2 * COUNT(*) * (COUNT(*) * COUNT(*) - 1)
-             - 6 * SUM((rv - rt) * (rv - rt))) * 1000
-            // (2 * COUNT(*) * (COUNT(*) * COUNT(*) - 1)))::BIGINT
-               AS rho_shifted_permille
+           (CASE WHEN COUNT(*) > 1 THEN
+               (2 * COUNT(*) * (COUNT(*) * COUNT(*) - 1)
+                - 6 * SUM((rv - rt) * (rv - rt))) * 1000
+               // (2 * COUNT(*) * (COUNT(*) * COUNT(*) - 1))
+            END)::BIGINT AS rho_shifted_permille
     FROM rk GROUP BY event_type
 """
 
@@ -344,12 +346,20 @@ def stat_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank ties cannot occur: both orderings tie-break on the unique
     event_id, so the oracle replay is bit-identical. Bound:
     2n³·1000 must fit BIGINT — holds to n ≈ 1.6M rows per group; at
-    100 TB partition the test per (series, day) before correlating."""
+    100 TB partition the test per (series, day) before correlating.
+    Single-row series (n=1): rho is undefined — n(n²−1)=0 — so both
+    engines emit NULL via an explicit CASE guard (ANSI div-by-zero
+    class, found by the r9 edge sweep). A point with NULL time or NULL
+    value has no rank in either ordering (and NULLS FIRST/LAST differs
+    between engines — the r8 class-2 divergence), so both sides filter
+    to fully-observed points before ranking."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql.window import Window
 
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    e = ev.select("event_type", "event_id", "ts", cents.alias("cents"))
+    e = ev.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_type", "event_id", "ts", cents.alias("cents"))
     wv = Window.partitionBy("event_type").orderBy("cents", "event_id")
     wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
     rk = e.select(
@@ -367,7 +377,9 @@ def stat_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_d2",
         F.expr(
-            "(2 * n * (n * n - 1) - 6 * sum_d2) * 1000 div (2 * n * (n * n - 1))"
+            "CASE WHEN n > 1 THEN "
+            "(2 * n * (n * n - 1) - 6 * sum_d2) * 1000 div (2 * n * (n * n - 1)) "
+            "END"
         )
         .cast("long")
         .alias("rho_shifted_permille"),

@@ -61,21 +61,23 @@ def query_names() -> list[str]:
 
 # The driver's correctness sweep checks the FIRST 50 entries of queries()
 # in dict order (round-1/2 evidence: CORRECTNESS_r0{1,2}.json are exactly
-# registry positions 1-50). Round-8 rotation (VERDICT r7 task 1 — finish
-# the rotation): slots 1-20 keep the 20 family anchors. Slots 21-50
-# promote 30 of the 32 remaining never-driver-gated registrations, in
-# the order already staged last round, leading with the
-# modified-or-stateful ones the verdict named (dq_ks_value_drift — r7's
-# only new code, now carrying the ADVICE-r7 NULL-ts fix —
-# events_lttb_downsample, sample_systematic_weighted,
-# mix_interleave_epoch, select_dsir_importance, join_scd2_pointintime,
-# scd_late_arriving_dim). Displaced r7 rows (all driver-green in
-# CORRECTNESS_r07.json) return to the previously-gated tail. The 51+
-# staged block is now exactly the r9 leftover batch: the 2 staged names
-# that didn't fit (events_ab_assignment, bpe_fertility_by_lang) plus the
-# 2 registry ghosts (scalar_json_events, scalar_map_funcs — VERDICT r7
-# task 3: superseded by the scalar_json_map_events anchor but given
-# their own driver rows in r9 so "never-gated" is zero-able).
+# registry positions 1-50). Round-9 rotation (VERDICT r8 task 2 — zero
+# the never-gated backlog): slots 1-20 keep the 20 family anchors.
+# Slots 21-27 promote the ENTIRE remaining never-driver-gated set — the
+# 3 round-8 additions first (stateful streaming dedup, feature re-rank,
+# epoch scheduling), then the 2 r8 rotation leftovers and the 2 registry
+# ghosts. After this round's sweep every registered query has a hard
+# green driver row (tools/rotation_audit.py verifies from the committed
+# CORRECTNESS_r*.json evidence). Slots 28-50 backfill with 23
+# previously-gated queries chosen for family breadth — deliberately
+# restoring driver presence to the five families waived during the
+# r4-r8 rotations (sampling, object ingest, decontamination,
+# arrow-batched python, stateful/custom streaming) — see
+# tests/test_registry_order.py::test_top50_covers_every_family, whose
+# waiver list shrinks to zero with this rotation. Displaced r8 rows
+# (all driver-green in CORRECTNESS_r08.json) return to the
+# previously-gated tail. There is no staged 51+ block anymore: the
+# never-gated backlog is exactly slots 21-27.
 PRIORITY: tuple[str, ...] = (
     # --- slots 1-20: kept family anchors (driver-green r2-r7) ---
     "q03_shipping_priority",
@@ -98,9 +100,43 @@ PRIORITY: tuple[str, ...] = (
     "text_hashed_tfidf",
     "mm_phash_neardup",
     "pipeline_clean_corpus",
-    # --- slots 21-50: the final first-contact rotation (never
-    # driver-gated before; dq_ks_value_drift also MODIFIED this round —
-    # ADVICE-r7 NULL-ts sample flag) ---
+    # --- slots 21-27: the last 7 never-driver-gated registrations
+    # (r8 additions first, then r8 leftovers + the 2 registry ghosts) ---
+    "stream_incremental_dedup",
+    "retrieval_rerank_features",
+    "mix_epoch_schedule",
+    "events_ab_assignment",
+    "bpe_fertility_by_lang",
+    "scalar_json_events",
+    "scalar_map_funcs",
+    # --- slots 28-50: previously-gated backfill, chosen for family
+    # breadth (restores driver rows to every family waived r4-r8) ---
+    "stream_counter_agg",
+    "retrieval_mmr_rerank",
+    "sample_k_per_stratum",
+    "decontaminate_ngram_overlap",
+    "pyds_bindir_source",
+    "stream_merge_upsert_sink",
+    "io_dpp_prune",
+    "classifier_lr_kfold",
+    "eval_classifier_auc",
+    "feat_quantile_normalize",
+    "join_asof_tolerance_attribution",
+    "dedup_incremental_batch",
+    "cf_part_cooccurrence_lift",
+    "graph_pagerank",
+    "sketch_kll_quantiles_by_type",
+    "udf_grouped_ols_trend",
+    "sql_recursive_cte",
+    "q01_pricing_summary",
+    "q18_large_volume_customers",
+    "events_funnel",
+    "win_cumsum_per_supplier",
+    "bpe_train_merges",
+    "emb_pq_encode",
+    # every name below is driver-green in an earlier round
+    # (CORRECTNESS_r01-r08); they remain covered by the local
+    # full-battery driver_sim run
     "dq_ks_value_drift",
     "events_lttb_downsample",
     "sample_systematic_weighted",
@@ -131,41 +167,16 @@ PRIORITY: tuple[str, ...] = (
     "dq_snapshot_diff",
     "split_temporal_cv_manifest",
     "sample_hash_per_group",
-    # --- 51+: the r9 staged batch — the 2 rotation leftovers, the 2
-    # registry ghosts (VERDICT r7 task 3: given driver rows instead of
-    # retirement), and the 3 round-8 additions (VERDICT r7 task 6
-    # north-star tail: streaming incremental dedup, cross-encoder-style
-    # feature re-rank, multi-epoch mixture scheduling) ---
-    "events_ab_assignment",
-    "bpe_fertility_by_lang",
-    "scalar_json_events",
-    "scalar_map_funcs",
-    "stream_incremental_dedup",
-    "retrieval_rerank_features",
-    "mix_epoch_schedule",
-    # every name below is driver-green in an earlier round
-    # (CORRECTNESS_r01-r07); they remain covered by the local
-    # full-battery driver_sim run
-    "stream_counter_agg",
-    "stream_merge_upsert_sink",
     "stream_view_click_full_outer",
     "stream_enriched_segment_windows",
     "stream_window_topk_users",
-    "retrieval_mmr_rerank",
     "dedup_duplicate_spans",
-    "classifier_lr_kfold",
     "classifier_lr_score_corpus",
     "eval_auc_by_source",
-    "eval_classifier_auc",
     "eval_calibration_bins",
-    "feat_quantile_normalize",
-    "io_dpp_prune",
-    "join_asof_tolerance_attribution",
-    "dedup_incremental_batch",
     "dedup_jaccard_prefix_filter",
     "dedup_containment_pairs",
     "dedup_chunk_keep_first",
-    "cf_part_cooccurrence_lift",
     "cf_negative_sampling",
     "decontaminate_semantic",
     "events_coverage_report",
@@ -179,8 +190,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cdc_chunks",
     "emb_pca_power_iteration",
     "bpe_encode_token_stats",
-    "udf_grouped_ols_trend",
-    "graph_pagerank",
     "io_merge_upsert_partitioned",
     "stream_view_click_left_outer",
     "q04_priority_with_late_lines",
@@ -207,11 +216,9 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest_mark",
     "emb_semantic_dedup_keep",
     "sketch_theta_overlap_estimate",
-    "sketch_kll_quantiles_by_type",
     "rollup_sketch_hll_daily",
     "pyds_pushdown_source",
     "udf_cogroup_reconcile",
-    "bpe_train_merges",
     "classifier_lr_train",
     "join_interval_overlap_windows",
     "mm_wav_spectral_features",
@@ -247,7 +254,6 @@ PRIORITY: tuple[str, ...] = (
     "events_retention_cohorts",
     "events_sessionize_gap",
     "pyds_synthetic_source",
-    "pyds_bindir_source",
     "stream_pyds_counter_source",
     "stream_pyds_jsonl_sink",
     "scalar_variant_props",
@@ -255,9 +261,7 @@ PRIORITY: tuple[str, ...] = (
     "io_optimize_compact_zorder",
     "text_bm25_search",
     "scd2_customer_dim",
-    "sql_recursive_cte",
     "dq_constraint_suite",
-    "emb_pq_encode",
     "events_ewma_user_value",
     "sim_adc_topk_pq",
     "sim_ivfpq_topk",
@@ -268,8 +272,6 @@ PRIORITY: tuple[str, ...] = (
     "red_sum_axis1",
     "dedup_fuzzy_levenshtein_pairs",
     "chunk_documents_overlap",
-    "decontaminate_ngram_overlap",
-    "sample_k_per_stratum",
     "stream_stateful_running_totals",
     "mm_binaryfile_source",
     "udf_map_in_arrow",
@@ -284,16 +286,12 @@ PRIORITY: tuple[str, ...] = (
     "join_full_outer_nation_coverage",
     "join_theta_price_band",
     "win_lag_lead_daily_revenue",
-    "win_cumsum_per_supplier",
     "frame_apply_axis1",
     "frame_map_partitions",
     "frame_describe_approx",
     "io_compact_small_files",
-    "events_funnel",
     "rollup_continuous_aggregate",
     "q02_min_cost_supplier",
-    "q18_large_volume_customers",
-    "q01_pricing_summary",
     "q05_revenue_by_nation",
     "q06_forecast_revenue",
     "q09_product_type_profit",

@@ -230,9 +230,13 @@ def _hybrid_rrf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
-            (
+            # zero-norm guard (r9 edge sweep): NULL sim ranks LAST on both
+            # engines (Spark desc / DuckDB default are both NULLS LAST),
+            # so the rank-based RRF arithmetic downstream stays identical
+            F.when(
+                F.col("q_nrm") * F.col("e_nrm") > 0,
                 S.dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("e_nrm"))
+                / (F.col("q_nrm") * F.col("e_nrm")),
             ).alias("sim"),
         )
     )
@@ -386,8 +390,15 @@ def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
             F.coalesce(
                 F.floor(
-                    S.dot(F.col("q_emb"), F.col("d_emb"))
-                    / (F.col("q_nrm") * F.col("e_nrm"))
+                    # ANSI guard (ADVICE r8): a zero-norm query or candidate
+                    # embedding must yield NULL→0 like the oracle's NULLIF,
+                    # not a DIVIDE_BY_ZERO error (same class as the r8 fix
+                    # in similarity.py brute_force_topk).
+                    F.when(
+                        F.col("q_nrm") * F.col("e_nrm") > 0,
+                        S.dot(F.col("q_emb"), F.col("d_emb"))
+                        / (F.col("q_nrm") * F.col("e_nrm")),
+                    )
                     * _COS_SCALE
                     + 0.5
                 ).cast("long"),
@@ -570,8 +581,11 @@ def _mmr_oracle() -> str:
     identical binary double — no decimal ROUND semantics anywhere) and
     λ=0.7 becomes the 7/3 decimicro weights, so the argmax and the
     output score replay bit-identically."""
-    from lithops_dataframe_spark.plans.similarity_q import _cos_sql
+    from lithops_dataframe_spark.plans.similarity_q import _cos_sql, _dot_sql
 
+    # norm predicate mirrors the Spark pool's sim IS NOT NULL filter: a
+    # zero-norm vector has no defined cosine and is excluded from the MMR
+    # pool on both engines (r9 edge sweep)
     sql = f"""
     WITH pool0 AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -582,6 +596,8 @@ def _mmr_oracle() -> str:
                             c.vec_id ASC) AS rk
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id < {_MMR_Q}
+          AND {_dot_sql('q.embedding', 'q.embedding')} > 0
+          AND {_dot_sql('c.embedding', 'c.embedding')} > 0
     ),
     pool AS (SELECT query_id, neighbor_id, sim_micro FROM pool0 WHERE rk <= {_MMR_POOL}),
     pp AS (
@@ -683,9 +699,18 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
+            # a zero-norm candidate has NO defined cosine to the anchor —
+            # it cannot participate in an MMR pool (the greedy's integer
+            # micros must be finite), so both engines exclude it (r9 edge
+            # sweep; oracle pool0 carries the matching norm predicate)
             "sim",
-            S.dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.when(
+                F.col("q_nrm") * F.col("c_nrm") > 0,
+                S.dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+            ),
         )
+        .filter(F.col("sim").isNotNull())
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_POOL)
         .select("query_id", "neighbor_id", micros(F.col("sim")).alias("sim_micro"))
@@ -711,8 +736,13 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sim",
-            S.dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.when(
+                F.col("q_nrm") * F.col("c_nrm") > 0,
+                S.dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+            ),
         )
+        .filter(F.col("sim").isNotNull())
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _MMR_POOL)
         .select("query_id", "neighbor_id")
@@ -745,9 +775,14 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "a",
             "b",
+            # pool members all have nonzero norms by construction (the
+            # pool filter above); the guard is defense in depth
             micros(
-                S.dot(F.col("emb_a"), F.col("emb_b"))
-                / (F.col("nrm_a") * F.col("nrm_b"))
+                F.when(
+                    F.col("nrm_a") * F.col("nrm_b") > 0,
+                    S.dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("nrm_a") * F.col("nrm_b")),
+                )
             ).alias("sim_micro"),
         )
     )
@@ -898,9 +933,12 @@ def retrieval_rbo_lex_vs_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("doc_id"),
-            (
+            # zero-norm guard (r9): NULL sim ranks last on both engines;
+            # the rank-based RBO weights downstream stay identical
+            F.when(
+                F.col("q_nrm") * F.col("e_nrm") > 0,
                 S.dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("e_nrm"))
+                / (F.col("q_nrm") * F.col("e_nrm")),
             ).alias("sim"),
         )
     )

@@ -710,8 +710,13 @@ def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "sim",
-            S.dot(F.col("q_emb"), F.col("c_emb"))
-            / (F.col("q_nrm") * F.col("c_nrm")),
+            # zero-norm guard (r9 edge sweep): NULL sim, ranked last on
+            # both engines (Spark desc / DuckDB are both NULLS LAST)
+            F.when(
+                F.col("q_nrm") * F.col("c_nrm") > 0,
+                S.dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+            ),
         )
     )
     from pyspark.sql import Window
@@ -806,8 +811,13 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     ).withColumn("e_nrm", S.norm(F.col("embedding")))
     cond = (
-        S.dot(F.col("q_emb"), F.col("embedding"))
-        / (F.col("q_nrm") * F.col("e_nrm"))
+        # zero-norm guard (r9): NULL cosine fails the >= predicate on
+        # both engines, so an undefined-similarity row never matches
+        F.when(
+            F.col("q_nrm") * F.col("e_nrm") > 0,
+            S.dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("e_nrm")),
+        )
         >= _DECON_T
     )
     removed = (

@@ -108,10 +108,14 @@ _MERGE_SINK_ORACLE = """
     even AS (SELECT user_id, COUNT(*) AS n, SUM(c)::BIGINT AS cents
              FROM ev WHERE event_id % 2 = 0 GROUP BY 1)
     SELECT COALESCE(o.user_id, e.user_id) AS user_id,
-           COALESCE(o.n, e.n) AS n_events,
-           COALESCE(o.cents, e.cents) AS cents
+           CASE WHEN o.user_id IS NOT NULL THEN o.n ELSE e.n END AS n_events,
+           CASE WHEN o.user_id IS NOT NULL THEN o.cents ELSE e.cents END AS cents
     FROM odd o FULL JOIN even e ON e.user_id = o.user_id
 """
+# Oracle fixed r9: last-batch-wins replaces the WHOLE row — the previous
+# per-column COALESCE(o.cents, e.cents) wrongly resurrected the even-batch
+# cents for a user whose odd-batch sum is NULL (all-NULL values), mixing
+# two epochs in one row. Found by the r9 edge sweep.
 
 
 @register("stream_merge_upsert_sink", oracle=_MERGE_SINK_ORACLE)

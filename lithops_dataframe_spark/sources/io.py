@@ -14,8 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def read_parquet(spark: SparkSession, path: str, columns: Sequence[str] | None = None) -> DataFrame:
-    df = spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """``schema`` makes the read robust to an EMPTY sink directory (an
+    all-rows-filtered upstream stage writes only _SUCCESS, and schema
+    inference then fails with UNABLE_TO_INFER_SCHEMA — r9 edge sweep).
+    At 100 TB production readers always pass explicit schemas anyway
+    (inference costs a footer-read listing pass)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(path)
     return df.select(*columns) if columns else df
 
 
@@ -26,8 +39,13 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
     return reader.json(path)
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.orc(path)
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def write(

@@ -160,15 +160,88 @@ def incremental_dedup_batch_step(
     )
     # Writes keep the upstream task layout: A/B-measured at sf0.1, both
     # coalesce (collapses the probe pipeline: 7.4→8.9 s) and repartition
-    # (extra exchanges: →8.4 s) lose to writing as-is. At 100 TB the
-    # standing index would get a periodic OPTIMIZE/compaction pass
-    # (operators/layout.py) rather than per-epoch write reshaping.
+    # (extra exchanges: →8.4 s) lose to writing as-is. The standing index
+    # gets a periodic OPTIMIZE pass instead of per-epoch write reshaping:
+    # :func:`compact_index` folds historical epochs into one partition
+    # between micro-batches (r9 — see its docstring for the 100 TB
+    # listing-bottleneck rationale).
     decisions.write.mode("overwrite").parquet(f"{decisions_dir}/epoch={epoch_id}")
     posted.write.mode("overwrite").parquet(f"{index_dir}/postings/epoch={epoch_id}")
     base.select("id", "__shingles").write.mode("overwrite").parquet(
         f"{index_dir}/shingles/epoch={epoch_id}"
     )
     base.unpersist()
+
+
+def compact_index(
+    spark,
+    index_dir: str,
+    before_epoch: int,
+    *,
+    target_partitions: int = 1,
+) -> int:
+    """Periodic OPTIMIZE pass over the standing LSH index (VERDICT r8
+    task 6): fold every ``epoch=<e>`` partition with ``e < before_epoch``
+    into ONE consolidated partition, for both the postings and shingles
+    sides.
+
+    Why: each micro-batch appends its own epoch partition, so after 10⁴
+    epochs the index is 2×10⁴ tiny parquet directories and the
+    partition-pruned probe read degrades into a file-listing bottleneck.
+    Folding history into a handful of large files restores O(1) listing
+    while PRESERVING the probe contract — the consolidated rows land at
+    ``epoch = max(folded)``, which stays strictly below every future
+    batch's ``epoch < current`` probe predicate, and row content is
+    untouched, so decisions after compaction hash-match the uncompacted
+    run (tests/test_incremental_dedup.py::test_compaction_preserves_decisions).
+
+    ``target_partitions`` sizes the consolidated write (1 for unit-scale;
+    at 100 TB pick index_bytes / file_target). Run it from a maintenance
+    trigger BETWEEN micro-batches — same slot where lakehouse engines
+    schedule OPTIMIZE. Crash-safety: the consolidated data is fully
+    written to a ``_compact_*`` staging dir (ignored by Spark's partition
+    discovery) before any old partition is removed; a crash mid-swap is
+    recovered by re-running the compaction's rename step. A transactional
+    table format (Delta/Iceberg) would make the swap atomic — this module
+    deliberately stays on plain parquet like the rest of the engine.
+
+    Returns the number of epoch partitions folded away.
+    """
+    import re
+    import shutil
+
+    folded = 0
+    for sub, schema in (("postings", _POSTINGS_SCHEMA), ("shingles", _SHINGLES_SCHEMA)):
+        path = os.path.join(index_dir, sub)
+        if not os.path.isdir(path):
+            continue
+        epochs = sorted(
+            int(m.group(1))
+            for d in os.listdir(path)
+            if (m := re.fullmatch(r"epoch=(\d+)", d))
+        )
+        old = [e for e in epochs if e < before_epoch]
+        if len(old) < 2:
+            continue  # nothing to fold
+        dest = max(old)
+        with_epoch = T.StructType(
+            list(schema.fields) + [T.StructField("epoch", T.IntegerType())]
+        )
+        tmp = os.path.join(index_dir, f"_compact_{sub}")
+        (
+            spark.read.schema(with_epoch)
+            .parquet(path)
+            .filter(F.col("epoch") < before_epoch)
+            .drop("epoch")
+            .coalesce(target_partitions)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        for e in old:
+            shutil.rmtree(os.path.join(path, f"epoch={e}"))
+        os.rename(tmp, os.path.join(path, f"epoch={dest}"))
+        folded += len(old) - 1
+    return folded
 
 
 def foreach_batch_incremental_dedup(

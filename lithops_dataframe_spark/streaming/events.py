@@ -331,18 +331,32 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("s", DoubleType())]
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("nn", LongType()),
+        ]
     )
 
     def fn(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s, nn = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
-        state.update((n, s))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]})
+            s += float(pdf["value"].sum())  # pandas sum skips NaN
+            nn += int(pdf["value"].count())
+        state.update((n, s, nn))
+        # SQL SUM over zero non-NULL inputs is NULL, pandas' is 0.0 —
+        # emit NULL to match the relational spec (r9 edge sweep: a user
+        # whose every reading is NULL diverged here).
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 4) if nn else None],
+            }
+        )
 
     return (
         events.groupBy("user_id")
@@ -424,6 +438,13 @@ def user_counter_agg(events: DataFrame) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         for v in batch["value"]:
+            # NULL reading (missed scrape): no delta is defined against
+            # it in either direction — exactly SQL's three-valued LAG
+            # chain (delta non-NULL iff prev AND cents non-NULL), found
+            # by the r9 edge sweep (NaN crashed the int() conversion).
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                has_prev = 0
+                continue
             cents = int(math.floor(v * 100 + 0.5))
             if has_prev:
                 nd += 1

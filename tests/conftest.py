@@ -29,6 +29,14 @@ def sf_dir() -> str:
 
 def make_duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # DuckDB 1.0.0's MULTITHREADED window operator nondeterministically
+    # splits a tiny window partition across hash groups (two rows can both
+    # get row_number()=1, ~25% of runs on a 16-row input) — the root cause
+    # of the VERDICT-r8 "order-dependent" battery flake on
+    # test_edge_matches_oracle[events_ohlc_bars]. Single-threaded DuckDB
+    # computes the same (correct) answers deterministically; the driver's
+    # own multithreaded connection stays exercised via tools/driver_sim.py.
+    con.execute("SET threads=1")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
     return con

@@ -172,12 +172,14 @@ def _embeddings() -> pd.DataFrame:
         vec(lambda i: 0.25),  # uniform
         vec(lambda i: ((i * 37 + 11) % 101 - 50) / 50.0),  # deterministic mix
         vec(lambda i: 1.0 if i >= 32 else 0.0),  # half-support
+        vec(lambda i: 0.0),  # zero-norm (r9): cosine undefined — the ANSI
+        # div-by-zero class; every cosine site must NULL-guard, not crash
     ]
     return pd.DataFrame(
         {
-            "vec_id": [0, 1, 2, 3, 4, 5],
+            "vec_id": [0, 1, 2, 3, 4, 5, 6],
             "embedding": vecs,
-            "label": pd.array([0, 0, 1, 1, 2, 3], dtype="int32"),
+            "label": pd.array([0, 0, 1, 1, 2, 3, 4], dtype="int32"),
         }
     )
 

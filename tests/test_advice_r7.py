@@ -55,6 +55,7 @@ def test_ks_null_ts_matches_oracle(spark, tmp_path):
 
     d = _edge_events_dir(tmp_path)
     con = duckdb.connect()
+    con.execute("SET threads=1")  # DuckDB 1.0.0 parallel-window race, see conftest.make_duck
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
     )

@@ -263,7 +263,68 @@ EDGE_SWEEP = [
     "udf_cogroup_reconcile",
     "text_bigram_lm_quality",
     "stream_session_windows",
+    # batch 5 (r9, VERDICT r8 task 5): the final 41 names — the sweep now
+    # covers the ENTIRE registry (asserted by test_edge_sweep_covers_whole_
+    # registry below), so there is no exclusion list to maintain. Probing
+    # these found 6 real defects: stat_spearman_trend (ANSI div-by-zero on
+    # an n=1 series), stream_counter_agg (NaN crash on a NULL reading),
+    # stream_stateful_running_totals (pandas 0.0 vs SQL NULL sum),
+    # stream_merge_upsert_sink (oracle mixed two epochs per-column),
+    # io_sinks_roundtrip (empty-sink schema inference), and
+    # mm_binaryfile_source (zero-byte objects vanish in binaryFile).
+    "classifier_lr_kfold",
+    "decontaminate_semantic",
+    "dedup_ensemble_agreement",
+    "emb_pca_power_iteration",
+    "events_seasonal_decompose",
+    "io_compact_small_files",
+    "io_csv_corrupt_audit",
+    "io_dpp_prune",
+    "io_merge_upsert_partitioned",
+    "io_optimize_compact_zorder",
+    "io_schema_evolution",
+    "io_sinks_roundtrip",
+    "io_zorder_roundtrip",
+    "join_bucketed_colocated",
+    "kmeans_cells",
+    "mm_binaryfile_source",
+    "mm_codec_jpeg_roundtrip",
+    "mm_codec_pixel_stats",
+    "mm_codec_probe",
+    "mm_codec_resize_real",
+    "mm_codec_wav_stats",
+    "mm_decode_media",
+    "mm_frame_sample",
+    "mm_media_features",
+    "mm_phash_neardup",
+    "mm_resize_images",
+    "mm_wav_spectral_features",
+    "pyds_bindir_source",
+    "pyds_pushdown_source",
+    "pyds_synthetic_source",
+    "retrieval_mmr_rerank",
+    "sim_adc_topk_pq",
+    "sim_cosine_topk_ivf",
+    "sim_ivfpq_topk",
+    "stat_chi2_independence",
+    "stat_spearman_trend",
+    "stream_counter_agg",
+    "stream_merge_upsert_sink",
+    "stream_pyds_counter_source",
+    "stream_pyds_jsonl_sink",
+    "stream_stateful_running_totals",
 ]
+
+
+def test_edge_sweep_covers_whole_registry():
+    """EDGE_SWEEP must equal the full registry — no silent exclusions.
+    VERDICT r8 task 5 asked for a pinned exclusion list with reasons; the
+    r9 probe showed every 'excluded' query actually runs on the fixture
+    (and 6 of the 41 carried real defects), so the honest partition is
+    'everything', enforced here."""
+    assert sorted(EDGE_SWEEP) == sorted(QUERIES), (
+        set(QUERIES) ^ set(EDGE_SWEEP)
+    )
 
 
 @pytest.fixture(scope="module")
@@ -274,6 +335,11 @@ def edge_dir(tmp_path_factory) -> str:
 @pytest.fixture(scope="module")
 def edge_duck(edge_dir):
     con = duckdb.connect()
+    # threads=1: the micro-fixture is exactly the input size where DuckDB
+    # 1.0.0's parallel window operator races tiny partitions into separate
+    # hash groups (see tests/conftest.py make_duck for the full account of
+    # the r8 battery flake this caused on events_ohlc_bars).
+    con.execute("SET threads=1")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{edge_dir}/{t}.parquet')"

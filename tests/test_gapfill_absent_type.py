@@ -27,6 +27,7 @@ def test_gapfill_emits_full_gap_series_for_absent_type(spark, tmp_path):
     assert all(r["gap_filled"] == 1 and r["n_events"] == 0 for r in signup)
 
     con = duckdb.connect()
+    con.execute("SET threads=1")  # DuckDB 1.0.0 parallel-window race, see conftest.make_duck
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{sf_dir}/events.parquet/*.parquet')"

@@ -66,50 +66,41 @@ def test_top50_covers_every_family():
             # round trip through the CSV sink+source
             "io_csv_corrupt_audit",
         },
-        # "arrow-batched python" waived r8 — see `waived` below
+        "arrow-batched python": {
+            "retrieval_mmr_rerank",
+            "udf_map_in_arrow",
+            "udf_cogroup_reconcile",
+            "udf_grouped_ols_trend",
+        },
         "udtf": {"udtf_long_token_index"},
         "streaming": {"stream_session_windows"},
-        # "stateful/custom streaming" waived r8 — see `waived` below
+        "stateful/custom streaming": {
+            "stream_counter_agg",
+            "stream_incremental_dedup",
+            "stream_stateful_running_totals",
+        },
         "dedup": {"dedup_minhash_lsh_pairs"},
         "ann": {"sim_cosine_topk_lsh"},
         "ann quantized": {"sim_cosine_topk_ivf", "sim_adc_topk_pq", "sim_ivfpq_topk"},
         "clustering": {"kmeans_cells"},
         "text": {"text_hashed_tfidf", "text_bm25_search"},
         "multimodal": {"mm_phash_neardup"},
-        # "multimodal/object ingest" waived r5 — see `waived` below
-        # "decontamination" waived r6 — see `waived` below
+        "multimodal/object ingest": {"pyds_bindir_source", "mm_binaryfile_source"},
+        "decontamination": {
+            "decontaminate_ngram_overlap",
+            "decontaminate_bloom_prefilter",
+            "decontaminate_semantic",
+        },
+        "sampling": {"sample_k_per_stratum", "sample_systematic_weighted"},
         "pipeline composition": {"pipeline_clean_corpus"},
     }
-    # Waivers: these families' slots yielded to first-ever driver rows
-    # this rotation; every waived candidate is already driver-green in an
-    # earlier round and stays in the 51+ block + local battery.
-    # - sampling: sample_k_per_stratum green in r03 (split_stratified_
-    #   rebalance — a sampling-family query — was in the r5 top-50).
-    # - object ingest: mm_binaryfile_source green r03, pyds_bindir_source
-    #   green r04.
-    # - decontamination: decontaminate_ngram_overlap green r03,
-    #   decontaminate_bloom_prefilter green r04, sketch_theta_overlap_
-    #   estimate green r05; all three slots yielded to the r6 rotation
-    #   that exhausts the never-gated tail (VERDICT r5 task 4).
-    # - arrow-batched python: every candidate has a driver row —
-    #   retrieval_mmr_rerank green r7 (first contact), udf_map_in_arrow /
-    #   udf_cogroup_reconcile / mm_codec_* green r3-r5; none of the r8
-    #   rotation's 30 staged queries uses the pandas path, so the family
-    #   yields its slots to first-ever rows this round only.
-    # - stateful/custom streaming: stream_counter_agg and
-    #   stream_view_click_full_outer green r7 (first contact),
-    #   stream_stateful_running_totals / stream_dedup_events /
-    #   stream_view_click_left_outer green r3-r6; plain streaming keeps
-    #   its anchor (stream_session_windows, slot 13).
-    waived = {
-        "sampling (r4 waiver, r3 driver-green)",
-        "multimodal/object ingest (r5 waiver, r3+r4 driver-green)",
-        "decontamination (r6 waiver, r3+r4+r5 driver-green)",
-        "arrow-batched python (r8 waiver, r3-r7 driver-green)",
-        "stateful/custom streaming (r8 waiver, r3-r7 driver-green)",
-    }
+    # No waivers remain: the r9 rotation's backfill slots (28-50) were
+    # chosen to restore driver presence to every family waived during the
+    # r4-r8 never-gated rotations (sampling, object ingest,
+    # decontamination, arrow-batched python, stateful/custom streaming),
+    # so the full family list is enforced again.
     missing = [fam for fam, cands in families.items() if not (cands & top)]
-    assert not missing, f"top-50 no longer covers families: {missing} (waived: {waived})"
+    assert not missing, f"top-50 no longer covers families: {missing}"
 
 
 def test_every_query_has_oracle():

@@ -111,3 +111,55 @@ def test_single_batch_equals_batch_operator(spark, dirs):
         ).collect()
     }
     assert out == batch == {0: (0, 1), 1: (1, 0), 2: (0, 1)}
+
+
+def test_compaction_preserves_decisions(spark, dirs, tmp_path):
+    """VERDICT r8 task 6: fold epochs < N into one consolidated partition
+    mid-stream; later batches must produce decisions that hash-match the
+    uncompacted run, and the folded history must really be one partition
+    (the 100 TB listing-bottleneck fix at streaming/dedup.py:161-165)."""
+    import os
+
+    from lithops_dataframe_spark.streaming.dedup import compact_index
+
+    batches = [
+        [(0, _NEAR_A)],
+        [(10, _UNIQUE)],
+        [(20, _NEAR_A2)],  # near-dups doc 0 (inside the compacted range)
+        [(30, _NEAR_A)],   # exact dup of doc 0 — must still match post-fold
+    ]
+    index_dir, decisions_dir = dirs
+    baseline = _run_epochs(spark, batches, index_dir, decisions_dir)
+
+    c_index = str(tmp_path / "c_index")
+    c_decisions = str(tmp_path / "c_decisions")
+    for epoch, rows in enumerate(batches):
+        if epoch == 2:  # maintenance slot between micro-batches
+            folded = compact_index(spark, c_index, before_epoch=2)
+            assert folded == 2, "both sides must fold epochs {0,1} into one"
+        incremental_dedup_batch_step(
+            _docs(spark, rows),
+            epoch,
+            c_index,
+            c_decisions,
+            text_col="text",
+            id_col="doc_id",
+        )
+    compacted = {
+        r["doc_id"]: (r["n_prior_dups"], r["keep"])
+        for r in spark.read.parquet(c_decisions).collect()
+    }
+    assert compacted == baseline
+    # physical layout: epochs {0,1} folded into epoch=1; {2,3} appended after
+    for sub in ("postings", "shingles"):
+        eps = sorted(
+            d for d in os.listdir(os.path.join(c_index, sub)) if d.startswith("epoch=")
+        )
+        assert eps == ["epoch=1", "epoch=2", "epoch=3"], (sub, eps)
+    # and a second compaction folds everything below the next batch id
+    assert compact_index(spark, c_index, before_epoch=4) == 4
+    for sub in ("postings", "shingles"):
+        eps = sorted(
+            d for d in os.listdir(os.path.join(c_index, sub)) if d.startswith("epoch=")
+        )
+        assert eps == ["epoch=3"], (sub, eps)
