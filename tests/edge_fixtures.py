@@ -54,6 +54,14 @@ def _events() -> pd.DataFrame:
         # signup far in the past (decay clamp territory) + one recent
         (14, _TS(2022, 6, 1, 0, 0, 0), 7, "signup", 100.0, '{"k": 13}'),
         (15, _TS(2024, 1, 20, 23, 59, 59), 7, "purchase", 8.885, '{"k": 14}'),
+        # NEGATIVE values (refunds, r9): exercise sign-sensitive paths —
+        # half-up cents on negatives (FLOOR(x*100+0.5) is sign-uniform on
+        # both engines), counter resets below zero, and any latent
+        # truncate-vs-floor integer division (Spark `div` truncates toward
+        # zero, DuckDB `//` floors — they differ on negative operands).
+        # -0.005 lands exactly on a rounding boundary.
+        (16, _TS(2024, 1, 17, 14, 0, 0), 5, "purchase", -19.995, '{"k": 15}'),
+        (17, _TS(2024, 1, 17, 15, 0, 0), 7, "purchase", -0.005, '{"k": 16}'),
     ]
     return pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
