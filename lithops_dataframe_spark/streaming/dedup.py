@@ -256,11 +256,27 @@ def foreach_batch_incremental_dedup(
     bands: int = 4,
     threshold: float = 0.6,
     available_now: bool = True,
+    compact_every: int | None = None,
+    compact_target_partitions: int = 1,
 ) -> StreamingQuery:
     """Wire :func:`incremental_dedup_batch_step` into a foreachBatch
-    streaming query (availableNow replay by default)."""
+    streaming query (availableNow replay by default).
+
+    ``compact_every=N`` runs :func:`compact_index` BEFORE every N-th
+    epoch's probe (the between-micro-batches maintenance slot), folding
+    all earlier epochs into one partition so the index's directory count
+    stays O(N) instead of O(total epochs) — the 100 TB listing-bottleneck
+    control. Decisions are unchanged by construction (the compaction test
+    hash-matches a compacted vs uncompacted run)."""
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if compact_every and epoch_id > 0 and epoch_id % compact_every == 0:
+            compact_index(
+                batch_df.sparkSession,
+                index_dir,
+                before_epoch=int(epoch_id),
+                target_partitions=compact_target_partitions,
+            )
         incremental_dedup_batch_step(
             batch_df,
             epoch_id,

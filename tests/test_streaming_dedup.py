@@ -163,3 +163,65 @@ def test_compaction_preserves_decisions(spark, dirs, tmp_path):
             d for d in os.listdir(os.path.join(c_index, sub)) if d.startswith("epoch=")
         )
         assert eps == ["epoch=3"], (sub, eps)
+
+
+def test_compact_every_wired_into_stream(spark, dirs, tmp_path):
+    """compact_every=2 through the REAL foreachBatch wiring: a 4-batch
+    availableNow replay must produce the same decisions as the
+    step-driven baseline while compaction runs in the maintenance slot
+    before epochs 2 (folding {0,1}); the final index holds at most
+    compact_every + 1 epoch partitions per side."""
+    import os
+    import time
+
+    from lithops_dataframe_spark.streaming.dedup import (
+        foreach_batch_incremental_dedup,
+    )
+
+    batches = [
+        [(0, _NEAR_A)],
+        [(10, _UNIQUE)],
+        [(20, _NEAR_A2)],
+        [(30, _NEAR_A)],
+    ]
+    index_dir, decisions_dir = dirs
+    baseline = _run_epochs(spark, batches, index_dir, decisions_dir)
+
+    replay = tmp_path / "replay"
+    replay.mkdir()
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = str(replay / f"b{i}")
+        _docs(spark, rows).coalesce(1).write.mode("overwrite").parquet(f)
+        part = [n for n in os.listdir(f) if n.endswith(".parquet")][0]
+        dst = str(replay / f"b{i}.parquet")
+        os.rename(os.path.join(f, part), dst)
+        os.utime(dst, (now - 60 * (len(batches) - i),) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(replay) + "/*.parquet")
+    )
+    s_index = str(tmp_path / "s_index")
+    s_decisions = str(tmp_path / "s_decisions")
+    q = foreach_batch_incremental_dedup(
+        stream,
+        s_index,
+        s_decisions,
+        str(tmp_path / "ckpt"),
+        text_col="text",
+        id_col="doc_id",
+        compact_every=2,
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+    streamed = {
+        r["doc_id"]: (r["n_prior_dups"], r["keep"])
+        for r in spark.read.parquet(s_decisions).collect()
+    }
+    assert streamed == baseline
+    for sub in ("postings", "shingles"):
+        eps = sorted(
+            d for d in os.listdir(os.path.join(s_index, sub)) if d.startswith("epoch=")
+        )
+        # epochs {0,1} folded into epoch=1 before epoch 2 ran; 2 and 3 appended
+        assert eps == ["epoch=1", "epoch=2", "epoch=3"], (sub, eps)
