@@ -199,6 +199,16 @@ R8_ADDITIONS: list[str] = [
     "mix_epoch_schedule",
 ]
 
+R9_ADDITIONS: list[str] = [
+    "sample_reservoir_weighted",
+    "pack_balanced_shards",
+    "select_token_budget_greedy",
+    "pref_bradley_terry",
+    "events_changepoint_cusum",
+    "stream_incremental_reservoir",
+    "text_ngram_novelty",
+]
+
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent
 # log10(t_10x / t_base) flags any family whose runtime grows faster than
@@ -214,13 +224,21 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     # where the 2/N per-lineage selectivity shrinks the orders/lineitem
     # shuffles and the old plan's full fact join dominates. The curve
     # records the exponent so that claim stays a number.
-    "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers", "q07_nation_volume"],
+    "joins": ["q03_shipping_priority", "q05_revenue_by_nation", "q09_product_type_profit", "q18_large_volume_customers", "q07_nation_volume",
+              # r9: order-local duel self-join -> brand-square model agg
+              "pref_bradley_terry"],
     "window": ["q02_min_cost_supplier", "pack_training_sequences", "pack_concat_chunks",
-               "pack_length_buckets"],
-    "text": ["text_quality_by_source", "text_hashed_tfidf"],
+               # r9: two-phase global rank + per-source budget window
+               "pack_length_buckets", "pack_balanced_shards",
+               "select_token_budget_greedy"],
+    "text": ["text_quality_by_source", "text_hashed_tfidf",
+             # r9: postings-shaped explode -> first-owner agg -> join-back
+             "text_ngram_novelty"],
     "streaming": ["stream_session_windows", "stream_window_topk_users"],
     "ann": ["sim_cosine_topk_lsh"],
-    "narrow": ["emb_int8_quantize"],
+    "narrow": ["emb_int8_quantize",
+               # r9: narrow hash+log map -> TakeOrderedAndProject top-k
+               "sample_reservoir_weighted"],
     # round-3 families: bloom build+probe (distinct eval set is constant
     # across copies, postings scale linearly), corpus-join LM scoring,
     # and windowed sessionization (10x users, same per-user depth)
@@ -236,6 +254,8 @@ SCALE_FAMILIES: dict[str, list[str]] = {
         "events_ohlc_bars",
         "events_decayed_value",
         "events_coverage_report",
+        # r9: daily hash agg + per-series prefix windows + argmax
+        "events_changepoint_cusum",
     ],
     # ADC serving: corpus codes scale linearly, query tables are constant.
     # (graph_triangle_count is excluded like the pair ops: the 10x fixture
@@ -498,11 +518,11 @@ def main() -> None:
     # are reused — only code paths are warmed.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS:
+        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS:
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 
-    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS if n in QUERIES]
+    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]
     # Best-of-2 per query, as two INTERLEAVED full passes: steady-state
     # engine throughput is the metric, and a single timing is exposed to
@@ -529,6 +549,7 @@ def main() -> None:
     r6 = {n: t for n, t in timings.items() if n in set(R6_ADDITIONS)}
     r7 = {n: t for n, t in timings.items() if n in set(R7_ADDITIONS)}
     r8 = {n: t for n, t in timings.items() if n in set(R8_ADDITIONS)}
+    r9 = {n: t for n, t in timings.items() if n in set(R9_ADDITIONS)}
     total = round(sum(head.values()), 4)
     # The driver captures only the LAST ~2000 bytes of stdout and parses
     # the final line as JSON (BENCH_r03 lesson: a line that embeds every
@@ -554,6 +575,7 @@ def main() -> None:
         "r6_additions_total": round(sum(r6.values()), 4),
         "r7_additions_total": round(sum(r7.values()), 4),
         "r8_additions_total": round(sum(r8.values()), 4),
+        "r9_additions_total": round(sum(r9.values()), 4),
         "detail": "BENCH_FULL.json",
     }
     full = dict(out)

@@ -81,6 +81,61 @@ def systematic_weighted_sample(
     )
 
 
+#: 2^52 — the md5-prefix uniform's denominator. 13 hex digits = 52 bits,
+#: so (h+1)/2^52 ∈ (0, 1] is EXACT in a double (every integer ≤ 2^52 is
+#: representable), and both engines start the log from the identical
+#: float. A 15-digit/60-bit prefix would NOT be exact.
+_U52 = float(1 << 52)
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    *,
+    k: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One-pass weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, Inf. Process. Lett. 97(5), 2006): each row draws a deterministic
+    uniform u from its id's md5 prefix and keeps key = −ln(u)/w; the k
+    SMALLEST keys are the sample (equivalently the largest u^(1/w) — the
+    classic reservoir order statistic). P(i in sample) is exactly the
+    weighted-without-replacement inclusion probability.
+
+    Determinism/exactness: u = (h+1)/2^52 is an exact double from a pure
+    md5 hash, so both engines transform the identical float; the key is
+    rounded to 9 decimals (libm ln may differ in the last ulp between
+    engines) and ties — including rounding-induced ones — break on id, so
+    the selected SET is engine-stable.
+
+    Scale shape: a narrow map (hash + log) followed by ``ORDER BY key
+    LIMIT k`` — Spark plans TakeOrderedAndProject (per-partition top-k,
+    then a k-row merge on one reducer), never a global sort. At 100 TB
+    this is the scan plus a k-row shuffle; it is THE distributed form of
+    reservoir sampling (the sequential reservoir's heap is replaced by
+    per-partition top-k + merge, same order statistics).
+
+    Rows with non-positive or NULL weight are never picked (zero-weight
+    rows have u^(1/w) → degenerate; excluded by contract, as in
+    :func:`systematic_weighted_sample`).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("long").alias("w"),
+        *extra_cols,
+    ).filter(F.col("w") > 0)
+    h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 13), 16, 10).cast(
+        "long"
+    )
+    key = F.round(-F.log((h + F.lit(1)) / F.lit(_U52)) / F.col("w"), 9)
+    return (
+        base.withColumn("res_key", key)
+        .orderBy(F.col("res_key").asc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def weighted_interleave_epoch(
     df: DataFrame,
     source_col: str,

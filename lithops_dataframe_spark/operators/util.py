@@ -61,3 +61,40 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if splits is not None and splits < target:
         return df.repartition(target)
     return df
+
+
+def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFrame:
+    """Exact global ``row_number`` over ``order_cols`` WITHOUT a
+    single-task global window — the two-phase prefix pattern shared with
+    :func:`lithops_dataframe_spark.operators.sampling.systematic_weighted_sample`:
+
+    1. ``repartitionByRange`` on the sort key (partition i holds a
+       contiguous key range ≤ partition i+1's range),
+    2. a per-partition ``row_number`` window keyed on
+       ``spark_partition_id`` (parallel across partitions),
+    3. one tiny carry frame — per-partition row counts, cumulated and
+       broadcast — patches the local ranks into global ones.
+
+    Two parallel shuffles total, no single-task stage. ``order_cols``
+    must be a deterministic total order (include a unique tiebreak
+    column) or the assignment is only rank-stable, not row-stable.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    part = df.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = part.withColumn("__rloc", F.row_number().over(wloc).cast("long"))
+    totals = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn"))
+    wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pn").over(wcum), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__rloc") + F.col("__off"))
+        .drop("__pid", "__rloc", "__off")
+    )

@@ -873,3 +873,105 @@ def events_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("coverage_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (per-series level-shift localization)
+# ---------------------------------------------------------------------------
+_CUSUM_ORACLE = """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+               SUM((FLOOR(value * 100 + 0.5))::BIGINT)::BIGINT AS cents
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type, date_trunc('day', ts)
+    ),
+    cum AS (
+        SELECT event_type, day, cents,
+               SUM(cents) OVER w AS prefix,
+               ROW_NUMBER() OVER w AS t,
+               SUM(cents) OVER (PARTITION BY event_type) AS total,
+               COUNT(*) OVER (PARTITION BY event_type) AS d
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    s AS (
+        SELECT event_type, day, d, total,
+               ABS(d * prefix - total * t)::BIGINT AS abs_s
+        FROM cum
+    )
+    SELECT event_type,
+           MAX(d)::BIGINT AS n_days,
+           MAX(total)::BIGINT AS total_cents,
+           first(day ORDER BY abs_s DESC, day ASC) AS change_day,
+           MAX(abs_s)::BIGINT AS max_abs_cusum
+    FROM s GROUP BY event_type
+"""
+
+
+@register("events_changepoint_cusum", oracle=_CUSUM_ORACLE)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization per event-type series: the day
+    where the cumulative deviation from the series mean peaks — argmax_t
+    |Σ_{≤t}(x − μ)| — the classic level-shift detector (Page 1954) every
+    metrics/drift pipeline runs after aggregation. EXACT integers
+    throughout: with daily cents c_t, D days and total T, the scaled
+    statistic S_t·D = D·prefix_t − T·t is BIGINT (μ = T/D never
+    materializes as a float), so there is no rounding anywhere and the
+    argmax is engine-stable (ties break to the earliest day).
+
+    Scale shape: one hash aggregate to daily grain (the only full-data
+    shuffle), then per-series partitioned windows over day counts (≤
+    days/series rows — never a global window), then a per-series argmax
+    via ``max_by`` on a (|S|, −t) struct key, which partial-aggregates
+    map-side. BIGINT headroom: D·prefix ≤ days × total cents — at 100 TB
+    per-series totals up to ~10^14 cents × 10^4 days still fit int64."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(w).alias("prefix"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("t"),
+        F.sum("cents").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("d"),
+    )
+    s = cum.select(
+        "event_type",
+        "day",
+        "d",
+        "total",
+        F.abs(F.col("d") * F.col("prefix") - F.col("total") * F.col("t"))
+        .cast("long")
+        .alias("abs_s"),
+        F.col("t"),
+    )
+    return s.groupBy("event_type").agg(
+        F.max("d").cast("long").alias("n_days"),
+        F.max("total").cast("long").alias("total_cents"),
+        F.max_by("day", F.struct(F.col("abs_s"), (-F.col("t")).alias("nt"))).alias(
+            "change_day"
+        ),
+        F.max("abs_s").cast("long").alias("max_abs_cusum"),
+    )

@@ -221,3 +221,157 @@ def cf_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("neg_key_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry preference aggregation (pairwise comparisons → strengths)
+# ---------------------------------------------------------------------------
+_BT_ITERS = 3
+
+def _bt_oracle() -> str:
+    """Unrolled MM iterations (Hunter 2004): p_i ← W_i / Σ_j g_ij/(p_i+p_j),
+    starting from p=1, with the same zero-strength guards as the Spark side."""
+    pair_src = """
+        SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice THEN pa.p_brand
+                    WHEN a.l_extendedprice < b.l_extendedprice THEN pb.p_brand
+                    WHEN a.l_partkey <= b.l_partkey THEN pa.p_brand
+                    ELSE pb.p_brand END AS brand_w,
+               CASE WHEN a.l_extendedprice > b.l_extendedprice THEN pb.p_brand
+                    WHEN a.l_extendedprice < b.l_extendedprice THEN pa.p_brand
+                    WHEN a.l_partkey <= b.l_partkey THEN pb.p_brand
+                    ELSE pa.p_brand END AS brand_l
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_linenumber < b.l_linenumber
+        JOIN part pa ON pa.p_partkey = a.l_partkey
+        JOIN part pb ON pb.p_partkey = b.l_partkey
+        WHERE pa.p_brand <> pb.p_brand
+    """
+    sql = f"""
+    WITH duels AS MATERIALIZED (
+        SELECT brand_w, brand_l, COUNT(*)::BIGINT AS n
+        FROM ({pair_src}) GROUP BY brand_w, brand_l
+    ),
+    games AS MATERIALIZED (
+        SELECT i, j, SUM(n)::BIGINT AS g FROM (
+            SELECT brand_w AS i, brand_l AS j, n FROM duels
+            UNION ALL
+            SELECT brand_l AS i, brand_w AS j, n FROM duels
+        ) GROUP BY i, j
+    ),
+    wins AS MATERIALIZED (
+        SELECT b.i AS brand,
+               COALESCE(w.wins, 0)::BIGINT AS wins,
+               b.total::BIGINT AS games
+        FROM (SELECT i, SUM(g) AS total FROM games GROUP BY i) b
+        LEFT JOIN (SELECT brand_w, SUM(n) AS wins FROM duels GROUP BY brand_w) w
+               ON w.brand_w = b.i
+    ),
+    it0 AS (SELECT brand, 1.0::DOUBLE AS p FROM wins)
+    """
+    prev = "it0"
+    for t in range(1, _BT_ITERS + 1):
+        sql += f""",
+    den{t} AS (
+        SELECT g.i AS brand,
+               SUM(CASE WHEN pi.p + pj.p > 0 THEN g.g / (pi.p + pj.p)
+                        ELSE 0 END) AS den
+        FROM games g
+        JOIN {prev} pi ON pi.brand = g.i
+        JOIN {prev} pj ON pj.brand = g.j
+        GROUP BY g.i
+    ),
+    it{t} AS (
+        SELECT w.brand,
+               CASE WHEN w.wins = 0 OR d.den <= 0 THEN 0.0::DOUBLE
+                    ELSE w.wins / d.den END AS p
+        FROM wins w JOIN den{t} d ON d.brand = w.brand
+    )"""
+        prev = f"it{t}"
+    sql += f"""
+    SELECT w.brand, w.games, w.wins, ROUND(p.p, 6) AS bt_score
+    FROM wins w JOIN {prev} p ON p.brand = w.brand
+    """
+    return sql
+
+
+@register("pref_bradley_terry", oracle=_bt_oracle())
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strength estimation from pairwise preferences — the
+    aggregation behind RLHF preference datasets and model-arena
+    leaderboards (pairwise "A beats B" events → per-item latent
+    strengths). Duels are derived deterministically from the fixture:
+    within each order, every lineitem pair is a comparison won by the
+    higher-priced part (price tie → lower partkey), aggregated to brand
+    level; 3 minorization-maximization iterations (Hunter 2004) of
+    p_i ← W_i / Σ_j g_ij/(p_i+p_j) from a unit start.
+
+    Scale shape: the duel self-join is key-local (within l_orderkey, ≤7
+    lines per order — bounded multiplicity) and collapses to a brand²
+    aggregate — the ONLY full-data work. The ≤items² duel matrix is
+    driver-sized model state (same contract as LR weights / k-means
+    centroids / quota tables), so the MM loop runs in exact driver-side
+    Python with a canonical (sorted) summation order — zero per-iteration
+    Spark stages, and the 100 TB cost is one scan + one shuffle.
+    Zero-win/zero-denominator guarded on both engines; only the final
+    score is a rounded double (the MM chain is smooth, so summation-order
+    noise vs the oracle stays ~1e-13 ≪ the 1e-6 grid)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .join(pt.alias("pa"), F.col("pa.p_partkey") == F.col("a.l_partkey"))
+        .join(pt.alias("pb"), F.col("pb.p_partkey") == F.col("b.l_partkey"))
+        .filter(F.col("pa.p_brand") != F.col("pb.p_brand"))
+    )
+    a_wins = (
+        F.when(F.col("a.l_extendedprice") > F.col("b.l_extendedprice"), True)
+        .when(F.col("a.l_extendedprice") < F.col("b.l_extendedprice"), False)
+        .otherwise(F.col("a.l_partkey") <= F.col("b.l_partkey"))
+    )
+    duels = pairs.select(
+        F.when(a_wins, F.col("pa.p_brand")).otherwise(F.col("pb.p_brand")).alias(
+            "brand_w"
+        ),
+        F.when(a_wins, F.col("pb.p_brand")).otherwise(F.col("pa.p_brand")).alias(
+            "brand_l"
+        ),
+    ).groupBy("brand_w", "brand_l").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    # ≤ brands² rows of model state → driver; MM in exact Python with a
+    # canonical iteration order (sorted brands / sorted opponents).
+    dtab = {(r["brand_w"], r["brand_l"]): int(r["n"]) for r in duels.collect()}
+    games: dict[tuple[str, str], int] = {}
+    wins: dict[str, int] = {}
+    for (w, l), n in dtab.items():
+        games[(w, l)] = games.get((w, l), 0) + n
+        games[(l, w)] = games.get((l, w), 0) + n
+        wins[w] = wins.get(w, 0) + n
+        wins.setdefault(l, 0)
+    brands = sorted(wins)
+    opp = {b: sorted(j for (i, j) in games if i == b) for b in brands}
+    total = {b: sum(games[(b, j)] for j in opp[b]) for b in brands}
+    p = {b: 1.0 for b in brands}
+    for _ in range(_BT_ITERS):
+        den = {
+            b: sum(
+                games[(b, j)] / (p[b] + p[j]) for j in opp[b] if p[b] + p[j] > 0
+            )
+            for b in brands
+        }
+        p = {
+            b: (0.0 if wins[b] == 0 or den[b] <= 0 else wins[b] / den[b])
+            for b in brands
+        }
+    return spark.createDataFrame(
+        [(b, total[b], wins[b], round(p[b], 6)) for b in brands],
+        "brand string, games long, wins long, bt_score double",
+    )

@@ -112,7 +112,10 @@ PRIORITY: tuple[str, ...] = (
     # --- slots 28-50: previously-gated backfill, chosen for family
     # breadth (restores driver rows to every family waived r4-r8) ---
     "stream_counter_agg",
-    "retrieval_mmr_rerank",
+    # r9 addition batch 2 (displaces retrieval_mmr_rerank — its
+    # arrow-batched-python family stays covered by udf_grouped_ols_trend
+    # below; mmr is driver-green D6)
+    "stream_incremental_reservoir",
     "sample_k_per_stratum",
     "decontaminate_ngram_overlap",
     "pyds_bindir_source",
@@ -123,18 +126,34 @@ PRIORITY: tuple[str, ...] = (
     "feat_quantile_normalize",
     "join_asof_tolerance_attribution",
     "dedup_incremental_batch",
-    "cf_part_cooccurrence_lift",
+    # r9 addition batch 2 (displaces cf_part_cooccurrence_lift, driver-
+    # green D5; no family constraint on that slot)
+    "text_ngram_novelty",
     "graph_pagerank",
     "sketch_kll_quantiles_by_type",
     "udf_grouped_ols_trend",
     "sql_recursive_cte",
     "q01_pricing_summary",
+    # --- slots 46-50: the five round-9 additions (first contact this
+    # round; pre-gated by driver-shaped sf0.01 runs). The five names
+    # they displace (q18_large_volume_customers, events_funnel,
+    # win_cumsum_per_supplier, bpe_train_merges, emb_pq_encode) are all
+    # driver-green D1-D7 and their families stay covered inside the
+    # top-50 (running-frame by the as-of carries in slots 4/21-family,
+    # TPC-H by q01/q03) ---
+    "sample_reservoir_weighted",
+    "pack_balanced_shards",
+    "select_token_budget_greedy",
+    "pref_bradley_terry",
+    "events_changepoint_cusum",
+    # every name below is driver-green in an earlier round
     "q18_large_volume_customers",
     "events_funnel",
     "win_cumsum_per_supplier",
     "bpe_train_merges",
     "emb_pq_encode",
-    # every name below is driver-green in an earlier round
+    "retrieval_mmr_rerank",
+    "cf_part_cooccurrence_lift",
     # (CORRECTNESS_r01-r08); they remain covered by the local
     # full-battery driver_sim run
     "dq_ks_value_drift",

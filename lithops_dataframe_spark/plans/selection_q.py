@@ -125,3 +125,75 @@ def sample_hash_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HSAMPLE_K)
         .select("source", "rank", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-greedy selection under a per-source token budget
+# ---------------------------------------------------------------------------
+_BUDGET_TOKENS = 20_000  # per-source token budget
+
+_BUDGET_ORACLE = f"""
+    WITH d AS (
+        SELECT source, doc_id,
+               len(string_split(text, ' '))::BIGINT AS t,
+               (1000 * len(list_distinct(string_split(text, ' ')))
+                    // len(string_split(text, ' ')))::BIGINT AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, t, score,
+               SUM(t) OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) - t AS start_off
+        FROM d
+    ),
+    sel AS (
+        SELECT * FROM ranked WHERE start_off < {_BUDGET_TOKENS}
+    )
+    SELECT source,
+           COUNT(*)::BIGINT AS n_selected,
+           SUM(t)::BIGINT AS sel_tokens,
+           MIN(score)::BIGINT AS min_score,
+           MAX(start_off + t)::BIGINT AS budget_used
+    FROM sel GROUP BY source
+"""
+
+
+@register("select_token_budget_greedy", oracle=_BUDGET_ORACLE)
+def select_token_budget_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped quality-greedy corpus selection: per source, rank
+    documents by an exact integer quality score (per-mille distinct-token
+    ratio — repetitive docs score low) and take them greedily until the
+    per-source token budget is exhausted (a document may start strictly
+    inside the budget; the last one may overhang — the standard greedy
+    knapsack relaxation). This is the "give me the best N-token slice of
+    each source" primitive of corpus curation; the audit reports how many
+    documents made the cut and the marginal (lowest admitted) quality.
+
+    Scale shape: score and token count are narrow maps; ONE running-sum
+    window per source (partitioned — never global); tiny final aggregate.
+    All-BIGINT arithmetic (integer per-mille score, integer token counts)
+    — bit-identical on any engine, no float ordering anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = F.split("text", " ")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(toks).cast("long").alias("t"),
+        (1000 * F.size(F.array_distinct(toks))).cast("long").alias("sc1000"),
+    ).withColumn("score", F.expr("sc1000 div t").cast("long"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = d.withColumn("start_off", F.sum("t").over(w) - F.col("t"))
+    sel = ranked.filter(F.col("start_off") < _BUDGET_TOKENS)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum("t").cast("long").alias("sel_tokens"),
+        F.min("score").cast("long").alias("min_score"),
+        F.max(F.col("start_off") + F.col("t")).cast("long").alias("budget_used"),
+    )

@@ -519,3 +519,98 @@ def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty scoring (marginal-diversity curriculum signal)
+# ---------------------------------------------------------------------------
+_NOVELTY_N = 3  # word trigrams
+
+_NOVELTY_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {T.ws_tokens_sql('text')} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - {_NOVELTY_N - 2}, 1)),
+                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+               ))) AS gram
+        FROM t
+    ),
+    own AS (
+        SELECT gram, MIN(doc_id) AS first_id FROM g GROUP BY gram
+    ),
+    per AS (
+        SELECT g.doc_id,
+               COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN o.first_id = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+                   AS n_novel
+        FROM g JOIN own o ON o.gram = g.gram
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+           COALESCE(p.n_novel, 0)::BIGINT AS n_novel,
+           CASE WHEN p.n_grams > 0 THEN p.n_novel * 1000 // p.n_grams
+                ELSE NULL END AS novelty_permille
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN per p ON p.doc_id = d.doc_id
+"""
+
+
+@register("text_ngram_novelty", oracle=_NOVELTY_ORACLE)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word trigrams that appear in NO earlier document (first-occurrence
+    order = doc_id order) — the marginal-diversity signal data-curation
+    pipelines use to order or down-weight redundant documents (a dup's
+    novelty is ~0, boilerplate scores low, fresh content high). All
+    BIGINT; docs too short for a trigram keep n_grams=0 and a NULL
+    ratio on both engines.
+
+    Scale shape: explode distinct trigrams (narrow map), ONE hash
+    aggregate for first-owners (min partial-aggregates map-side), one
+    hash join back on the gram key, one per-doc aggregate — the same
+    two-shuffle postings shape as the dedup family, linear in corpus
+    gram volume with no window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.ws_tokens(F.col("text"))
+    grams = F.when(
+        F.size(w) >= _NOVELTY_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _NOVELTY_N),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = ensure_parallelism(docs).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    own = g.groupBy("gram").agg(F.min("doc_id").alias("first_id"))
+    per = (
+        g.join(own, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_id") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("n_novel * 1000 div n_grams"),
+            )
+            .cast("long")
+            .alias("novelty_permille"),
+        )
+    )

@@ -828,3 +828,206 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A-ES weighted reservoir sample (one-pass distributed reservoir)
+# ---------------------------------------------------------------------------
+_RES_K = 100
+
+_RES_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, source, n_chars AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, w,
+           ROUND(-ln((h + 1) / 4503599627370496.0) / w, 9) AS res_key
+    FROM w
+    ORDER BY res_key ASC, doc_id ASC
+    LIMIT {_RES_K}
+"""
+
+
+@register("sample_reservoir_weighted", oracle=_RES_ORACLE)
+def sample_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): the k documents with the smallest −ln(u)/n_chars
+    where u is a deterministic md5-derived uniform — char-count-biased
+    sampling with exact without-replacement inclusion probabilities,
+    the streaming/distributed counterpart of sample_systematic_weighted
+    (which samples WITH replacement on the cumulative line).
+
+    Scale shape (operators/sampling.py:weighted_reservoir_sample): narrow
+    map + TakeOrderedAndProject — per-partition top-k then a k-row merge;
+    no global sort, no prefix sums, ONE pass. This is how a reservoir is
+    taken from a 100 TB corpus: the order-statistic key makes per-split
+    top-k composable, exactly what the sequential algorithm's heap does."""
+    from lithops_dataframe_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    return weighted_reservoir_sample(
+        docs, "n_chars", "doc_id", k=_RES_K, extra_cols=("source",)
+    ).select(F.col("id").alias("doc_id"), "source", "w", "res_key")
+
+
+# ---------------------------------------------------------------------------
+# token-balanced output shards (serpentine greedy)
+# ---------------------------------------------------------------------------
+_N_SHARDS = 8
+
+_SHARD_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS t
+        FROM documents
+    ),
+    rk AS (
+        SELECT doc_id, t,
+               row_number() OVER (ORDER BY t DESC, doc_id ASC) AS rn
+        FROM d
+    ),
+    asg AS (
+        SELECT t,
+               CASE WHEN (rn - 1) % {2 * _N_SHARDS} < {_N_SHARDS}
+                    THEN (rn - 1) % {2 * _N_SHARDS}
+                    ELSE {2 * _N_SHARDS - 1} - (rn - 1) % {2 * _N_SHARDS}
+               END AS shard
+        FROM rk
+    )
+    SELECT shard::INT AS shard,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(t)::BIGINT AS shard_tokens,
+           MAX(t)::BIGINT AS max_doc_tokens,
+           MIN(t)::BIGINT AS min_doc_tokens
+    FROM asg GROUP BY shard
+"""
+
+
+@register("pack_balanced_shards", oracle=_SHARD_ORACLE)
+def pack_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding: rank documents by token count
+    descending and deal them to N shards in SERPENTINE order
+    (0..N-1, N-1..0, …) — the classic LPT-style greedy that bounds
+    shard skew to one document's tokens per round, so every output
+    shard of a training-data write lands within ~one-max-doc of equal
+    token mass (vs hash sharding's √n-scale imbalance). The shard
+    column is directly usable as a ``partitionBy`` write key; this
+    query emits the balance audit.
+
+    Scale shape: token counts are a narrow map; the global rank is the
+    two-phase range-partition + broadcast-carry row_number
+    (operators/util.py:global_row_number) — no single-task window; the
+    serpentine fold is a closed-form mod expression; one final tiny
+    aggregate. All-BIGINT outputs, deterministic (doc_id tiebreak)."""
+    from lithops_dataframe_spark.operators.util import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("t")
+    )
+    ranked = global_row_number(
+        d, [F.col("t").desc(), F.col("doc_id").asc()], out_col="rn"
+    )
+    m = (F.col("rn") - 1) % F.lit(2 * _N_SHARDS)
+    shard = (
+        F.when(m < _N_SHARDS, m).otherwise(F.lit(2 * _N_SHARDS - 1) - m).cast("int")
+    )
+    return (
+        ranked.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("shard_tokens"),
+            F.max("t").cast("long").alias("max_doc_tokens"),
+            F.min("t").cast("long").alias("min_doc_tokens"),
+        )
+    )
+
+
+@register("stream_incremental_reservoir", oracle=_RES_ORACLE)
+def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``sample_reservoir_weighted`` (round 9) — a real
+    structured stream: documents staged as three ascending-doc_id
+    micro-batch files (mtime-pinned), consumed with maxFilesPerTrigger=1
+    + availableNow through ``foreachBatch``
+    (streaming/reservoir.py::foreach_batch_reservoir). Each epoch merges
+    its batch's top-k A-ES keys into a standing k-row state snapshot;
+    because the order-statistic key is a pure per-row function,
+    top-k(state ∪ batch) ≡ top-k(everything so far), so the final state
+    must hash-match the BATCH reservoir over the whole corpus — which is
+    exactly what the shared oracle asserts. Standing state is k rows
+    total: the 100 TB firehose never accumulates."""
+    import os as _os
+    import re as _re
+    import shutil
+    import tempfile
+    import time as _time
+
+    from lithops_dataframe_spark.streaming.reservoir import (
+        foreach_batch_reservoir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    if mx is None:  # empty corpus: an empty reservoir
+        return spark.createDataFrame(
+            [], "doc_id long, source string, w long, res_key double"
+        )
+    batch_expr = F.expr(f"(doc_id * 3) div {int(mx) + 1}")
+
+    work = tempfile.mkdtemp(prefix="lds_stream_res_")
+    try:
+        replay = _os.path.join(work, "replay")
+        _os.makedirs(replay)
+        files = []
+        for b in range(3):
+            d = _os.path.join(replay, f"b{b}")
+            docs.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
+            part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
+            dst = _os.path.join(replay, f"b{b}.parquet")
+            shutil.copy(_os.path.join(d, part), dst)
+            files.append(dst)
+            shutil.rmtree(d)
+        now = _time.time()
+        for i, f in enumerate(files):
+            _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay + "/*.parquet")
+        )
+        state_dir = _os.path.join(work, "state")
+        q = foreach_batch_reservoir(
+            stream,
+            state_dir,
+            _os.path.join(work, "_ckpt"),
+            weight_col="n_chars",
+            id_col="doc_id",
+            k=_RES_K,
+            extra={"source": "StringType"},
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "stream_incremental_reservoir: stream did not finish within 300s"
+            )
+        last = max(
+            int(m.group(1))
+            for d in _os.listdir(state_dir)
+            if (m := _re.fullmatch(r"epoch=(\d+)", d))
+        )
+        rows = (
+            spark.read.parquet(_os.path.join(state_dir, f"epoch={last}"))
+            .select(
+                F.col("id").alias("doc_id"), "source", "w", "res_key"
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, w long, res_key double"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -95,6 +95,17 @@ EDGE_SWEEP = [
     "mix_epoch_schedule",
     "sample_temperature_weights",
     "sample_hash_per_group",
+    # round-9 additions: reservoir (zero-weight doc excluded), balanced
+    # shards + budget selection (empty-text doc → 1 token of ""),
+    # Bradley–Terry (duplicate lineitem rows → duplicate duels, price
+    # ties → partkey tiebreak), CUSUM (NULL ts / NULL value excluded)
+    "sample_reservoir_weighted",
+    "pack_balanced_shards",
+    "select_token_budget_greedy",
+    "pref_bradley_terry",
+    "events_changepoint_cusum",
+    "stream_incremental_reservoir",
+    "text_ngram_novelty",
     # dq family on documents
     "dq_key_skew_report",
     "dq_k_anonymity_cells",
