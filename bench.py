@@ -207,6 +207,8 @@ R9_ADDITIONS: list[str] = [
     "events_changepoint_cusum",
     "stream_incremental_reservoir",
     "text_ngram_novelty",
+    "stream_ks_drift",
+    "pipeline_traindata_manifest",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -232,8 +234,9 @@ SCALE_FAMILIES: dict[str, list[str]] = {
                "pack_length_buckets", "pack_balanced_shards",
                "select_token_budget_greedy"],
     "text": ["text_quality_by_source", "text_hashed_tfidf",
-             # r9: postings-shaped explode -> first-owner agg -> join-back
-             "text_ngram_novelty"],
+             # r9: postings-shaped explode -> first-owner agg -> join-back;
+             # five-stage manifest = two corpus aggs + per-source ranks
+             "text_ngram_novelty", "pipeline_traindata_manifest"],
     "streaming": ["stream_session_windows", "stream_window_topk_users"],
     "ann": ["sim_cosine_topk_lsh"],
     "narrow": ["emb_int8_quantize",

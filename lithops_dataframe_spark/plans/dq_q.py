@@ -615,3 +615,153 @@ def dq_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("a"),
     )
     return ks_two_sample_by_group(flagged, "event_type", "v", "a")
+
+
+# ---------------------------------------------------------------------------
+# STREAMING KS drift monitor (round 9 — streaming twin of dq_ks_value_drift)
+# ---------------------------------------------------------------------------
+_SKS_ORACLE = f"""
+    WITH mx AS (SELECT MAX(event_id) + 1 AS m FROM events),
+    ref AS (
+        SELECT event_type, value AS v FROM events
+        WHERE ts < TIMESTAMP '{_KS_SPLIT}' AND value IS NOT NULL
+    ),
+    strm AS (
+        SELECT event_type, value AS v, (event_id * 3 // mx.m)::BIGINT AS b
+        FROM events, mx
+        WHERE ts >= TIMESTAMP '{_KS_SPLIT}' AND value IS NOT NULL
+    ),
+    batches AS (SELECT UNNEST([0, 1, 2])::BIGINT AS b),
+    u AS (
+        SELECT batches.b, r.event_type, r.v, 1 AS a
+        FROM ref r CROSS JOIN batches
+        UNION ALL
+        SELECT b, event_type, v, 0 AS a FROM strm
+    ),
+    g AS (
+        SELECT b, event_type, v,
+               SUM(a)::BIGINT AS ca, SUM(1 - a)::BIGINT AS cb
+        FROM u GROUP BY b, event_type, v
+    ),
+    c AS (
+        SELECT b, event_type, v, ca, cb,
+               SUM(ca) OVER w::BIGINT AS cuma,
+               SUM(cb) OVER w::BIGINT AS cumb
+        FROM g
+        WINDOW w AS (PARTITION BY b, event_type ORDER BY v
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+        SELECT b, event_type, SUM(ca)::BIGINT AS n_a, SUM(cb)::BIGINT AS n_b
+        FROM g GROUP BY b, event_type
+    ),
+    d AS (
+        SELECT c.b, c.event_type, t.n_a, t.n_b,
+               ABS(t.n_b * c.cuma - t.n_a * c.cumb)::BIGINT AS dd
+        FROM c JOIN t ON t.b = c.b AND t.event_type = c.event_type
+    )
+    SELECT b AS batch_no, event_type, n_a, n_b,
+           MAX(dd)::BIGINT AS ks_num,
+           (CASE WHEN n_a * n_b > 0
+                 THEN MAX(dd) * 1000000 // (n_a * n_b) ELSE 0 END)::BIGINT
+               AS ks_micros
+    FROM d GROUP BY b, event_type, n_a, n_b
+"""
+
+
+@register("stream_ks_drift", oracle=_SKS_ORACLE)
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor (round 9) — the streaming twin of
+    ``dq_ks_value_drift``: the pre-cutover events are written once as a
+    FROZEN reference sample; the post-cutover events arrive as three
+    ascending-event_id micro-batch files through ``foreachBatch``
+    (streaming/drift.py), and every epoch computes the exact
+    cross-multiplied-BIGINT two-sample KS of its batch against the
+    reference, per event_type — one drift row per (epoch, series),
+    epoch-keyed exactly-once. The read-back table must hash-match the
+    batch SQL replay of per-batch-vs-reference KS; NULL-ts and
+    NULL-value rows are excluded by explicit contract on both engines.
+    At 100 TB the reference is a pinned sample table and the per-epoch
+    cost is O(reference + batch) — the firehose is never re-scanned."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from lithops_dataframe_spark.streaming.drift import foreach_batch_ks_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("event_id")).collect()[0][0]
+    if mx is None:  # empty events: nothing to monitor
+        return spark.createDataFrame(
+            [],
+            "batch_no long, event_type string, n_a long, n_b long,"
+            " ks_num long, ks_micros long",
+        )
+    split = F.lit(_KS_SPLIT).cast("timestamp")
+    ref = ev.filter((F.col("ts") < split) & F.col("value").isNotNull()).select(
+        "event_type", F.col("value").alias("v")
+    )
+    strm_src = ev.filter((F.col("ts") >= split) & F.col("value").isNotNull()).select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.expr(f"(event_id * 3) div {int(mx) + 1}").alias("b"),
+    )
+
+    work = tempfile.mkdtemp(prefix="lds_stream_ks_")
+    try:
+        ref_path = _os.path.join(work, "ref")
+        ref.write.mode("overwrite").parquet(ref_path)
+        replay = _os.path.join(work, "replay")
+        _os.makedirs(replay)
+        files = []
+        for b in range(3):
+            d = _os.path.join(replay, f"b{b}")
+            strm_src.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
+            dst = _os.path.join(replay, f"b{b}.parquet")
+            shutil.copy(_os.path.join(d, part), dst)
+            files.append(dst)
+            shutil.rmtree(d)
+        now = _time.time()
+        for i, f in enumerate(files):
+            _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
+
+        stream = (
+            spark.readStream.schema("event_type string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay + "/*.parquet")
+        )
+        decisions = _os.path.join(work, "decisions")
+        q = foreach_batch_ks_drift(
+            stream,
+            ref_path,
+            decisions,
+            _os.path.join(work, "_ckpt"),
+            group_col="event_type",
+            value_col="v",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("stream_ks_drift: stream did not finish within 300s")
+        rows = (
+            spark.read.parquet(decisions)
+            .select(
+                F.col("epoch").cast("long").alias("batch_no"),
+                "event_type",
+                "n_a",
+                "n_b",
+                "ks_num",
+                "ks_micros",
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "batch_no long, event_type string, n_a long, n_b long,"
+            " ks_num long, ks_micros long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

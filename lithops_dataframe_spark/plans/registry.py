@@ -124,13 +124,19 @@ PRIORITY: tuple[str, ...] = (
     "classifier_lr_kfold",
     "eval_classifier_auc",
     "feat_quantile_normalize",
-    "join_asof_tolerance_attribution",
+    # r9 addition batch 3 (displaces join_asof_tolerance_attribution —
+    # temporal-join family stays covered by slot 4's as-of; tolerance is
+    # driver-green D8)
+    "stream_ks_drift",
     "dedup_incremental_batch",
     # r9 addition batch 2 (displaces cf_part_cooccurrence_lift, driver-
     # green D5; no family constraint on that slot)
     "text_ngram_novelty",
     "graph_pagerank",
-    "sketch_kll_quantiles_by_type",
+    # r9 addition batch 3 (displaces sketch_kll_quantiles_by_type —
+    # sketch-percentile family stays covered by slot 8's
+    # agg_percentiles_approx; KLL is driver-green D5)
+    "pipeline_traindata_manifest",
     "udf_grouped_ols_trend",
     "sql_recursive_cte",
     "q01_pricing_summary",
@@ -154,6 +160,8 @@ PRIORITY: tuple[str, ...] = (
     "emb_pq_encode",
     "retrieval_mmr_rerank",
     "cf_part_cooccurrence_lift",
+    "join_asof_tolerance_attribution",
+    "sketch_kll_quantiles_by_type",
     # (CORRECTNESS_r01-r08); they remain covered by the local
     # full-battery driver_sim run
     "dq_ks_value_drift",

@@ -106,6 +106,8 @@ EDGE_SWEEP = [
     "events_changepoint_cusum",
     "stream_incremental_reservoir",
     "text_ngram_novelty",
+    "stream_ks_drift",
+    "pipeline_traindata_manifest",
     # dq family on documents
     "dq_key_skew_report",
     "dq_k_anonymity_cells",

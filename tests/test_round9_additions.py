@@ -275,3 +275,73 @@ def test_ngram_novelty_small_example(spark, tmp_path):
     assert (out[3]["n_grams"], out[3]["n_novel"]) == (3, 3)
     assert out[4]["n_grams"] == 0 and out[4]["novelty_permille"] is None
     assert out[1]["novelty_permille"] == 1000 and out[2]["novelty_permille"] == 0
+
+
+def test_ks_drift_step_contracts(spark, tmp_path):
+    """Step-driven streaming drift: an identical batch scores KS 0, a
+    shifted batch scores high, an EMPTY epoch still emits every
+    reference group with n_b=0, and a retried epoch overwrites itself
+    idempotently."""
+    from lithops_dataframe_spark.streaming.drift import ks_drift_batch_step
+
+    ref = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(5)],
+        "event_type string, v double",
+    )
+    rp = str(tmp_path / "ref")
+    ref.write.parquet(rp)
+    dec = str(tmp_path / "dec")
+
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)], "event_type string, v double"
+    )
+    ks_drift_batch_step(same, 0, rp, dec, group_col="event_type", value_col="v")
+    shifted = spark.createDataFrame(
+        [("a", float(v + 100)) for v in range(10)], "event_type string, v double"
+    )
+    ks_drift_batch_step(shifted, 1, rp, dec, group_col="event_type", value_col="v")
+    empty = spark.createDataFrame([], "event_type string, v double")
+    ks_drift_batch_step(empty, 2, rp, dec, group_col="event_type", value_col="v")
+    # retry epoch 1: must overwrite, not duplicate
+    ks_drift_batch_step(shifted, 1, rp, dec, group_col="event_type", value_col="v")
+
+    rows = {
+        (r["epoch"], r["event_type"]): r
+        for r in spark.read.parquet(dec).collect()
+    }
+    assert rows[(0, "a")]["ks_micros"] == 0
+    assert rows[(1, "a")]["ks_micros"] == 1_000_000  # disjoint supports
+    assert rows[(2, "a")]["n_b"] == 0 and rows[(2, "b")]["n_b"] == 0
+    assert len([k for k in rows if k[0] == 1]) == 2  # no duplicated epoch rows
+
+
+def test_traindata_manifest_hand_example(spark, tmp_path):
+    """Hand-checked five-stage composition: a low-quality doc fails the
+    gate, an exact dup collapses, quotas split the budget by floor-sqrt
+    weights, and packing is ceil(sel_tokens/256)."""
+    from lithops_dataframe_spark.plans.pipeline_q import (
+        pipeline_traindata_manifest,
+    )
+
+    docs = []
+    # source A: 3 quality docs (10 distinct tokens each), one exact dup
+    for i in range(3):
+        docs.append((i, " ".join(f"a{i}t{j}" for j in range(10)), "en", "A", 60))
+    docs.append((3, docs[0][1], "en", "A", 60))  # dup of doc 0
+    # source B: one quality doc + one low-quality (repeated token)
+    docs.append((10, " ".join(f"bt{j}" for j in range(10)), "en", "B", 60))
+    docs.append((11, "rep rep rep rep rep rep", "en", "B", 30))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    out = {r["source"]: r for r in pipeline_traindata_manifest(spark, d).collect()}
+    a, b = out["A"], out["B"]
+    assert (a["n_raw"], a["n_quality"], a["n_unique"]) == (4, 4, 3)
+    assert (b["n_raw"], b["n_quality"], b["n_unique"]) == (2, 1, 1)
+    # weights: w_A=floor(sqrt(3))=1, w_B=1, tw=2 -> k = min(n_u, 60*1//2=30)
+    assert (a["quota"], b["quota"]) == (3, 1)
+    assert (a["n_selected"], b["n_selected"]) == (3, 1)
+    assert a["sel_tokens"] == 30 and b["sel_tokens"] == 10
+    assert a["n_packs"] == 1 and b["n_packs"] == 1
