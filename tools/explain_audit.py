@@ -303,6 +303,11 @@ ALLOW_ONE_ROW_BROADCAST = {
     # corpus stats (N, avgdl) ride as the BM25 one-row broadcast, same as
     # text_bm25_search / retrieval_hybrid_rrf
     "retrieval_rbo_lex_vs_sem",
+    # r9 capstone: the total-weight frame (Σ⌊√n_u⌋ over sources) is a
+    # single-row grouping-free aggregate crossJoined onto the
+    # sources-sized quota table — the compare-to-total pattern,
+    # Keys: [] provenance checked below
+    "pipeline_traindata_manifest",
 }
 
 
