@@ -353,3 +353,25 @@ def dup_ngram_frac_sql(tokens_expr: str, n: int) -> str:
         f"THEN 1.0 - len(list_distinct({g}))::DOUBLE / len({g}) "
         "ELSE 0.0 END"
     )
+
+
+def distinct_permille(text: Column) -> Column:
+    """Exact integer per-mille distinct-token ratio — the engine-stable
+    quality score of the r9 curation queries (repetitive docs score low).
+    Whitespace tokens, so the empty string counts as 1 token of "" on
+    both engines (string_split parity)."""
+    toks = ws_tokens(text)
+    a = (1000 * F.size(F.array_distinct(toks))).cast("long")
+    b = F.size(toks).cast("long")
+    # integer floor division without a Column `div` operator: strip the
+    # remainder first, so the double division is of an exact multiple
+    # (exact for quotients < 2^53 — same trick as sampling._exact_div)
+    return ((a - a % b) / b).cast("long")
+
+
+def distinct_permille_sql(expr: str) -> str:
+    """DuckDB twin of :func:`distinct_permille`."""
+    return (
+        f"(1000 * len(list_distinct(string_split({expr}, ' ')))"
+        f" // len(string_split({expr}, ' ')))::BIGINT"
+    )

@@ -118,13 +118,17 @@ def weighted_reservoir_sample(
 
     Rows with non-positive or NULL weight are never picked (zero-weight
     rows have u^(1/w) → degenerate; excluded by contract, as in
-    :func:`systematic_weighted_sample`).
+    :func:`systematic_weighted_sample`). NULL ids are excluded too —
+    md5(NULL) would give a NULL key, which Spark's ascending sort puts
+    FIRST and DuckDB's puts LAST (the documented NULLS FIRST/LAST
+    divergence class, operators/evaluation.py) — a NULL id must never
+    occupy a reservoir slot on either engine.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(weight_col).cast("long").alias("w"),
         *extra_cols,
-    ).filter(F.col("w") > 0)
+    ).filter((F.col("w") > 0) & F.col("id").isNotNull())
     h = F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 13), 16, 10).cast(
         "long"
     )

@@ -82,8 +82,18 @@ def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFra
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    part = df.repartitionByRange(*order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    from lithops_dataframe_spark import cache
+
+    # persist_tracked, not bare reuse: `part` feeds BOTH the local-rank
+    # branch and the totals branch. If exchange reuse failed to collapse
+    # them, repartitionByRange would execute twice with different
+    # RangePartitioner sample draws — and two disagreeing __pid layouts
+    # would patch local ranks with the wrong carry (same rationale as
+    # ks_two_sample_by_group / roc_auc_by_group in operators/evaluation.py).
+    part = cache.persist_tracked(
+        df.repartitionByRange(*order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     wloc = Window.partitionBy("__pid").orderBy(*order_cols)
     local = part.withColumn("__rloc", F.row_number().over(wloc).cast("long"))

@@ -323,10 +323,13 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil
     import tempfile
-    import time as _time
 
     from lithops_dataframe_spark.streaming.dedup import (
         foreach_batch_incremental_dedup,
+    )
+    from lithops_dataframe_spark.streaming.staging import (
+        await_or_raise,
+        stage_microbatches,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -342,20 +345,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="lds_stream_dedup_")
     try:
         replay = _os.path.join(work, "replay")
-        _os.makedirs(replay)
-        files = []
-        for b in range(3):
-            d = _os.path.join(replay, f"b{b}")
-            docs.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
-            part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
-            dst = _os.path.join(replay, f"b{b}.parquet")
-            shutil.copy(_os.path.join(d, part), dst)
-            files.append(dst)
-            shutil.rmtree(d)
-        now = _time.time()
-        for i, f in enumerate(files):
-            _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
-
+        stage_microbatches(docs, batch_expr, 3, replay)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -372,14 +362,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands=4,
             threshold=0.6,
         )
-        # ADVICE r8: awaitTermination(timeout) returns False on timeout —
-        # reading back a partial decisions table would silently pass a
-        # wrong result to the gate, so fail loudly instead.
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stream_incremental_dedup: stream did not finish within 300s"
-            )
+        await_or_raise(q, 300, "stream_incremental_dedup")
         # Materialize the decisions on the driver so the whole work dir
         # (staged batches, standing index, checkpoint, decisions) can be
         # removed — ADVICE r8: every gated run used to leak the temp dir.

@@ -627,9 +627,14 @@ _SKS_ORACLE = f"""
         WHERE ts < TIMESTAMP '{_KS_SPLIT}' AND value IS NOT NULL
     ),
     strm AS (
+        -- event_id >= 0 is an explicit contract (mirrored in the Spark
+        -- staging): a negative synthetic id would floor-divide to
+        -- batch -1 here but truncate to batch 0 in Spark's `div`, the
+        -- documented truncate-vs-floor divergence class on negatives.
         SELECT event_type, value AS v, (event_id * 3 // mx.m)::BIGINT AS b
         FROM events, mx
         WHERE ts >= TIMESTAMP '{_KS_SPLIT}' AND value IS NOT NULL
+          AND event_id >= 0
     ),
     batches AS (SELECT UNNEST([0, 1, 2])::BIGINT AS b),
     u AS (
@@ -686,9 +691,12 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil
     import tempfile
-    import time as _time
 
     from lithops_dataframe_spark.streaming.drift import foreach_batch_ks_drift
+    from lithops_dataframe_spark.streaming.staging import (
+        await_or_raise,
+        stage_microbatches,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("event_id")).collect()[0][0]
@@ -702,7 +710,15 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = ev.filter((F.col("ts") < split) & F.col("value").isNotNull()).select(
         "event_type", F.col("value").alias("v")
     )
-    strm_src = ev.filter((F.col("ts") >= split) & F.col("value").isNotNull()).select(
+    # event_id >= 0: explicit contract (see oracle) — Spark `div`
+    # truncates toward zero while DuckDB `//` floors, so a negative id
+    # would land in different batches on the two engines AND fall
+    # outside the three staged files here.
+    strm_src = ev.filter(
+        (F.col("ts") >= split)
+        & F.col("value").isNotNull()
+        & (F.col("event_id") >= 0)
+    ).select(
         "event_type",
         F.col("value").alias("v"),
         F.expr(f"(event_id * 3) div {int(mx) + 1}").alias("b"),
@@ -713,22 +729,7 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_path = _os.path.join(work, "ref")
         ref.write.mode("overwrite").parquet(ref_path)
         replay = _os.path.join(work, "replay")
-        _os.makedirs(replay)
-        files = []
-        for b in range(3):
-            d = _os.path.join(replay, f"b{b}")
-            strm_src.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(d)
-            part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
-            dst = _os.path.join(replay, f"b{b}.parquet")
-            shutil.copy(_os.path.join(d, part), dst)
-            files.append(dst)
-            shutil.rmtree(d)
-        now = _time.time()
-        for i, f in enumerate(files):
-            _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
-
+        stage_microbatches(strm_src.select("event_type", "v", "b"), F.col("b"), 3, replay)
         stream = (
             spark.readStream.schema("event_type string, v double")
             .option("maxFilesPerTrigger", 1)
@@ -743,9 +744,7 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             group_col="event_type",
             value_col="v",
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("stream_ks_drift: stream did not finish within 300s")
+        await_or_raise(q, 300, "stream_ks_drift")
         rows = (
             spark.read.parquet(decisions)
             .select(

@@ -36,13 +36,20 @@ def _scratch(name: str) -> str:
            COUNT(DISTINCT p_brand) AS n_brands,
            MIN(p_name) AS first_name,
            CAST(SUM(p_size) AS BIGINT) AS size_sum,
-           ROUND(SUM(p_retailprice), 2) AS price_sum,
+           -- the CSV leg serializes EVERY price at 2 decimals
+           -- (format_number) before the sum, so the oracle must
+           -- round-then-sum too: sum-then-round diverges the moment two
+           -- 3-decimal boundary prices coexist (r9 edge-fixture catch —
+           -- DuckDB ROUND(::DOUBLE, 2) matches format_number's
+           -- shortest-repr half-up on the .995/.005/.675 boundary cases,
+           -- probed explicitly)
+           ROUND(SUM(ROUND(p_retailprice, 2)), 2) AS price_sum,
            CAST(SUM(CASE WHEN p_size % 4 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
                AS n_na_cats,
            CAST(SUM(CASE WHEN p_size % 4 NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT)
                AS n_cats,
            CAST(SUM(p_size * 1000) AS BIGINT) AS msize_sum,
-           ROUND(SUM(p_retailprice), 2) AS eu_price_sum,
+           ROUND(SUM(ROUND(p_retailprice, 2)), 2) AS eu_price_sum,
            COUNT(DISTINCT lower(p_type)) AS n_type_lower,
            CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_nations,
            CAST((SELECT SUM(n_nationkey) FROM nation) AS BIGINT) AS nation_key_sum

@@ -78,10 +78,9 @@ _TM_SEQ = 256  # tokens per packed training sequence
 
 _TM_ORACLE = f"""
     WITH raw AS (
-        SELECT doc_id, source, text,
+        SELECT doc_id, source, md5(text) AS fp,
                len(string_split(text, ' '))::BIGINT AS t,
-               (1000 * len(list_distinct(string_split(text, ' ')))
-                    // len(string_split(text, ' ')))::BIGINT AS score
+               {T.distinct_permille_sql('text')} AS score
         FROM documents
     ),
     q AS (
@@ -90,7 +89,7 @@ _TM_ORACLE = f"""
     uniq AS (
         SELECT * FROM q
         WHERE doc_id IN (
-            SELECT MIN(doc_id) FROM q GROUP BY md5(text)
+            SELECT MIN(doc_id) FROM q GROUP BY fp
         )
     ),
     wt AS (
@@ -169,20 +168,27 @@ def pipeline_traindata_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lithops_dataframe_spark.functions import text as TX
 
+    from lithops_dataframe_spark import cache
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = TX.ws_tokens(F.col("text"))
-    raw = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        F.size(toks).cast("long").alias("t"),
-        (1000 * F.size(F.array_distinct(toks))).cast("long").alias("d1000"),
-    ).withColumn("score", F.expr("d1000 div t").cast("long"))
+    # slim projection: fp replaces text immediately, so the persisted
+    # frames below never materialize document bodies — and persisting
+    # raw/uniq means the corpus is TOKENIZED ONCE, not once per subtree
+    # (raw feeds rawagg+q; q feeds keep+join; uniq feeds wt+ranked)
+    raw = cache.persist_tracked(
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("fp"),
+            F.size(TX.ws_tokens(F.col("text"))).cast("long").alias("t"),
+            TX.distinct_permille(F.col("text")).alias("score"),
+        )
+    )
     q = raw.filter(
         (F.col("t") >= _TM_MIN_TOKENS) & (F.col("score") >= _TM_MIN_SCORE)
     )
-    keep = q.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
-    uniq = q.join(keep.select("doc_id"), "doc_id")
+    keep = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = cache.persist_tracked(q.join(keep.select("doc_id"), "doc_id"))
 
     wt = uniq.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_u"))
     wt = wt.withColumn("w", F.floor(F.sqrt(F.col("n_u"))).cast("long"))

@@ -234,11 +234,33 @@ def red_mean_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- statistics (G1/G2); Spark's are the population moments
            -- (g1/g2). Convert with the exact factor so both sides round
            -- to the same 6 decimals: g1 = G1*(n-2)/sqrt(n(n-1)),
-           -- g2 = (G2*(n-2)*(n-3)/(n-1) - 6)/(n+1).
-           ROUND(skewness(l_discount) * (COUNT(*) - 2.0)
-                 / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 6)     AS skew_discount,
-           ROUND((kurtosis(l_discount) * (COUNT(*) - 2.0) * (COUNT(*) - 3.0)
-                  / (COUNT(*) - 1.0) - 6.0) / (COUNT(*) + 1.0), 6) AS kurt_discount,
+           -- g2 = (G2*(n-2)*(n-3)/(n-1) - 6)/(n+1). The correction
+           -- factors need n>=3 (skew) / n>=4 (kurt) — DuckDB returns
+           -- NULL below that, but Spark's POPULATION moments are still
+           -- defined whenever the variance is nonzero (r9 edge-fixture
+           -- catch: a 3-row group diverged NULL vs -1.5). Small-n
+           -- branches compute g1/g2 directly from power sums; Spark's
+           -- zero-variance NaN normalizes to NULL on both sides.
+           CASE
+             WHEN COUNT(*) >= 3 THEN
+               ROUND(skewness(l_discount) * (COUNT(*) - 2.0)
+                     / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 6)
+             WHEN COUNT(*) = 2 AND var_pop(l_discount) > 0 THEN 0.0
+             ELSE NULL
+           END                                               AS skew_discount,
+           CASE
+             WHEN COUNT(*) >= 4 THEN
+               ROUND((kurtosis(l_discount) * (COUNT(*) - 2.0) * (COUNT(*) - 3.0)
+                      / (COUNT(*) - 1.0) - 6.0) / (COUNT(*) + 1.0), 6)
+             WHEN COUNT(*) >= 2 AND var_pop(l_discount) > 0 THEN
+               ROUND((AVG(POWER(l_discount, 4))
+                      - 4 * AVG(l_discount) * AVG(POWER(l_discount, 3))
+                      + 6 * POWER(AVG(l_discount), 2) * AVG(POWER(l_discount, 2))
+                      - 3 * POWER(AVG(l_discount), 4))
+                     / POWER(AVG(POWER(l_discount, 2))
+                             - POWER(AVG(l_discount), 2), 2) - 3.0, 6)
+             ELSE NULL
+           END                                               AS kurt_discount,
            median(l_quantity)                                AS median_qty
     FROM lineitem
     GROUP BY l_returnflag

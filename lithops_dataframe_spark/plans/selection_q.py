@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import hashing as H
+from lithops_dataframe_spark.functions import text as T
 from lithops_dataframe_spark.operators.dsir import B_BUCKETS, MICRO, dsir_select
 from lithops_dataframe_spark.operators.util import ensure_parallelism
 from lithops_dataframe_spark.plans.registry import register
@@ -136,8 +137,7 @@ _BUDGET_ORACLE = f"""
     WITH d AS (
         SELECT source, doc_id,
                len(string_split(text, ' '))::BIGINT AS t,
-               (1000 * len(list_distinct(string_split(text, ' ')))
-                    // len(string_split(text, ' ')))::BIGINT AS score
+               {T.distinct_permille_sql('text')} AS score
         FROM documents
     ),
     ranked AS (
@@ -177,13 +177,12 @@ def select_token_budget_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    toks = F.split("text", " ")
     d = docs.select(
         "source",
         "doc_id",
-        F.size(toks).cast("long").alias("t"),
-        (1000 * F.size(F.array_distinct(toks))).cast("long").alias("sc1000"),
-    ).withColumn("score", F.expr("sc1000 div t").cast("long"))
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("t"),
+        T.distinct_permille(F.col("text")).alias("score"),
+    )
     w = (
         Window.partitionBy("source")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())

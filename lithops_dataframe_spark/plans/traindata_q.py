@@ -839,7 +839,7 @@ _RES_ORACLE = f"""
     WITH w AS (
         SELECT doc_id, source, n_chars AS w,
                ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
-        FROM documents WHERE n_chars > 0
+        FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL
     )
     SELECT doc_id, source, w,
            ROUND(-ln((h + 1) / 4503599627370496.0) / w, 9) AS res_key
@@ -963,10 +963,13 @@ def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
     import shutil
     import tempfile
-    import time as _time
 
     from lithops_dataframe_spark.streaming.reservoir import (
         foreach_batch_reservoir,
+    )
+    from lithops_dataframe_spark.streaming.staging import (
+        await_or_raise,
+        stage_microbatches,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -980,20 +983,7 @@ def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="lds_stream_res_")
     try:
         replay = _os.path.join(work, "replay")
-        _os.makedirs(replay)
-        files = []
-        for b in range(3):
-            d = _os.path.join(replay, f"b{b}")
-            docs.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
-            part = [n for n in _os.listdir(d) if n.endswith(".parquet")][0]
-            dst = _os.path.join(replay, f"b{b}.parquet")
-            shutil.copy(_os.path.join(d, part), dst)
-            files.append(dst)
-            shutil.rmtree(d)
-        now = _time.time()
-        for i, f in enumerate(files):
-            _os.utime(f, (now - 60 * (len(files) - i), now - 60 * (len(files) - i)))
-
+        stage_microbatches(docs, batch_expr, 3, replay)
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1)
@@ -1009,11 +999,7 @@ def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_RES_K,
             extra={"source": "StringType"},
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "stream_incremental_reservoir: stream did not finish within 300s"
-            )
+        await_or_raise(q, 300, "stream_incremental_reservoir")
         last = max(
             int(m.group(1))
             for d in _os.listdir(state_dir)

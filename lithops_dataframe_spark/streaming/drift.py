@@ -19,8 +19,6 @@ streaming/dedup.py and streaming/reservoir.py.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -41,6 +39,8 @@ def ks_drift_batch_step(
     frozen reference, per group; one row per group written under
     ``decisions/epoch=<id>``. Exposed separately so tests can drive
     single steps."""
+    from lithops_dataframe_spark import cache
+
     spark = batch_df.sparkSession
     ref = spark.read.parquet(ref_path).select(
         group_col, value_col, F.lit(1).alias("__is_ref")
@@ -50,6 +50,13 @@ def ks_drift_batch_step(
         ref.unionByName(cur), group_col, value_col, "__is_ref"
     )
     out.write.mode("overwrite").parquet(f"{decisions_dir}/epoch={epoch_id}")
+    # ks_two_sample_by_group persist_tracked()s its range-partitioned
+    # midframe; on a REAL continuous stream nothing else would ever
+    # evict it (registry builders release on entry, but a library
+    # caller's stream runs for days) — release per epoch so standing
+    # cache stays bounded to one micro-batch's working set, same
+    # contract as streaming/dedup.py's explicit unpersist.
+    cache.release_all()
 
 
 def foreach_batch_ks_drift(

@@ -1,0 +1,56 @@
+"""Micro-batch replay staging shared by the streaming gate queries
+(stream_incremental_dedup, stream_incremental_reservoir,
+stream_ks_drift): split a batch frame into N ascending-key parquet
+files whose mtimes force Structured Streaming's file source
+(maxFilesPerTrigger=1 + availableNow) to replay them as N ordered
+micro-batch epochs.
+
+Extracted round 9 — three queries had line-for-line copies of this
+scaffold, so a fix to it (the r8 temp-dir leak, the r8
+awaitTermination-timeout lesson) needed three edits; now it needs one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stage_microbatches(
+    df: DataFrame, batch_expr: Column, n_batches: int, replay_dir: str
+) -> list[str]:
+    """Write ``df`` filtered by ``batch_expr == b`` (b = 0..n-1) to
+    ``replay_dir/b<b>.parquet``, one single-part file per batch, with
+    mtimes pinned ascending so the file stream consumes them in batch
+    order. Returns the file paths. An empty batch still produces a
+    (zero-row) file — its epoch fires with an empty frame, which the
+    step functions must handle (and their tests pin)."""
+    os.makedirs(replay_dir, exist_ok=True)
+    files = []
+    for b in range(n_batches):
+        d = os.path.join(replay_dir, f"b{b}")
+        df.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
+        part = [n for n in os.listdir(d) if n.endswith(".parquet")][0]
+        dst = os.path.join(replay_dir, f"b{b}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        files.append(dst)
+        shutil.rmtree(d)
+    now = time.time()
+    for i, f in enumerate(files):
+        age = 60 * (len(files) - i)
+        os.utime(f, (now - age, now - age))
+    return files
+
+
+def await_or_raise(q: StreamingQuery, timeout_s: int, name: str) -> None:
+    """``awaitTermination(timeout)`` returns False on timeout — reading
+    back a partial decisions/state table would silently pass a wrong
+    result to the gate, so stop the stream and fail loudly instead
+    (ADVICE r8)."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"{name}: stream did not finish within {timeout_s}s")

@@ -71,7 +71,8 @@ def _events() -> pd.DataFrame:
 def _tpch() -> dict[str, pd.DataFrame]:
     """One-row and empty-group shapes: customer 103 has no orders, order
     1003 has no lineitems, supplier table is two rows (one NULL acctbal),
-    part is one row, lineitem has duplicate rows + boundary prices."""
+    part is two rows in two brands, lineitem has duplicate rows,
+    a cross-brand exact price tie, + boundary prices."""
     region = pd.DataFrame({"r_regionkey": [0], "r_name": ["EDGE"]})
     nation = pd.DataFrame(
         {"n_nationkey": [0, 1], "n_name": ["ALPHA", "BETA"], "n_regionkey": [0, 0]}
@@ -93,14 +94,18 @@ def _tpch() -> dict[str, pd.DataFrame]:
             "s_acctbal": [5.005, None],
         }
     )
+    # two parts in two brands (r9): cross-brand lineitem pairs exist, so
+    # the Bradley-Terry duel derivation is exercised for real — including
+    # an exact cross-brand price tie (partkey tiebreak) and duplicate
+    # duels from order 1001's duplicate rows
     part = pd.DataFrame(
         {
-            "p_partkey": [21],
-            "p_name": ["edge lavender part"],
-            "p_brand": ["Brand#13"],
-            "p_type": ["SMALL PLATED TIN"],
-            "p_size": [7],
-            "p_retailprice": [99.995],
+            "p_partkey": [21, 22],
+            "p_name": ["edge lavender part", "edge copper part"],
+            "p_brand": ["Brand#13", "Brand#42"],
+            "p_type": ["SMALL PLATED TIN", "LARGE BRUSHED COPPER"],
+            "p_size": [7, 3],
+            "p_retailprice": [99.995, 15.005],
         }
     )
     orders = pd.DataFrame(
@@ -120,21 +125,26 @@ def _tpch() -> dict[str, pd.DataFrame]:
     lineitem = pd.DataFrame(
         {
             # order 1003 has NO lineitems; order 1001 has duplicate rows
-            "l_orderkey": [1001, 1001, 1001, 1002],
-            "l_partkey": [21, 21, 21, 21],
-            "l_suppkey": [11, 11, 12, 12],
-            "l_linenumber": [1, 2, 3, 1],
-            "l_quantity": [1.0, 1.0, 2.0, 50.0],
-            "l_extendedprice": [10.005, 10.005, 2.675, 100.005],
-            "l_discount": [0.05, 0.05, 0.0, 0.1],
-            "l_tax": [0.0, 0.0, 0.02, 0.08],
-            "l_returnflag": ["N", "N", "R", "A"],
-            "l_linestatus": ["O", "O", "F", "F"],
+            "l_orderkey": [1001, 1001, 1001, 1002, 1001, 1002],
+            "l_partkey": [21, 21, 21, 21, 22, 22],
+            "l_suppkey": [11, 11, 12, 12, 11, 12],
+            "l_linenumber": [1, 2, 3, 1, 4, 2],
+            "l_quantity": [1.0, 1.0, 2.0, 50.0, 3.0, 1.0],
+            # line 4 of order 1001 (part 22): EXACT price tie against the
+            # two part-21 lines -> the duel must fall to the partkey
+            # tiebreak; line 2 of order 1002 clearly loses to part 21
+            "l_extendedprice": [10.005, 10.005, 2.675, 100.005, 10.005, 0.495],
+            "l_discount": [0.05, 0.05, 0.0, 0.1, 0.0, 0.0],
+            "l_tax": [0.0, 0.0, 0.02, 0.08, 0.01, 0.0],
+            "l_returnflag": ["N", "N", "R", "A", "N", "R"],
+            "l_linestatus": ["O", "O", "F", "F", "O", "F"],
             "l_shipdate": [
                 _TS(2024, 1, 10),
                 _TS(2024, 1, 10),  # exact duplicate row vs line 1 except number
                 _TS(2024, 1, 12),
                 _TS(2024, 2, 10),
+                _TS(2024, 1, 11),
+                _TS(2024, 2, 12),
             ],
         }
     )
