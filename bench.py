@@ -211,6 +211,11 @@ R9_ADDITIONS: list[str] = [
     "pipeline_traindata_manifest",
 ]
 
+R10_ADDITIONS: list[str] = [
+    "eval_rater_agreement",
+    "text_source_token_gini",
+]
+
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent
 # log10(t_10x / t_base) flags any family whose runtime grows faster than
@@ -236,7 +241,10 @@ SCALE_FAMILIES: dict[str, list[str]] = {
     "text": ["text_quality_by_source", "text_hashed_tfidf",
              # r9: postings-shaped explode -> first-owner agg -> join-back;
              # five-stage manifest = two corpus aggs + per-source ranks
-             "text_ngram_novelty", "pipeline_traindata_manifest"],
+             "text_ngram_novelty", "pipeline_traindata_manifest",
+             # r10: one narrow map -> source-keyed hash agg (kappa/alpha);
+             # two-phase global rank + hash agg (gini)
+             "eval_rater_agreement", "text_source_token_gini"],
     "streaming": ["stream_session_windows", "stream_window_topk_users"],
     "ann": ["sim_cosine_topk_lsh"],
     "narrow": ["emb_int8_quantize",
@@ -521,11 +529,11 @@ def main() -> None:
     # are reused — only code paths are warmed.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS:
+        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS:
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 
-    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS if n in QUERIES]
+    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]
     # Best-of-2 per query, as two INTERLEAVED full passes: steady-state
     # engine throughput is the metric, and a single timing is exposed to
@@ -553,6 +561,7 @@ def main() -> None:
     r7 = {n: t for n, t in timings.items() if n in set(R7_ADDITIONS)}
     r8 = {n: t for n, t in timings.items() if n in set(R8_ADDITIONS)}
     r9 = {n: t for n, t in timings.items() if n in set(R9_ADDITIONS)}
+    r10 = {n: t for n, t in timings.items() if n in set(R10_ADDITIONS)}
     total = round(sum(head.values()), 4)
     # The driver captures only the LAST ~2000 bytes of stdout and parses
     # the final line as JSON (BENCH_r03 lesson: a line that embeds every
@@ -579,6 +588,7 @@ def main() -> None:
         "r7_additions_total": round(sum(r7.values()), 4),
         "r8_additions_total": round(sum(r8.values()), 4),
         "r9_additions_total": round(sum(r9.values()), 4),
+        "r10_additions_total": round(sum(r10.values()), 4),
         "detail": "BENCH_FULL.json",
     }
     full = dict(out)

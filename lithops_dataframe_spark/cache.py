@@ -18,6 +18,8 @@ query's critical path.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
@@ -38,9 +40,30 @@ def persist_tracked(df: DataFrame, level=None) -> DataFrame:
 
 def release_all() -> None:
     """Evict every tracked frame; safe to call with a dead session."""
-    while _LIVE:
+    _release_down_to(0)
+
+
+def _release_down_to(mark: int) -> None:
+    while len(_LIVE) > mark:
         df = _LIVE.pop()
         try:
             df.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped — blocks are gone anyway
+
+
+@contextmanager
+def scope():
+    """Release ONLY the frames tracked inside the block, on exit.
+
+    For library code that runs inside someone else's session (e.g. a
+    per-micro-batch streaming step): ``release_all()`` there would evict
+    frames a concurrent caller persisted for correctness (a
+    range-partitioned frame persisted so two subtrees see one partitioner
+    draw) before they are materialized (ADVICE r9). Anything the scoped
+    persists feed must be materialized before the block exits."""
+    mark = len(_LIVE)
+    try:
+        yield
+    finally:
+        _release_down_to(mark)

@@ -116,6 +116,18 @@ def weighted_reservoir_sample(
     reservoir sampling (the sequential reservoir's heap is replaced by
     per-partition top-k + merge, same order statistics).
 
+    Weight contract: ``weight_col`` is cast to BIGINT **before** the
+    positivity filter, so fractional weights TRUNCATE toward zero — 2.9
+    weighs as 2, and a weight in (0, 1) truncates to 0 and the row is
+    excluded like any non-positive weight. This is deliberate: an
+    integer w makes −ln(u)/w a two-operand double expression both
+    engines evaluate identically (a fractional w would add a
+    double-division whose last-ulp could differ between libms and flip a
+    rounding-boundary key), and the intended weights are integer counts
+    (chars, tokens, bytes). Callers with genuinely fractional weights
+    must pre-scale to integers (e.g. ``round(w * 1000)``) — which also
+    fixes the resolution of the weighting explicitly.
+
     Rows with non-positive or NULL weight are never picked (zero-weight
     rows have u^(1/w) → degenerate; excluded by contract, as in
     :func:`systematic_weighted_sample`). NULL ids are excluded too —

@@ -299,8 +299,9 @@ _STREAM_INCR_ORACLE = f"""
     SELECT s.id AS doc_id,
            COALESCE(nd.n, 0)::BIGINT AS n_prior_dups,
            (nd.new_id IS NULL)::INT AS keep,
-           (s.id * 3 // (SELECT MAX(doc_id) + 1 FROM documents))::BIGINT
-               AS batch_no
+           LEAST(GREATEST(
+               s.id * 3 // (SELECT GREATEST(MAX(doc_id) + 1, 1) FROM documents),
+               0), 2)::BIGINT AS batch_no
     FROM shng s LEFT JOIN nd ON nd.new_id = s.id
 """
 
@@ -338,9 +339,15 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, n_prior_dups long, keep int, batch_no long"
         )
-    # integer floor division, same formula as the oracle's `//` — and the
-    # staged file order (b0 < b1 < b2 by mtime) equals batch_no order
-    batch_expr = F.expr(f"(doc_id * 3) div {int(mx) + 1}")
+    # Same clamped formula as the oracle's batch_no — and the staged file
+    # order (b0 < b1 < b2 by mtime) equals batch_no order. The [0, 2]
+    # clamp keeps a negative doc_id in the first micro-batch instead of
+    # silently dropping it from the stream (ADVICE r9); clamping is
+    # monotone in doc_id, so the "kept iff no smaller-id near-dup" rule
+    # still holds across epochs. Divisor guard covers an all-negative
+    # corpus (mx + 1 <= 0).
+    div_ = max(int(mx) + 1, 1)
+    batch_expr = F.expr(f"least(greatest((doc_id * 3) div {div_}, 0), 2)")
 
     work = tempfile.mkdtemp(prefix="lds_stream_dedup_")
     try:
@@ -361,6 +368,12 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingle_n=2,
             bands=4,
             threshold=0.6,
+            # Fold epochs 0+1 into one index partition before epoch 2's
+            # probe: the gated run now exercises compact_index under the
+            # oracle (r9 verdict task — compaction correctness previously
+            # had only unit-test evidence), and the decisions must still
+            # hash-match the batch-SQL rule.
+            compact_every=2,
         )
         await_or_raise(q, 300, "stream_incremental_dedup")
         # Materialize the decisions on the driver so the whole work dir

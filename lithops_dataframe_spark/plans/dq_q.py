@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.functions import text as TX
 from lithops_dataframe_spark.plans.registry import register
 
 _DQ_ORACLE = """
@@ -764,3 +765,114 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- inter-rater agreement: Cohen's kappa + Krippendorff's alpha (r10) ---
+#
+# Two deterministic binary "raters" over every document, so the gate is
+# non-vacuous and replayable on both engines:
+#   rater A (quality):    tokens >= 5 AND distinct-token permille >= 600
+#                         (the pipeline_traindata_manifest gate)
+#   rater B (repetition): no 2-grams at all, or duplicated-2-gram share
+#                         <= 300 per-mille (1000*dup <= 300*total —
+#                         integer cross-multiply, no division)
+# Chance-corrected agreement from the per-source 2x2 confusion
+# (a=both-pos, b=A-only, c=B-only, d=both-neg, n=a+b+c+d, m=b+c):
+#   kappa = (n(a+d) - E) / (n^2 - E),  E = (a+b)(a+c) + (c+d)(b+d)
+#   alpha = 1 - m(2n-1)/(n0*n1),       n1 = 2a+m, n0 = 2d+m
+# (binary Krippendorff, two raters, no missing values — the coincidence
+# matrix collapses to these integers). Emitted as round(1000*N/D):
+# N, D are exact BIGINTs and 1000*N < 2^53 at gate SFs, so the single
+# double divide + round is engine-identical; degenerate denominators
+# (one label only) emit NULL on both engines.
+_AGREE_TOKS = "string_split(text, ' ')"
+_AGREE_ORACLE = f"""
+    WITH r AS (
+        SELECT source,
+               (len({_AGREE_TOKS}) >= 5
+                AND {TX.distinct_permille_sql('text')} >= 600) AS ra,
+               (len({TX.ngrams_sql(_AGREE_TOKS, 2)}) = 0 OR
+                1000 * (len({TX.ngrams_sql(_AGREE_TOKS, 2)})
+                        - len(list_distinct({TX.ngrams_sql(_AGREE_TOKS, 2)})))
+                <= 300 * len({TX.ngrams_sql(_AGREE_TOKS, 2)})) AS rb
+        FROM documents
+    ),
+    m AS (
+        SELECT source,
+               SUM((ra AND rb)::INT)::BIGINT AS a,
+               SUM((ra AND NOT rb)::INT)::BIGINT AS b,
+               SUM((NOT ra AND rb)::INT)::BIGINT AS c,
+               SUM((NOT ra AND NOT rb)::INT)::BIGINT AS d
+        FROM r GROUP BY source
+    )
+    SELECT source, a AS both_pos, b AS a_only, c AS b_only, d AS both_neg,
+           CASE WHEN (a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d)) > 0
+                THEN CAST(ROUND(1000.0 * ((a+b+c+d)*(a+d) - ((a+b)*(a+c) + (c+d)*(b+d)))
+                     / ((a+b+c+d)*(a+b+c+d) - ((a+b)*(a+c) + (c+d)*(b+d))), 0) AS BIGINT)
+                ELSE NULL END AS kappa_permille,
+           CASE WHEN (2*a + b + c) * (2*d + b + c) > 0
+                THEN CAST(ROUND(1000.0 * ((2*a + b + c) * (2*d + b + c)
+                     - (b + c) * (2*(a+b+c+d) - 1))
+                     / ((2*a + b + c) * (2*d + b + c)), 0) AS BIGINT)
+                ELSE NULL END AS alpha_permille
+    FROM m
+"""
+
+
+@register("eval_rater_agreement", oracle=_AGREE_ORACLE)
+def eval_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement per source — Cohen's kappa and binary
+    Krippendorff's alpha over two deterministic document "raters"
+    (quality gate vs repetition gate). This is the annotation-QA metric
+    an RLHF/preference-data pipeline computes between labelers or
+    between an LLM judge and a heuristic — chance-corrected, so
+    90 %-raw-agreement-on-a-95 %-positive corpus stops looking good.
+
+    Scale shape: ONE narrow per-row map (token/2-gram arithmetic, no
+    explode) into ONE hash aggregate keyed by source — map-side partial
+    combine, a ~sources-sized result, no window, no join. The kappa /
+    alpha arithmetic runs on the 2x2 counts (closed forms in the oracle
+    comment); at 100 TB the only full-data cost is the scan. Counts are
+    BIGINT-exact; 1000*numerator stays under 2^53 up to ~10^11 docs per
+    source, far past any per-source corpus (document before DECIMAL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    g2 = TX.ngrams(toks, 2)
+    tot2 = F.size(g2).cast("long")
+    dup2 = (F.size(g2) - F.size(F.array_distinct(g2))).cast("long")
+    ra = (F.size(toks) >= 5) & (TX.distinct_permille(F.col("text")) >= 600)
+    rb = (tot2 == 0) | (1000 * dup2 <= 300 * tot2)
+    m = (
+        docs.select("source", ra.alias("ra"), rb.alias("rb"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("ra") & F.col("rb")).cast("long")).alias("a"),
+            F.sum((F.col("ra") & ~F.col("rb")).cast("long")).alias("b"),
+            F.sum((~F.col("ra") & F.col("rb")).cast("long")).alias("c"),
+            F.sum((~F.col("ra") & ~F.col("rb")).cast("long")).alias("d"),
+        )
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    e = (F.col("a") + F.col("b")) * (F.col("a") + F.col("c")) + (
+        F.col("c") + F.col("d")
+    ) * (F.col("b") + F.col("d"))
+    k_num = n * (F.col("a") + F.col("d")) - e
+    k_den = n * n - e
+    mm = F.col("b") + F.col("c")
+    n1 = 2 * F.col("a") + mm
+    n0 = 2 * F.col("d") + mm
+    a_num = n0 * n1 - mm * (2 * n - 1)
+    a_den = n0 * n1
+    return m.select(
+        "source",
+        F.col("a").cast("long").alias("both_pos"),
+        F.col("b").cast("long").alias("a_only"),
+        F.col("c").cast("long").alias("b_only"),
+        F.col("d").cast("long").alias("both_neg"),
+        F.when(k_den > 0, F.round(1000.0 * k_num / k_den, 0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("kappa_permille"),
+        F.when(a_den > 0, F.round(1000.0 * a_num / a_den, 0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("alpha_permille"),
+    )

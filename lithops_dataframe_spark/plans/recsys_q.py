@@ -8,6 +8,8 @@ lift, no float tolerance).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -289,7 +291,8 @@ def _bt_oracle() -> str:
     )"""
         prev = f"it{t}"
     sql += f"""
-    SELECT w.brand, w.games, w.wins, ROUND(p.p, 6) AS bt_score
+    SELECT w.brand, w.games, w.wins,
+           CAST(ROUND(p.p * 1000, 0) AS BIGINT) AS bt_permille
     FROM wins w JOIN {prev} p ON p.brand = w.brand
     """
     return sql
@@ -313,9 +316,14 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids / quota tables), so the MM loop runs in exact driver-side
     Python with a canonical (sorted) summation order — zero per-iteration
     Spark stages, and the 100 TB cost is one scan + one shuffle.
-    Zero-win/zero-denominator guarded on both engines; only the final
-    score is a rounded double (the MM chain is smooth, so summation-order
-    noise vs the oracle stays ~1e-13 ≪ the 1e-6 grid)."""
+    Zero-win/zero-denominator guarded on both engines. The MM loop here
+    runs in EXACT rational arithmetic (``fractions.Fraction`` — duel
+    counts are ints, so every p_i is an exact rational), and the emitted
+    score is the integer per-mille ``round(p * 1000)`` — this side has
+    ZERO float noise, and the oracle's float-MM score sits within ~1e-12
+    of the exact value, nine orders below the 0.5e-3 rounding grid, so
+    the hash gate cannot flake on DuckDB's summation order (ADVICE r9;
+    the previous 1e-6 double grid left the boundary risk unbounded)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
@@ -359,19 +367,22 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     brands = sorted(wins)
     opp = {b: sorted(j for (i, j) in games if i == b) for b in brands}
     total = {b: sum(games[(b, j)] for j in opp[b]) for b in brands}
-    p = {b: 1.0 for b in brands}
+    p: dict[str, Fraction] = {b: Fraction(1) for b in brands}
     for _ in range(_BT_ITERS):
         den = {
             b: sum(
-                games[(b, j)] / (p[b] + p[j]) for j in opp[b] if p[b] + p[j] > 0
+                (Fraction(games[(b, j)], 1) / (p[b] + p[j]) for j in opp[b]
+                 if p[b] + p[j] > 0),
+                start=Fraction(0),
             )
             for b in brands
         }
         p = {
-            b: (0.0 if wins[b] == 0 or den[b] <= 0 else wins[b] / den[b])
+            b: (Fraction(0) if wins[b] == 0 or den[b] <= 0
+                else Fraction(wins[b]) / den[b])
             for b in brands
         }
     return spark.createDataFrame(
-        [(b, total[b], wins[b], round(p[b], 6)) for b in brands],
-        "brand string, games long, wins long, bt_score double",
+        [(b, total[b], wins[b], round(p[b] * 1000)) for b in brands],
+        "brand string, games long, wins long, bt_permille long",
     )

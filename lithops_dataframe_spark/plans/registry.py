@@ -123,7 +123,10 @@ PRIORITY: tuple[str, ...] = (
     "io_dpp_prune",
     "classifier_lr_kfold",
     "eval_classifier_auc",
-    "feat_quantile_normalize",
+    # r10 addition (displaces feat_quantile_normalize — no family
+    # constraint on the slot; it is driver-green D9): chance-corrected
+    # inter-rater agreement, never driver-gated — first contact r10
+    "eval_rater_agreement",
     # r9 addition batch 3 (displaces join_asof_tolerance_attribution —
     # temporal-join family stays covered by slot 4's as-of; tolerance is
     # driver-green D8)
@@ -139,7 +142,10 @@ PRIORITY: tuple[str, ...] = (
     "pipeline_traindata_manifest",
     "udf_grouped_ols_trend",
     "sql_recursive_cte",
-    "q01_pricing_summary",
+    # r10 addition (displaces q01_pricing_summary — relational core stays
+    # covered by slot 1's q03; q01 is driver-green D9): per-source token
+    # Gini concentration, never driver-gated — first contact r10
+    "text_source_token_gini",
     # --- slots 46-50: the five round-9 additions (first contact this
     # round; pre-gated by driver-shaped sf0.01 runs). The five names
     # they displace (q18_large_volume_customers, events_funnel,
@@ -153,6 +159,8 @@ PRIORITY: tuple[str, ...] = (
     "pref_bradley_terry",
     "events_changepoint_cusum",
     # every name below is driver-green in an earlier round
+    "feat_quantile_normalize",
+    "q01_pricing_summary",
     "q18_large_volume_customers",
     "events_funnel",
     "win_cumsum_per_supplier",

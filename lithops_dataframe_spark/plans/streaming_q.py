@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.streaming import events as SE
+from lithops_dataframe_spark.streaming.staging import await_or_raise
 from lithops_dataframe_spark.plans.registry import register
 
 _TUMBLING_ORACLE = """
@@ -183,7 +184,7 @@ def stream_merge_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="user_id",
         part_col="part",
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300, "stream_merge_upsert_sink")
     return spark.read.parquet(target).select("user_id", "n_events", "cents")
 
 
@@ -329,7 +330,7 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300, "stream_stateful_running_totals")
 
     emitted = spark.table(sink)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
@@ -416,7 +417,7 @@ def stream_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300, "stream_counter_agg")
 
     emitted = spark.table(sink)
     w = Window.partitionBy("user_id").orderBy(F.col("n_deltas").desc())

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import text as T
-from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.operators.util import ensure_parallelism, global_row_number
 from lithops_dataframe_spark.plans.registry import register
 
 _TOKS = T.ws_tokens_sql("text")
@@ -613,4 +613,95 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("novelty_permille"),
         )
+    )
+
+
+# --- token-mass concentration (Gini) per source (r10) ---
+#
+# Exact integer Gini over per-document token counts within each source —
+# the diversity/concentration audit a curation pipeline reads before
+# setting mixture weights (gini→0: token mass spread evenly across
+# documents; gini→1: a few mega-documents carry the source). With
+# ascending per-source rank i over counts x_i:
+#   gini = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+# Every term is BIGINT; the single double divide of exact integers
+# (1000·N < 2^53 up to ~10^8 docs·tokens per source — document before
+# DECIMAL at larger corpora) makes round() engine-identical.
+#
+# The oracle computes Σ i·x_i via an ORDERED LIST aggregate, not a
+# ROW_NUMBER window — DuckDB 1.0.0's multithreaded window operator can
+# nondeterministically split tiny partitions (the root-caused r8 OHLC
+# flake); ordered aggregates are the trusted replacement.
+_GINI_TOKS = "string_split(text, ' ')"
+_GINI_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_GINI_TOKS})::BIGINT AS t FROM documents
+    ),
+    m AS (
+        SELECT source, list(t ORDER BY t, doc_id) AS xs FROM t GROUP BY source
+    ),
+    g AS (
+        SELECT source, len(xs)::BIGINT AS n, list_sum(xs)::BIGINT AS tot,
+               list_sum(list_transform(range(1, len(xs) + 1),
+                                       i -> i * xs[i]))::BIGINT AS s
+        FROM m
+    )
+    SELECT source, n AS n_docs, tot AS total_tokens,
+           CASE WHEN tot > 0
+                THEN CAST(ROUND(1000.0 * (2 * s - (n + 1) * tot)
+                                / (n * tot), 0) AS BIGINT)
+                ELSE NULL END AS gini_permille
+    FROM g
+"""
+
+
+@register("text_source_token_gini", oracle=_GINI_ORACLE)
+def text_source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of token mass across documents — the
+    concentration audit behind mixture-weight decisions (a source whose
+    tokens sit in a handful of mega-documents needs different treatment
+    from one with the same token total spread over millions of pages).
+
+    Scale shape: per-source ranks come from ONE global two-phase
+    row_number over (source, t, doc_id) (operators/util.py:
+    global_row_number — range partition + per-partition window + a
+    broadcast carry; no single-task window, and crucially no
+    window-partition-per-source, which would serialize each source's
+    millions of documents through one task at 100 TB). The global rank
+    is converted to the per-source rank arithmetically: with off =
+    min(rn) − 1 per source, Σ i·x = Σ rn·x − off·Σx — so one hash
+    aggregate finishes the job. Σ i·x ≤ n²·max_tokens stays BIGINT-exact
+    far past any real corpus; ×1000 stays double-exact at gate SFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("t"),
+    )
+    ranked = global_row_number(
+        d,
+        [F.col("source").asc(), F.col("t").asc(), F.col("doc_id").asc()],
+        out_col="rn",
+    )
+    m = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("tot"),
+        F.sum(F.col("rn") * F.col("t")).cast("long").alias("s_rn"),
+        F.min("rn").cast("long").alias("min_rn"),
+    )
+    s = F.col("s_rn") - (F.col("min_rn") - 1) * F.col("tot")
+    return m.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("tot").alias("total_tokens"),
+        F.when(
+            F.col("tot") > 0,
+            F.round(
+                1000.0 * (2 * s - (F.col("n") + 1) * F.col("tot"))
+                / (F.col("n") * F.col("tot")),
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("gini_permille"),
     )

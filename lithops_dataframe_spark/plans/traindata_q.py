@@ -978,7 +978,13 @@ def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, source string, w long, res_key double"
         )
-    batch_expr = F.expr(f"(doc_id * 3) div {int(mx) + 1}")
+    # Clamp into [0, 2]: a negative doc_id would otherwise produce a batch
+    # index outside the staged range and silently vanish from the stream
+    # while the batch operator (and the shared oracle) still count it
+    # (ADVICE r9). Clamping keeps stream ≡ batch on any id domain; the
+    # divisor guard covers an all-negative corpus (mx + 1 <= 0).
+    div_ = max(int(mx) + 1, 1)
+    batch_expr = F.expr(f"least(greatest((doc_id * 3) div {div_}, 0), 2)")
 
     work = tempfile.mkdtemp(prefix="lds_stream_res_")
     try:

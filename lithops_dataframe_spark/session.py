@@ -85,6 +85,21 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Silence WindowExec's "No Partition Defined … single partition"
+    # warning: every partition-less window in this engine is a two-phase
+    # CARRY frame over ~#partitions rows (global_row_number's offsets,
+    # the prefix-sum totals in evaluation.py) — bounded by design and
+    # cleared by the plan audit — but it fired on every bench/sweep run,
+    # burying any REAL one-task-window regression (r9 verdict task 5).
+    # tools/explain_audit.py remains the detector for unbounded ones.
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the warning
     return spark
 
 

@@ -45,6 +45,7 @@ from pyspark.sql.streaming import StreamingQuery
 from lithops_dataframe_spark.functions import hashing as H
 from lithops_dataframe_spark.operators.dedup import with_minhash
 from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.streaming import fsutil
 
 _POSTINGS_SCHEMA = T.StructType(
     [
@@ -65,8 +66,10 @@ _SHINGLES_SCHEMA = T.StructType(
 def _read_index(spark, path: str, schema: T.StructType, before_epoch: int) -> DataFrame:
     """Standing-index partitions written by epochs strictly BEFORE
     ``before_epoch`` (partition-pruned scan); empty frame when the index
-    does not exist yet (first epoch) or has no earlier partitions."""
-    if not os.path.isdir(path):
+    does not exist yet (first epoch) or has no earlier partitions.
+    Existence is checked through the Hadoop FileSystem API so the index
+    can live on HDFS/S3, not only the driver's local disk."""
+    if not fsutil.exists(spark, path):
         return spark.createDataFrame([], schema)
     with_epoch = T.StructType(
         list(schema.fields) + [T.StructField("epoch", T.IntegerType())]
@@ -207,20 +210,10 @@ def compact_index(
 
     Returns the number of epoch partitions folded away.
     """
-    import re
-    import shutil
-
     folded = 0
     for sub, schema in (("postings", _POSTINGS_SCHEMA), ("shingles", _SHINGLES_SCHEMA)):
         path = os.path.join(index_dir, sub)
-        if not os.path.isdir(path):
-            continue
-        epochs = sorted(
-            int(m.group(1))
-            for d in os.listdir(path)
-            if (m := re.fullmatch(r"epoch=(\d+)", d))
-        )
-        old = [e for e in epochs if e < before_epoch]
+        old = [e for e in fsutil.list_epochs(spark, path) if e < before_epoch]
         if len(old) < 2:
             continue  # nothing to fold
         dest = max(old)
@@ -238,8 +231,8 @@ def compact_index(
             .parquet(tmp)
         )
         for e in old:
-            shutil.rmtree(os.path.join(path, f"epoch={e}"))
-        os.rename(tmp, os.path.join(path, f"epoch={dest}"))
+            fsutil.delete(spark, os.path.join(path, f"epoch={e}"))
+        fsutil.rename(spark, tmp, os.path.join(path, f"epoch={dest}"))
         folded += len(old) - 1
     return folded
 

@@ -42,21 +42,22 @@ def ks_drift_batch_step(
     from lithops_dataframe_spark import cache
 
     spark = batch_df.sparkSession
-    ref = spark.read.parquet(ref_path).select(
-        group_col, value_col, F.lit(1).alias("__is_ref")
-    )
-    cur = batch_df.select(group_col, value_col, F.lit(0).alias("__is_ref"))
-    out = ks_two_sample_by_group(
-        ref.unionByName(cur), group_col, value_col, "__is_ref"
-    )
-    out.write.mode("overwrite").parquet(f"{decisions_dir}/epoch={epoch_id}")
     # ks_two_sample_by_group persist_tracked()s its range-partitioned
-    # midframe; on a REAL continuous stream nothing else would ever
-    # evict it (registry builders release on entry, but a library
-    # caller's stream runs for days) — release per epoch so standing
-    # cache stays bounded to one micro-batch's working set, same
-    # contract as streaming/dedup.py's explicit unpersist.
-    cache.release_all()
+    # midframe; on a REAL continuous stream nothing else would ever evict
+    # it (registry builders release on entry, but a library caller's
+    # stream runs for days). cache.scope() releases ONLY this step's
+    # persists on exit — release_all() here would evict a co-resident
+    # caller's correctness-critical frames session-wide (ADVICE r9); the
+    # write below materializes the result before the scope closes.
+    with cache.scope():
+        ref = spark.read.parquet(ref_path).select(
+            group_col, value_col, F.lit(1).alias("__is_ref")
+        )
+        cur = batch_df.select(group_col, value_col, F.lit(0).alias("__is_ref"))
+        out = ks_two_sample_by_group(
+            ref.unionByName(cur), group_col, value_col, "__is_ref"
+        )
+        out.write.mode("overwrite").parquet(f"{decisions_dir}/epoch={epoch_id}")
 
 
 def foreach_batch_ks_drift(

@@ -21,7 +21,6 @@ as streaming/dedup.py's index).
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from lithops_dataframe_spark.operators.sampling import weighted_reservoir_sample
+from lithops_dataframe_spark.streaming import fsutil
 
 
 def _state_schema(extra: dict[str, str]) -> T.StructType:
@@ -47,18 +47,15 @@ def _read_latest_state(
 ) -> DataFrame:
     """The k-row state snapshot of the newest epoch strictly before
     ``before_epoch`` (ONE partition read — earlier snapshots are
-    superseded, not merged); empty frame on the first epoch."""
-    if os.path.isdir(state_dir):
-        epochs = sorted(
-            int(m.group(1))
-            for d in os.listdir(state_dir)
-            if (m := re.fullmatch(r"epoch=(\d+)", d))
+    superseded, not merged); empty frame on the first epoch. Epochs are
+    listed through the Hadoop FileSystem API (streaming/fsutil.py), so
+    state recovery works when ``state_dir`` is on HDFS/S3, not only the
+    driver's local disk (ADVICE r9)."""
+    prior = [e for e in fsutil.list_epochs(spark, state_dir) if e < before_epoch]
+    if prior:
+        return spark.read.schema(schema).parquet(
+            os.path.join(state_dir, f"epoch={max(prior)}")
         )
-        prior = [e for e in epochs if e < before_epoch]
-        if prior:
-            return spark.read.schema(schema).parquet(
-                os.path.join(state_dir, f"epoch={max(prior)}")
-            )
     return spark.createDataFrame([], schema)
 
 

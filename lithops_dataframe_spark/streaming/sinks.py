@@ -42,15 +42,17 @@ def merge_apply(
     the batch's keys, union, dynamic-partition overwrite. Idempotent for
     identical input (the property the streaming sink's exactly-once story
     rests on); untouched partitions are never rewritten."""
-    import os
-
     from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.streaming import fsutil
 
     spark = batch.sparkSession
     if batch.rdd.isEmpty():
         return
-    initialized = os.path.isdir(path) and any(
-        n.startswith(part_col + "=") for n in os.listdir(path)
+    # Hadoop-FS listing (not os.listdir) so the sink target can live on
+    # HDFS/S3 — same contract as the dedup index and reservoir state.
+    initialized = any(
+        n.startswith(part_col + "=") for n in fsutil.list_dir(spark, path)
     )
     if not initialized:
         batch.repartition(part_col).write.partitionBy(part_col).mode(

@@ -35,3 +35,34 @@ def test_registry_builder_evicts_previous(spark, sf_dir):
     QUERIES["q06_forecast_revenue"](spark, sf_dir).collect()
     for df in tracked_after_first:
         assert not df.storageLevel.useMemory
+
+
+def test_scope_releases_only_inner_frames(spark):
+    """cache.scope() evicts frames tracked inside the block and leaves a
+    co-resident caller's earlier persists alone (ADVICE r9: the drift
+    step's release_all() evicted correctness-critical frames
+    session-wide)."""
+    cache.release_all()
+    outer = cache.persist_tracked(spark.range(50))
+    outer.count()
+    with cache.scope():
+        inner = cache.persist_tracked(spark.range(20))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory
+    assert outer.storageLevel.useMemory
+    assert cache._LIVE == [outer]
+    cache.release_all()
+
+
+def test_scope_releases_on_exception(spark):
+    cache.release_all()
+    try:
+        with cache.scope():
+            inner = cache.persist_tracked(spark.range(20))
+            inner.count()
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not inner.storageLevel.useMemory
+    assert cache._LIVE == []

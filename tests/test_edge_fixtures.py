@@ -106,6 +106,7 @@ EDGE_SWEEP = [
     "events_changepoint_cusum",
     "stream_incremental_reservoir",
     "text_ngram_novelty",
+    "text_source_token_gini",
     "stream_ks_drift",
     "pipeline_traindata_manifest",
     # dq family on documents
@@ -253,6 +254,7 @@ EDGE_SWEEP = [
     "eval_classifier_auc",
     "eval_auc_by_source",
     "eval_calibration_bins",
+    "eval_rater_agreement",
     "classifier_lr_train",
     "classifier_lr_score_corpus",
     # embedding family on 64-dim edge vectors (duplicate pair, antipodal

@@ -309,3 +309,26 @@ def test_stream_full_outer_join_equals_batch_settled_prefix(spark, replay_dir):
     must_oc = {r for r in exp_oc if r[1] < settled}
     assert must_oc - got_oc == set(), "settled orphan clicks never emitted"
     assert must_oc, "fixture produced no settled orphan clicks — test vacuous"
+
+
+def test_staging_clamp_keeps_negative_ids(spark, tmp_path):
+    """The micro-batch staging expression used by the incremental
+    streaming queries clamps the batch index into [0, n-1]: a negative
+    doc_id must land in batch 0, not vanish from the stream (ADVICE r9 —
+    the batch operators and shared oracles count every non-null id, so a
+    dropped row would be a silent stream-vs-batch divergence)."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.streaming.staging import stage_microbatches
+
+    df = spark.createDataFrame(
+        [(-7, "neg"), (0, "zero"), (5, "mid"), (11, "hi")], "doc_id long, tag string"
+    )
+    mx = 11
+    div_ = max(mx + 1, 1)
+    expr = F.expr(f"least(greatest((doc_id * 3) div {div_}, 0), 2)")
+    files = stage_microbatches(df, expr, 3, str(tmp_path / "replay"))
+    staged = spark.read.parquet(*files)
+    assert staged.count() == 4  # nothing dropped
+    b0 = {r["doc_id"] for r in spark.read.parquet(files[0]).collect()}
+    assert -7 in b0 and 0 in b0  # negatives clamp into the FIRST batch
