@@ -65,7 +65,15 @@ def token_hash60_sql(expr: str) -> str:
 # word shingles
 # ---------------------------------------------------------------------------
 def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of a whitespace-tokenized text column."""
+    """Distinct word n-gram shingles of a whitespace-tokenized text column.
+
+    NULL text → NULL shingles on BOTH engines (r10 edge row): the
+    previous short-text fallback ran ``concat_ws`` over the NULL token
+    array, which SKIPS the NULL and produced ``[""]`` — identical to an
+    empty document's shingles — so a fetch-failure row near-dup-paired
+    with every empty document while DuckDB's NULL propagation excluded
+    it. A missing document has no similarity evidence; NULL signatures
+    fail every band/jaccard predicate identically on both engines."""
     words = F.split(text, " ")
     if n == 1:
         return F.array_distinct(words)
@@ -73,7 +81,9 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
     return F.when(
         F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(F.array(F.concat_ws(" ", words)))
+    ).otherwise(
+        F.when(text.isNotNull(), F.array(F.concat_ws(" ", words)))
+    )
 
 
 def word_shingles_sql(expr: str, n: int = 2) -> str:
@@ -85,7 +95,8 @@ def word_shingles_sql(expr: str, n: int = 2) -> str:
     return (
         f"(CASE WHEN len({words}) >= {n} THEN "
         f"list_distinct(list_transform(range(1, len({words}) - {n - 2}), i -> {gram})) "
-        f"ELSE [array_to_string({words}, ' ')] END)"
+        f"WHEN {expr} IS NOT NULL THEN [array_to_string({words}, ' ')] "
+        f"ELSE NULL END)"
     )
 
 

@@ -44,6 +44,12 @@ def feature_frame(docs: DataFrame, *, keep: tuple[str, ...] = ()) -> DataFrame:
     n_chars = F.length(text).cast("double")
     spaces = (F.length(text) - F.length(F.regexp_replace(text, " ", ""))).cast("double")
     digits = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+    # NULL text has no label and no features: the row would ride through
+    # training as all-NULL (harmlessly skipped by the gradient sums but
+    # COUNTED in n) and then rank nondeterministically in downstream
+    # calibration/AUC ordering (r10 edge row) — excluded by contract on
+    # both engines (oracle CTEs carry the same WHERE).
+    docs = docs.filter(text.isNotNull())
     return docs.select(
         *keep,
         "doc_id",

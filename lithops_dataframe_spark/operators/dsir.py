@@ -110,8 +110,14 @@ def dsir_select(docs: DataFrame, is_target: Column, *, k: int) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.element_at(warr, (_bucket(t) + 1).cast("int")),
     )
+    # A NULL-text document has no token bag to score: its NULL score row
+    # would still survive orderBy+limit on the Spark side while the
+    # oracle's token unnest never produces it (r10 edge row) — excluded
+    # by contract, same as the model-fitting side where explode/unnest
+    # drop the row on both engines.
     return (
-        docs.select(
+        docs.filter(F.col("text").isNotNull())
+        .select(
             "doc_id",
             F.size(toks).cast("long").alias("n_toks"),
             score.alias("score_micro"),

@@ -76,6 +76,11 @@ def media_table(docs: DataFrame) -> DataFrame:
     mt = F.element_at(
         F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
     )
+    # A NULL-text document has no object to ingest (fetch failure): the
+    # lake contract is one non-NULL binary per row — downstream decode /
+    # feature / frame UDFs and the per-payload .bin writer all dereference
+    # the bytes (r10 edge row). Excluded here AND in every mm oracle.
+    docs = docs.filter(F.col("text").isNotNull())
     docs = ensure_parallelism(docs)  # spread Arrow decode batches across cores
     return docs.select(
         "doc_id",

@@ -28,7 +28,7 @@ def _lr_ctes(epochs: int, lr: float, *, with_acc: bool = True) -> str:
                    / (length(text) + 1.0) AS x3,
                length(text) / ((length(text) - length(replace(text, ' ', ''))) + 1.0)
                    / 10.0 AS x4
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     n AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM feats),
     w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
@@ -234,7 +234,7 @@ _FEATS_CTE = """
                    / (length(text) + 1.0) AS x3,
                length(text) / ((length(text) - length(replace(text, ' ', ''))) + 1.0)
                    / 10.0 AS x4
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )"""
 
 

@@ -330,6 +330,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from lithops_dataframe_spark.streaming.staging import (
         await_or_raise,
+        clamped_batch_expr,
         stage_microbatches,
     )
 
@@ -340,14 +341,10 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "doc_id long, n_prior_dups long, keep int, batch_no long"
         )
     # Same clamped formula as the oracle's batch_no — and the staged file
-    # order (b0 < b1 < b2 by mtime) equals batch_no order. The [0, 2]
-    # clamp keeps a negative doc_id in the first micro-batch instead of
-    # silently dropping it from the stream (ADVICE r9); clamping is
-    # monotone in doc_id, so the "kept iff no smaller-id near-dup" rule
-    # still holds across epochs. Divisor guard covers an all-negative
-    # corpus (mx + 1 <= 0).
-    div_ = max(int(mx) + 1, 1)
-    batch_expr = F.expr(f"least(greatest((doc_id * 3) div {div_}, 0), 2)")
+    # order (b0 < b1 < b2 by mtime) equals batch_no order. Shared helper:
+    # see streaming/staging.clamped_batch_expr for the negative-id /
+    # divisor-guard contract.
+    batch_expr = clamped_batch_expr(int(mx), 3)
 
     work = tempfile.mkdtemp(prefix="lds_stream_dedup_")
     try:

@@ -30,13 +30,13 @@ _DECODE_ORACLE = f"""
            (CASE WHEN {_MT} IN ('image','video') THEN {_H} END)::INT AS height,
            (CASE WHEN {_MT} IN ('audio','video') THEN {_D} END)::INT AS duration_ms,
            octet_length(encode(text))::BIGINT AS n_bytes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 """
 
 _FEATURES_ORACLE = "SELECT doc_id, " + ", ".join(
     f"ROUND((('0x' || substr(md5(text), {4 * i + 1}, 4))::BIGINT)::DOUBLE / 65535, 6) AS f{i}"
     for i in range(M.FEATURE_DIM)
-) + " FROM documents"
+) + " FROM documents WHERE text IS NOT NULL"
 
 _RESIZE_ORACLE = f"""
     WITH img AS (
@@ -61,7 +61,8 @@ _RESIZE_ORACLE = f"""
 
 _FRAMES_ORACLE = f"""
     WITH v AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        SELECT doc_id, text FROM documents
+        WHERE doc_id % 3 = 2 AND text IS NOT NULL
     ),
     f AS (
         SELECT doc_id, text,

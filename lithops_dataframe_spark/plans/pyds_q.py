@@ -134,7 +134,7 @@ _BINDIR_ORACLE = """
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS payload_md5
-    FROM documents WHERE doc_id < 200
+    FROM documents WHERE doc_id < 200 AND text IS NOT NULL
 """
 
 

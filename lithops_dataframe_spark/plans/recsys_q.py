@@ -319,11 +319,14 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-win/zero-denominator guarded on both engines. The MM loop here
     runs in EXACT rational arithmetic (``fractions.Fraction`` — duel
     counts are ints, so every p_i is an exact rational), and the emitted
-    score is the integer per-mille ``round(p * 1000)`` — this side has
-    ZERO float noise, and the oracle's float-MM score sits within ~1e-12
-    of the exact value, nine orders below the 0.5e-3 rounding grid, so
-    the hash gate cannot flake on DuckDB's summation order (ADVICE r9;
-    the previous 1e-6 double grid left the boundary risk unbounded)."""
+    score is the integer per-mille ``floor(1000p + 1/2)`` (half away
+    from zero, matching DuckDB ROUND) — this side has ZERO float noise,
+    and the oracle's float-MM score sits within ~1e-12 of the exact
+    value, nine orders below the 0.5e-3 rounding grid, so the gate's
+    residual mismatch window is ~1e-9 per run and — crucially — requires
+    the exact score to sit within float noise of a half-permille point,
+    not merely DuckDB to re-order a sum (ADVICE r9; the previous 1e-6
+    double-vs-double grid left the boundary risk unbounded)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
@@ -382,7 +385,15 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else Fraction(wins[b]) / den[b])
             for b in brands
         }
+    # floor(q + 1/2) = round-half-AWAY-FROM-ZERO for the non-negative
+    # strengths — matching DuckDB's ROUND; Python round(Fraction) would
+    # be banker's (half-to-even) and could differ at an exact half grid
+    # point (code-review r10).
+    def _permille(q: Fraction) -> int:
+        num = 1000 * q + Fraction(1, 2)
+        return num.numerator // num.denominator
+
     return spark.createDataFrame(
-        [(b, total[b], wins[b], round(p[b] * 1000)) for b in brands],
+        [(b, total[b], wins[b], _permille(p[b])) for b in brands],
         "brand string, games long, wins long, bt_permille long",
     )

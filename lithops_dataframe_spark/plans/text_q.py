@@ -635,7 +635,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GINI_TOKS = "string_split(text, ' ')"
 _GINI_ORACLE = f"""
     WITH t AS (
-        SELECT doc_id, source, len({_GINI_TOKS})::BIGINT AS t FROM documents
+        SELECT doc_id, source,
+               COALESCE(len({_GINI_TOKS}), 0)::BIGINT AS t
+        FROM documents
     ),
     m AS (
         SELECT source, list(t ORDER BY t, doc_id) AS xs FROM t GROUP BY source
@@ -673,10 +675,17 @@ def text_source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate finishes the job. Σ i·x ≤ n²·max_tokens stays BIGINT-exact
     far past any real corpus; ×1000 stays double-exact at gate SFs."""
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text → 0 tokens on BOTH engines (code-review r10 catch: a bare
+    # size() is NULL under ANSI, and Spark ranks NULLs FIRST while
+    # DuckDB's ordered-list aggregate puts them LAST — one NULL-text row
+    # would shift every rank and corrupt Σ i·x). t=0 sorts first
+    # deterministically everywhere and contributes no token mass.
     d = docs.select(
         "doc_id",
         "source",
-        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("t"),
+        F.coalesce(F.size(T.ws_tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("t"),
     )
     ranked = global_row_number(
         d,

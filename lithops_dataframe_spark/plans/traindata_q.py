@@ -978,13 +978,12 @@ def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, source string, w long, res_key double"
         )
-    # Clamp into [0, 2]: a negative doc_id would otherwise produce a batch
-    # index outside the staged range and silently vanish from the stream
-    # while the batch operator (and the shared oracle) still count it
-    # (ADVICE r9). Clamping keeps stream ≡ batch on any id domain; the
-    # divisor guard covers an all-negative corpus (mx + 1 <= 0).
-    div_ = max(int(mx) + 1, 1)
-    batch_expr = F.expr(f"least(greatest((doc_id * 3) div {div_}, 0), 2)")
+    # Clamped into [0, 2] so a negative doc_id lands in the first batch
+    # instead of vanishing from the stream (shared helper — see
+    # streaming/staging.clamped_batch_expr for the full contract).
+    from lithops_dataframe_spark.streaming.staging import clamped_batch_expr
+
+    batch_expr = clamped_batch_expr(int(mx), 3)
 
     work = tempfile.mkdtemp(prefix="lds_stream_res_")
     try:

@@ -196,8 +196,11 @@ def frame_map_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "n_tokens": pdf["text"].str.split(" ").str.len().astype("int64"),
-                "text_len": pdf["text"].str.len().astype("int64"),
+                # nullable Int64 (not int64): a NULL text row must emit
+                # NULL counts like the oracle's LENGTH(NULL), not crash
+                # the astype (r10 edge row)
+                "n_tokens": pdf["text"].str.split(" ").str.len().astype("Int64"),
+                "text_len": pdf["text"].str.len().astype("Int64"),
             }
         )
 

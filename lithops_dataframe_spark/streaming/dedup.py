@@ -202,17 +202,42 @@ def compact_index(
     at 100 TB pick index_bytes / file_target). Run it from a maintenance
     trigger BETWEEN micro-batches — same slot where lakehouse engines
     schedule OPTIMIZE. Crash-safety: the consolidated data is fully
-    written to a ``_compact_*`` staging dir (ignored by Spark's partition
-    discovery) before any old partition is removed; a crash mid-swap is
-    recovered by re-running the compaction's rename step. A transactional
-    table format (Delta/Iceberg) would make the swap atomic — this module
-    deliberately stays on plain parquet like the rest of the engine.
+    written to a ``_compact_<sub>_epoch<dest>`` staging dir (ignored by
+    Spark's partition discovery; the destination epoch is embedded in
+    the name) before any old partition is removed, and every call FIRST
+    promotes any orphaned staging dir left by a crash between the
+    deletes and the rename — so the folded history is recoverable from
+    the staging copy at every point in the swap window (code-review r10:
+    the previous "re-run the rename" claim had no code behind it). A
+    transactional table format (Delta/Iceberg) would make the swap
+    atomic — this module deliberately stays on plain parquet like the
+    rest of the engine.
 
     Returns the number of epoch partitions folded away.
     """
+    import re
+
     folded = 0
     for sub, schema in (("postings", _POSTINGS_SCHEMA), ("shingles", _SHINGLES_SCHEMA)):
         path = os.path.join(index_dir, sub)
+        # Recovery: promote an orphaned staging dir from a prior crashed
+        # swap BEFORE planning this round. The orphan holds the complete
+        # fold of every epoch < its cutoff; restoring it to its embedded
+        # dest epoch (and dropping any older partial leftovers) recreates
+        # the prior attempt's post-compaction state exactly.
+        for name in fsutil.list_dir(spark, index_dir):
+            m = re.fullmatch(rf"_compact_{sub}_epoch(\d+)", name)
+            if not m:
+                continue
+            dest = int(m.group(1))
+            staged = os.path.join(index_dir, name)
+            if fsutil.exists(spark, os.path.join(staged, "_SUCCESS")):
+                for e in fsutil.list_epochs(spark, path):
+                    if e <= dest:
+                        fsutil.delete(spark, os.path.join(path, f"epoch={e}"))
+                fsutil.rename(spark, staged, os.path.join(path, f"epoch={dest}"))
+            else:  # incomplete write — the old partitions are all intact
+                fsutil.delete(spark, staged)
         old = [e for e in fsutil.list_epochs(spark, path) if e < before_epoch]
         if len(old) < 2:
             continue  # nothing to fold
@@ -220,7 +245,7 @@ def compact_index(
         with_epoch = T.StructType(
             list(schema.fields) + [T.StructField("epoch", T.IntegerType())]
         )
-        tmp = os.path.join(index_dir, f"_compact_{sub}")
+        tmp = os.path.join(index_dir, f"_compact_{sub}_epoch{dest}")
         (
             spark.read.schema(with_epoch)
             .parquet(path)

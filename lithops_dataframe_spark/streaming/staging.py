@@ -46,6 +46,26 @@ def stage_microbatches(
     return files
 
 
+def clamped_batch_expr(max_id: int, n_batches: int, id_col: str = "doc_id") -> Column:
+    """The staging batch index shared by the incremental streaming gate
+    queries: ``(id * n) div (max_id + 1)`` clamped into [0, n-1].
+
+    The clamp keeps a NEGATIVE id in the FIRST micro-batch instead of
+    silently dropping it from the stream (ADVICE r9 — the batch
+    operators and shared oracles count every non-null id); clamping is
+    monotone in the id, so order-dependent dedup rules ("kept iff no
+    smaller-id near-dup") survive. The divisor guard covers an
+    all-negative corpus (max_id + 1 <= 0). ONE definition used by both
+    plans and the regression test, so the guard cannot rot in one copy
+    (code-review r10)."""
+    from pyspark.sql import functions as F
+
+    div_ = max(int(max_id) + 1, 1)
+    return F.expr(
+        f"least(greatest(({id_col} * {n_batches}) div {div_}, 0), {n_batches - 1})"
+    )
+
+
 def await_or_raise(q: StreamingQuery, timeout_s: int, name: str) -> None:
     """``awaitTermination(timeout)`` returns False on timeout — reading
     back a partial decisions/state table would silently pass a wrong

@@ -168,6 +168,11 @@ def _documents() -> pd.DataFrame:
         (2, "", "de", "src0", 0),  # empty text
         (3, "zzz zzz zzz zzz zzz", "es", "src0", 19),  # one token repeated
         (4, "unique words only here now", "zh", "src1", 26),
+        # r10: NULL text + NULL n_chars — production corpora carry fetch
+        # failures; every text/dedup/pipeline query must treat the row
+        # identically on both engines (ANSI size(NULL), NULLS FIRST/LAST,
+        # NULL-weight exclusion are all divergence classes this row arms)
+        (5, None, "en", "src1", None),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
 

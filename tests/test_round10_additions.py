@@ -99,3 +99,22 @@ def test_gini_equals_mean_absolute_difference_form(spark, tmp_path):
     mad = sum(abs(x - y) for x in counts for y in counts) / n**2
     gini = mad / (2 * tot / n)
     assert r["gini_permille"] == round(1000 * gini)
+
+
+def test_gini_null_text_counts_as_zero_tokens(spark, tmp_path):
+    """NULL text must rank as t=0 on BOTH engines (code-review r10: a
+    bare size() is NULL under ANSI — Spark ranks NULLs first, DuckDB's
+    ordered list puts them last, corrupting every rank). Counts: NULL
+    doc contributes n_docs but no token mass."""
+    rows = [
+        (0, None, "en", "s", None),
+        (1, "a b", "en", "s", 3),
+        (2, "a b c d", "en", "s", 7),
+    ]
+    r = QUERIES["text_source_token_gini"](
+        spark, _mini_docs_dir(tmp_path, rows)
+    ).collect()[0].asDict()
+    assert r["n_docs"] == 3
+    assert r["total_tokens"] == 6
+    # sorted t = [0, 2, 4]: S = 0 + 2*2 + 3*4 = 16; (2*16 - 4*6)/(3*6)
+    assert r["gini_permille"] == round(1000 * 8 / 18)

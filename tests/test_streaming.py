@@ -317,17 +317,20 @@ def test_staging_clamp_keeps_negative_ids(spark, tmp_path):
     doc_id must land in batch 0, not vanish from the stream (ADVICE r9 —
     the batch operators and shared oracles count every non-null id, so a
     dropped row would be a silent stream-vs-batch divergence)."""
-    from pyspark.sql import functions as F
-
-    from lithops_dataframe_spark.streaming.staging import stage_microbatches
+    from lithops_dataframe_spark.streaming.staging import (
+        clamped_batch_expr,
+        stage_microbatches,
+    )
 
     df = spark.createDataFrame(
         [(-7, "neg"), (0, "zero"), (5, "mid"), (11, "hi")], "doc_id long, tag string"
     )
-    mx = 11
-    div_ = max(mx + 1, 1)
-    expr = F.expr(f"least(greatest((doc_id * 3) div {div_}, 0), 2)")
-    files = stage_microbatches(df, expr, 3, str(tmp_path / "replay"))
+    # the PRODUCTION expression (shared by both incremental gate queries),
+    # not a local reconstruction — so a guard edit in the helper is what
+    # this test pins (code-review r10)
+    files = stage_microbatches(
+        df, clamped_batch_expr(11, 3), 3, str(tmp_path / "replay")
+    )
     staged = spark.read.parquet(*files)
     assert staged.count() == 4  # nothing dropped
     b0 = {r["doc_id"] for r in spark.read.parquet(files[0]).collect()}

@@ -225,3 +225,77 @@ def test_compact_every_wired_into_stream(spark, dirs, tmp_path):
         )
         # epochs {0,1} folded into epoch=1 before epoch 2 ran; 2 and 3 appended
         assert eps == ["epoch=1", "epoch=2", "epoch=3"], (sub, eps)
+
+
+def test_compaction_crash_recovery(spark, dirs, tmp_path):
+    """Crash-window recovery (code-review r10): simulate a driver death
+    BETWEEN the old-epoch deletes and the staging rename — the next
+    compact_index call must promote the orphaned staging dir first, so
+    the folded history is never lost and later decisions still match a
+    crash-free run."""
+    import os
+    import shutil
+
+    from lithops_dataframe_spark.streaming.dedup import compact_index
+
+    batches = [
+        [(0, _NEAR_A)],
+        [(10, _UNIQUE)],
+        [(20, _NEAR_A2)],
+        [(30, _NEAR_A)],
+    ]
+    index_dir, decisions_dir = dirs
+    baseline = _run_epochs(spark, batches, index_dir, decisions_dir)
+
+    c_index = str(tmp_path / "c_index")
+    c_decisions = str(tmp_path / "c_decisions")
+    for epoch, rows in enumerate(batches[:2]):
+        incremental_dedup_batch_step(
+            _docs(spark, rows), epoch, c_index, c_decisions,
+            text_col="text", id_col="doc_id",
+        )
+    # Crash simulation: replicate compact_index's swap up to (and
+    # including) the deletes, but die before the rename — staging dirs
+    # complete (_SUCCESS present), epoch dirs already gone.
+    from pyspark.sql import types as T
+
+    from lithops_dataframe_spark.streaming.dedup import (
+        _POSTINGS_SCHEMA,
+        _SHINGLES_SCHEMA,
+    )
+
+    for sub, schema in (("postings", _POSTINGS_SCHEMA), ("shingles", _SHINGLES_SCHEMA)):
+        path = os.path.join(c_index, sub)
+        with_epoch = T.StructType(
+            list(schema.fields) + [T.StructField("epoch", T.IntegerType())]
+        )
+        tmp = os.path.join(c_index, f"_compact_{sub}_epoch1")
+        (
+            spark.read.schema(with_epoch).parquet(path)
+            .filter(F.col("epoch") < 2).drop("epoch")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+        )
+        for e in (0, 1):
+            shutil.rmtree(os.path.join(path, f"epoch={e}"))
+        # <- crash here: no rename
+    # Next maintenance slot: recovery inside compact_index. Nothing new
+    # to fold afterwards (only the restored epoch=1 is below the cutoff).
+    assert compact_index(spark, c_index, before_epoch=2) == 0
+    for sub in ("postings", "shingles"):
+        eps = sorted(
+            d for d in os.listdir(os.path.join(c_index, sub)) if d.startswith("epoch=")
+        )
+        assert eps == ["epoch=1"], (sub, eps)
+        assert not any(
+            n.startswith("_compact_") for n in os.listdir(c_index)
+        ), "staging dir must be consumed"
+    for epoch, rows in list(enumerate(batches))[2:]:
+        incremental_dedup_batch_step(
+            _docs(spark, rows), epoch, c_index, c_decisions,
+            text_col="text", id_col="doc_id",
+        )
+    recovered = {
+        r["doc_id"]: (r["n_prior_dups"], r["keep"])
+        for r in spark.read.parquet(c_decisions).collect()
+    }
+    assert recovered == baseline
