@@ -417,6 +417,21 @@ SCALE_EXP_FLAG = 1.15
 SCALE_COPIES = 10
 
 
+def _eager_names() -> set[str]:
+    """Names from tools/eager_builders.txt — builders that run Spark jobs
+    (training epochs, streams, table writes) at construction time."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "eager_builders.txt"
+    )
+    out: set[str] = set()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                out.add(line.split()[0])
+    return out
+
+
 def _run_noop(df) -> None:
     """Materialize every row through Spark's no-op sink: full scan /
     shuffle / window / agg work, zero driver transfer. The curve measures
@@ -551,6 +566,24 @@ def main() -> None:
             took = time.perf_counter() - start
             timings[name] = round(min(timings.get(name, float("inf")), took), 4)
 
+    # Eager/trainer family (tools/eager_builders.txt): their construction
+    # drives real job cascades (training epochs, availableNow streams,
+    # table writes), and inside a ~320-execution session those cascades
+    # pick up JIT/GC session-phase noise that best-of-2 can't suppress —
+    # the committed r10 rows showed 2-5.7x ghosts vs an exclusive
+    # best-of-4 remeasure (VERDICT r10 item 1). Same cure the scale curve
+    # adopted in r8: one extra untimed warmup immediately before
+    # measurement (phase-local, not just session-start), then enough
+    # extra timed passes that every eager row is a best-of-4.
+    eager = _eager_names()
+    for name in (n for n in names + extra if n in eager):
+        QUERIES[name](spark, sf_dir).collect()  # untimed phase-local warmup
+        for _ in range(max(4 - reps, 0)):
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            took = time.perf_counter() - start
+            timings[name] = round(min(timings[name], took), 4)
+
     # headline value/queries keep the round-1/2 composition; round-3/4
     # additions report under their own total keys
     head = {n: t for n, t in timings.items() if n in set(HEADLINE)}
@@ -599,11 +632,11 @@ def main() -> None:
     elapsed = time.perf_counter() - t_start
     if os.environ.get("LDS_BENCH_NO_SCALE"):
         pass
-    elif elapsed > 900:
-        # threshold raised r6: the additions list grew to ~45 timed
-        # queries, so ~510 s main passes are NORMAL on a healthy host —
-        # the old 480 s cutoff (sized for the r5 list) would skip the
-        # curve every round; 900 s still catches genuinely degraded hosts
+    elif elapsed > 1200:
+        # threshold raised r6 (480->900: additions list grew to ~45 timed
+        # queries) and r11 (900->1200: the eager best-of-4 phase adds ~3
+        # executions for each of ~41 eager names, putting healthy main
+        # passes at ~700-800 s); 1200 s still catches degraded hosts
         full["scale_curve_skipped"] = f"main passes took {round(elapsed)}s"
         # overwrite the side artifact too — a stale curve from an earlier
         # run must not masquerade as this run's measurement

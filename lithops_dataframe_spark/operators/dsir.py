@@ -122,6 +122,11 @@ def dsir_select(docs: DataFrame, is_target: Column, *, k: int) -> DataFrame:
             F.size(toks).cast("long").alias("n_toks"),
             score.alias("score_micro"),
         )
-        .orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+        # n_toks in the ordering: duplicate doc_ids are distinct documents
+        # scored separately (r11), so the top-k cut needs a tiebreak past
+        # doc_id when scores collide at the boundary
+        .orderBy(
+            F.col("score_micro").desc(), F.col("doc_id").asc(), F.col("n_toks").asc()
+        )
         .limit(k)
     )

@@ -79,7 +79,9 @@ def media_table(docs: DataFrame) -> DataFrame:
     # A NULL-text document has no object to ingest (fetch failure): the
     # lake contract is one non-NULL binary per row — downstream decode /
     # feature / frame UDFs and the per-payload .bin writer all dereference
-    # the bytes (r10 edge row). Excluded here AND in every mm oracle.
+    # the bytes (r10 edge row). Every mm oracle (decode/features/frames/
+    # resize/phash) carries the matching `text IS NOT NULL` filter (r11:
+    # resize + phash were missing it — fixed).
     docs = docs.filter(F.col("text").isNotNull())
     docs = ensure_parallelism(docs)  # spread Arrow decode batches across cores
     return docs.select(
@@ -119,7 +121,16 @@ def write_payload_files(media: DataFrame, out_dir: str) -> int:
                 n += 1
         yield pd.DataFrame({"n": [n]})
 
-    counts = media.select("doc_id", "payload").mapInPandas(fn, "n long").collect()
+    # Key-collision policy (r11 edge row: two documents sharing a doc_id):
+    # an object store has ONE object per key, and last-writer-wins would
+    # be whichever task flushed last — nondeterministic. The writer keeps
+    # the lexicographically-smallest payload per key (binary min ==
+    # memcmp order == the source text's min in any binary-collated
+    # engine), so the lake layout is deterministic and idempotent.
+    dedup = media.select("doc_id", "payload").groupBy("doc_id").agg(
+        F.min("payload").alias("payload")
+    )
+    counts = dedup.mapInPandas(fn, "n long").collect()
     return int(sum(r.n for r in counts))
 
 

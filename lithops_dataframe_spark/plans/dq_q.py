@@ -796,6 +796,7 @@ _AGREE_ORACLE = f"""
                         - len(list_distinct({TX.ngrams_sql(_AGREE_TOKS, 2)})))
                 <= 300 * len({TX.ngrams_sql(_AGREE_TOKS, 2)})) AS rb
         FROM documents
+        WHERE text IS NOT NULL
     ),
     m AS (
         SELECT source,
@@ -835,7 +836,11 @@ def eval_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment); at 100 TB the only full-data cost is the scan. Counts are
     BIGINT-exact; 1000*numerator stays under 2^53 up to ~10^11 docs per
     source, far past any per-source corpus (document before DECIMAL)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # A NULL-text doc has no rating from either rater — excluded on BOTH
+    # engines (r11: without this, ngrams_sql's []::VARCHAR[] fallback made
+    # the oracle's rb TRUE while Spark's rb stayed NULL; masked on mixed
+    # sources, a hash divergence on an all-NULL source).
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = TX.ws_tokens(F.col("text"))
     g2 = TX.ngrams(toks, 2)
     tot2 = F.size(g2).cast("long")
@@ -875,4 +880,141 @@ def eval_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_den > 0, F.round(1000.0 * a_num / a_den, 0).cast("long"))
         .otherwise(F.lit(None).cast("long"))
         .alias("alpha_permille"),
+    )
+
+
+# --- McNemar's test on the rater-disagreement cells (r11) ---
+#
+# Same two deterministic raters as eval_rater_agreement; the question
+# McNemar answers is DIRECTIONAL: "is rater A systematically stricter
+# than rater B?" — only the discordant cells b (A-only) and c (B-only)
+# carry information, n = b + c.
+#   chi2_cc = (max(|b-c|-1, 0))^2 / n      (Edwards continuity
+#       correction, clamped at 0 so b == c scores 0, not 1/n)
+#   exact two-sided p = min(1, 2 * P(X <= min(b,c))),  X ~ Binom(n, 1/2)
+#       = min(2^n, 2 * sum_{k<=min(b,c)} C(n,k)) / 2^n
+# The exact tail is emitted for n <= 50 ONLY: there every intermediate
+# (C(50,25) ~ 1.26e14, times (n-k+1) <= 3.3e15, and 2^50 ~ 1.1e15) is an
+# integer below 2^53, so the double-arithmetic fold is EXACT on both
+# engines — engine-identical by exactness, not by matching rounding
+# modes. For n > 50 the exact test is what no stats package would use
+# anyway (the chi2 approximation's error is < 1e-6 there); emitting NULL
+# keeps the contract honest instead of silently switching formulas.
+# C(n,k) is built by the integer recurrence C(n,k+1) = C(n,k)*(n-k)/(k+1)
+# (the division is always exact in that order).
+_MCNEMAR_ORACLE = f"""
+    WITH RECURSIVE r AS (
+        SELECT source,
+               (len({_AGREE_TOKS}) >= 5
+                AND {TX.distinct_permille_sql('text')} >= 600) AS ra,
+               (len({TX.ngrams_sql(_AGREE_TOKS, 2)}) = 0 OR
+                1000 * (len({TX.ngrams_sql(_AGREE_TOKS, 2)})
+                        - len(list_distinct({TX.ngrams_sql(_AGREE_TOKS, 2)})))
+                <= 300 * len({TX.ngrams_sql(_AGREE_TOKS, 2)})) AS rb
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    cells AS (
+        SELECT source,
+               SUM((ra AND NOT rb)::INT)::BIGINT AS b,
+               SUM((NOT ra AND rb)::INT)::BIGINT AS c
+        FROM r GROUP BY source
+    ),
+    base AS (
+        SELECT source, b, c, b + c AS n, least(b, c) AS m FROM cells
+    ),
+    tail AS (
+        SELECT source, n, m, 0::BIGINT AS k, 1.0::DOUBLE AS ck, 1.0::DOUBLE AS s
+        FROM base WHERE n BETWEEN 1 AND 50
+        UNION ALL
+        SELECT source, n, m, k + 1,
+               ck * (n - k) / (k + 1), s + ck * (n - k) / (k + 1)
+        FROM tail WHERE k < m
+    ),
+    tfin AS (SELECT source, s FROM tail WHERE k = m)
+    SELECT base.source,
+           base.b AS a_only,
+           base.c AS b_only,
+           CASE WHEN base.n > 0
+                THEN CAST(ROUND(1000.0 * greatest(abs(base.b - base.c) - 1, 0)
+                                * greatest(abs(base.b - base.c) - 1, 0)
+                                / base.n, 0) AS BIGINT)
+                END AS chi2_cc_permille,
+           CASE WHEN base.n BETWEEN 1 AND 50
+                THEN CAST(ROUND(1000000.0
+                                * least(2.0 * tfin.s, pow(2.0, base.n))
+                                / pow(2.0, base.n), 0) AS BIGINT)
+                END AS p_exact_micros
+    FROM base LEFT JOIN tfin USING (source)
+"""
+
+
+@register("eval_mcnemar_exact", oracle=_MCNEMAR_ORACLE)
+def eval_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test per source on the two raters' discordant cells —
+    the annotation-QA decision metric downstream of eval_rater_agreement:
+    kappa says HOW MUCH the labelers agree, McNemar says whether one is
+    SYSTEMATICALLY stricter (paired binary outcomes, so the marginal
+    test must condition on the discordant pairs only). Emits the
+    continuity-corrected chi2 statistic (always) and the exact two-sided
+    binomial p (for n = b + c <= 50, where the exact test is the right
+    tool and every intermediate is integer-exact in doubles — see the
+    oracle comment; larger n gets NULL, chi2 is the instrument there).
+
+    Scale shape: identical to eval_rater_agreement — ONE narrow per-row
+    map into ONE source-keyed hash aggregate (map-side partial combine,
+    ~sources-sized result). The binomial fold is an O(min(b,c) <= 50)
+    array fold applied to that sources-sized frame, not to data rows;
+    at 100 TB the only full-data cost is the scan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = TX.ws_tokens(F.col("text"))
+    g2 = TX.ngrams(toks, 2)
+    tot2 = F.size(g2).cast("long")
+    dup2 = (F.size(g2) - F.size(F.array_distinct(g2))).cast("long")
+    ra = (F.size(toks) >= 5) & (TX.distinct_permille(F.col("text")) >= 600)
+    rb = (tot2 == 0) | (1000 * dup2 <= 300 * tot2)
+    cells = (
+        docs.select("source", ra.alias("ra"), rb.alias("rb"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("ra") & ~F.col("rb")).cast("long")).alias("b"),
+            F.sum((~F.col("ra") & F.col("rb")).cast("long")).alias("c"),
+        )
+    )
+    bb, cc = F.col("b"), F.col("c")
+    nn = bb + cc
+    mm = F.least(bb, cc)
+    dd = F.greatest(F.abs(bb - cc) - 1, F.lit(0))
+    # exact binomial tail S = sum_{k<=m} C(n,k), folded over k = 1..m
+    # with the exact-in-doubles recurrence (guarded to n <= 50 above the
+    # select, so the fold never sees a non-exact intermediate)
+    seq = F.when(mm >= 1, F.sequence(F.lit(1), mm.cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    tail = F.aggregate(
+        seq,
+        F.struct(
+            F.lit(1.0).alias("ck"), F.lit(1.0).alias("s")
+        ),
+        lambda acc, k: F.struct(
+            (acc["ck"] * (nn - k + 1) / k).alias("ck"),
+            (acc["s"] + acc["ck"] * (nn - k + 1) / k).alias("s"),
+        ),
+    )
+    pow2n = F.pow(F.lit(2.0), nn)
+    return cells.select(
+        "source",
+        bb.cast("long").alias("a_only"),
+        cc.cast("long").alias("b_only"),
+        F.when(nn > 0, F.round(1000.0 * dd * dd / nn, 0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("chi2_cc_permille"),
+        F.when(
+            (nn >= 1) & (nn <= 50),
+            F.round(
+                1_000_000.0 * F.least(2.0 * tail["s"], pow2n) / pow2n, 0
+            ).cast("long"),
+        )
+        .otherwise(F.lit(None).cast("long"))
+        .alias("p_exact_micros"),
     )

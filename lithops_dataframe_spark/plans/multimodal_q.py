@@ -40,7 +40,8 @@ _FEATURES_ORACLE = "SELECT doc_id, " + ", ".join(
 
 _RESIZE_ORACLE = f"""
     WITH img AS (
-        SELECT doc_id, {_W} AS w, {_H} AS h FROM documents WHERE doc_id % 3 = 0
+        SELECT doc_id, {_W} AS w, {_H} AS h FROM documents
+        WHERE doc_id % 3 = 0 AND text IS NOT NULL
     ),
     halved AS (
         -- steps = min s with m // 2^s <= 128, i.e. m <= 129 * 2^s - 1;
@@ -105,7 +106,14 @@ _BINARYFILE_ORACLE = """
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS payload_md5
-    FROM documents WHERE doc_id < 300 AND octet_length(encode(text)) > 0
+    FROM (
+        -- writer's key-collision policy: one object per doc_id, smallest
+        -- payload kept (min over UTF-8 text == min over bytes)
+        SELECT doc_id, min(text) AS text
+        FROM documents
+        WHERE doc_id < 300 AND octet_length(encode(text)) > 0
+        GROUP BY doc_id
+    )
 """
 
 
@@ -161,7 +169,7 @@ _PLANT_SQL = "\n        UNION ALL ".join(
 _PHASH_ORACLE = f"""
     WITH img AS (
         SELECT doc_id, upper(hex(encode(text))) AS hx
-        FROM documents WHERE doc_id % 3 = 0
+        FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
         UNION ALL {_PLANT_SQL}
     ),
     v AS (

@@ -219,11 +219,18 @@ def pipeline_traindata_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rawagg = raw.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_raw"),
+        # F.when(...).otherwise(0) ≡ the oracle's CASE ... ELSE 0: a
+        # NULL-text row (t IS NULL → NULL predicate) counts 0, not NULL —
+        # a bare cast() left an all-NULL source's n_quality NULL (r11
+        # edge row: src2 is entirely fetch failures)
         F.sum(
-            (
+            F.when(
                 (F.col("t") >= _TM_MIN_TOKENS)
-                & (F.col("score") >= _TM_MIN_SCORE)
-            ).cast("long")
+                & (F.col("score") >= _TM_MIN_SCORE),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
         )
         .cast("long")
         .alias("n_quality"),

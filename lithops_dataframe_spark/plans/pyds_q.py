@@ -134,7 +134,14 @@ _BINDIR_ORACLE = """
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS payload_md5
-    FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    FROM (
+        -- writer's key-collision policy: one object per doc_id, smallest
+        -- payload kept (min over UTF-8 text == min over bytes)
+        SELECT doc_id, min(text) AS text
+        FROM documents
+        WHERE doc_id < 200 AND text IS NOT NULL
+        GROUP BY doc_id
+    )
 """
 
 

@@ -25,13 +25,23 @@ _TARGET_LANG = "en"
 _K = 100
 
 _DSIR_ORACLE = f"""
-    WITH b AS MATERIALIZED (
-        SELECT doc_id,
+    WITH ident AS MATERIALIZED (
+        -- rid = PHYSICAL-row identity: duplicate doc_ids are two distinct
+        -- documents and must score separately (r11 edge row; Spark scores
+        -- per row, a bare GROUP BY doc_id merged their token bags).
+        -- Ordering by (doc_id, text) makes rids deterministic up to
+        -- interchangeable full duplicates.
+        SELECT doc_id, lang, text,
+               row_number() OVER (ORDER BY doc_id, text) AS rid
+        FROM documents
+    ),
+    b AS MATERIALIZED (
+        SELECT rid, doc_id,
                (lang = '{_TARGET_LANG}')::BIGINT AS is_t,
                {H.token_hash_sql('t.token')} % {B_BUCKETS} AS bucket
         FROM (
-            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
-            FROM documents
+            SELECT rid, doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM ident
         ) t
     ),
     cnt AS MATERIALIZED (
@@ -50,13 +60,14 @@ _DSIR_ORACLE = f"""
         FROM cnt, tot
     ),
     doc AS (
-        SELECT b.doc_id, COUNT(*)::BIGINT AS n_toks, SUM(w.wq)::BIGINT AS score_micro
+        SELECT b.rid, b.doc_id,
+               COUNT(*)::BIGINT AS n_toks, SUM(w.wq)::BIGINT AS score_micro
         FROM b JOIN w USING (bucket)
-        GROUP BY b.doc_id
+        GROUP BY b.rid, b.doc_id
     )
     SELECT doc_id, n_toks, score_micro
     FROM doc
-    ORDER BY score_micro DESC, doc_id
+    ORDER BY score_micro DESC, doc_id, n_toks
     LIMIT {_K}
 """
 

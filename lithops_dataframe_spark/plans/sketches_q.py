@@ -308,31 +308,43 @@ def sketch_kll_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in (0.25, 0.50, 0.75)
         ],
     )
-    # exact normalized rank of each estimated quantile, one aggregate
+    # exact normalized ranks of each estimated quantile, one aggregate
     # pass; null values are excluded on BOTH ends (the sketch never saw
-    # them, and count(v) is the oracle's COUNT(value) denominator)
+    # them, and count(v) is the oracle's COUNT(value) denominator).
+    # BOTH strict and inclusive ranks: with tied values the inclusive
+    # rank jumps by the whole tie-run size (r11 edge row: two 2.675
+    # clicks made |rank - f| overshoot any 1/n quantization term), so
+    # the correct acceptance is the two-sided interval below, not a
+    # distance-from-f with a fudge term.
     ranked = ev.filter(F.col("v").isNotNull()).join(
         F.broadcast(qs), "event_type"
     ).groupBy("event_type").agg(
         *[
-            (F.sum(F.when(F.col("v") <= F.col(f"q{p}"), 1).otherwise(0)) / F.count("v")).alias(
-                f"r{p}"
-            )
+            c
             for p in (25, 50, 75)
+            for c in (
+                (
+                    F.sum(F.when(F.col("v") < F.col(f"q{p}"), 1).otherwise(0))
+                    / F.count("v")
+                ).alias(f"rlt{p}"),
+                (
+                    F.sum(F.when(F.col("v") <= F.col(f"q{p}"), 1).otherwise(0))
+                    / F.count("v")
+                ).alias(f"rle{p}"),
+            )
         ]
     )
-    # tolerance = 3× the sketch's rank error PLUS the rank-quantization
-    # term 1/n: an EXACT quantile's normalized rank can sit up to one
-    # rank step above the target fraction (at n=4 the step is 0.25 —
-    # edge-fixture r8; negligible at the gate SFs' n ≥ thousands)
+    # q is a valid (f ± eps)-quantile iff P(v < q) <= f + eps AND
+    # P(v <= q) >= f - eps — the textbook definition; tie runs and
+    # between-rank targets are inside the interval by construction
     eps = 3 * _KLL_EPS
     out = qs.join(ranked, "event_type").select(
         "event_type",
         "n",
         *[
             (
-                F.abs(F.col(f"r{p}") - F.lit(p / 100.0))
-                <= F.lit(eps) + F.lit(1.0) / F.col("n")
+                (F.col(f"rlt{p}") <= F.lit(p / 100.0) + F.lit(eps))
+                & (F.col(f"rle{p}") >= F.lit(p / 100.0) - F.lit(eps))
             ).alias(f"q{p}_ok")
             for p in (25, 50, 75)
         ],

@@ -70,8 +70,19 @@ _SESSION_ORACLE = """
 
 _DEDUP_ORACLE = """
     SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
-    FROM (SELECT DISTINCT event_id, event_type, value
-          FROM events WHERE ts IS NOT NULL)
+    FROM (
+        -- keep-earliest per event_id, tiebreak (event_type, value) —
+        -- the batch twin's deterministic rule (r11: duplicate event_ids
+        -- with different payloads; a full-tuple DISTINCT kept both).
+        -- value NULLS FIRST matches Spark's struct-min NULL ordering.
+        SELECT event_id,
+               first(event_type ORDER BY ts, event_type, value NULLS FIRST)
+                   AS event_type,
+               first(value ORDER BY ts, event_type, value NULLS FIRST)
+                   AS value
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_id
+    )
     GROUP BY event_type
 """
 

@@ -417,10 +417,14 @@ _DATASHEET_ORACLE = """
         FROM d
     ),
     med AS (
+        -- words IS NULL (NULL-text fetch failures) has no word length:
+        -- excluded EXPLICITLY on both engines (r11 edge rows: Spark
+        -- ranks NULLs first, DuckDB last — with 3 NULL docs the lower
+        -- median rank lands on different rows)
         SELECT words AS median_words FROM (
             SELECT words, row_number() OVER (ORDER BY words, doc_id) AS r,
                    COUNT(*) OVER () AS n
-            FROM d
+            FROM d WHERE words IS NOT NULL
         ) WHERE r = (n + 1) // 2
     )
     SELECT metric, value FROM (
@@ -475,7 +479,11 @@ def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("words").cast("long").alias("max_words"),
     )
 
-    part = d.repartitionByRange(F.col("words").asc(), F.col("doc_id").asc()).withColumn(
+    # NULL-text docs carry no word length — the median is over defined
+    # lengths only, explicitly on BOTH engines (r11: NULLS FIRST vs LAST
+    # would otherwise shift the lower-median rank)
+    dmed = d.filter(F.col("words").isNotNull())
+    part = dmed.repartitionByRange(F.col("words").asc(), F.col("doc_id").asc()).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("__pid").orderBy("words", "doc_id")
@@ -486,7 +494,7 @@ def text_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__pid",
         F.coalesce(F.sum("__pt").over(wcum), F.lit(0).cast("long")).alias("__off"),
     )
-    n_docs = d.count()
+    n_docs = dmed.count()
     med = (
         local.join(F.broadcast(offs), "__pid")
         .filter((F.col("__r_loc") + F.col("__off")) == (n_docs + 1) // 2)

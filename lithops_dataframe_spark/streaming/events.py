@@ -195,7 +195,25 @@ def dedup_events(events: DataFrame) -> DataFrame:
     horizon; batch is a plain dropDuplicates. Aggregated here (count +
     value sum) so the result is a stable small frame in both modes.
     """
-    deduped = with_watermark(events).dropDuplicates(["event_id"])
+    if events.isStreaming:
+        deduped = with_watermark(events).dropDuplicates(["event_id"])
+    else:
+        # Batch twin pins the DETERMINISTIC rule: keep the earliest
+        # event-time row per event_id, tiebreak (event_type, value) by
+        # struct-min (r11 edge row: duplicate event_ids with DIFFERENT
+        # payloads make dropDuplicates' arbitrary pick a divergence).
+        # Streaming keeps first ARRIVAL — identical to this whenever the
+        # replay is event-time-ordered, which a log-compacted source is.
+        deduped = (
+            events.filter(F.col("ts").isNotNull())
+            .groupBy("event_id")
+            .agg(F.min(F.struct("ts", "event_type", "value")).alias("__p"))
+            .select(
+                "event_id",
+                F.col("__p.event_type").alias("event_type"),
+                F.col("__p.value").alias("value"),
+            )
+        )
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("sum_value"),

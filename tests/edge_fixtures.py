@@ -62,6 +62,13 @@ def _events() -> pd.DataFrame:
         # -0.005 lands exactly on a rounding boundary.
         (16, _TS(2024, 1, 17, 14, 0, 0), 5, "purchase", -19.995, '{"k": 15}'),
         (17, _TS(2024, 1, 17, 15, 0, 0), 7, "purchase", -0.005, '{"k": 16}'),
+        # r11: DUPLICATE event_id — ingestion replays produce key
+        # collisions; every dedup-by-event_id / join-on-event_id /
+        # order-by-(ts, event_id) site must resolve them identically on
+        # both engines (keep-first must be a deterministic rule, not
+        # "whichever row the shuffle saw first").
+        (18, _TS(2024, 1, 19, 10, 0, 0), 5, "click", 2.225, '{"k": 17}'),
+        (18, _TS(2024, 1, 19, 10, 5, 0), 5, "view", 3.775, '{"k": 18}'),
     ]
     return pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -173,6 +180,25 @@ def _documents() -> pd.DataFrame:
         # identically on both engines (ANSI size(NULL), NULLS FIRST/LAST,
         # NULL-weight exclusion are all divergence classes this row arms)
         (5, None, "en", "src1", None),
+        # r11 (ADVICE r10): NULL text in the %3==0 (image) and %3==1
+        # (audio) media slots — the r10 NULL row sat in the video slot, so
+        # mm_resize_images / mm_phash_neardup / audio oracles never saw a
+        # NULL payload. src2 is an ALL-NULL-text source (arms per-source
+        # aggregates whose oracle and engine disagree on NULL handling).
+        (6, None, "fr", "src2", None),
+        (7, None, "pt", "src2", None),
+        # r11: multibyte + combining characters — precomposed é (U+00E9),
+        # decomposed e + U+0301, CJK (no-whitespace tokens), an astral
+        # emoji. Arms every byte-vs-char boundary: length/substr in
+        # shingles, md5-of-text vs md5-of-bytes, levenshtein, casefold.
+        # n_chars = Python len() = codepoints (é̲ decomposed counts 2).
+        (8, "café école 東京タワー naïve \U0001f642 café", "ja", "src0", 30),
+        # r11: DUPLICATE doc_id — two distinct documents sharing a primary
+        # key (re-crawl collision). Keep-min/first-ownership, join-backs,
+        # and per-doc ranks must treat the pair identically on both
+        # engines; doc_id 9 %3 == 0 also puts TWO payloads in one media id.
+        (9, "duplicate key text one", "en", "src0", 22),
+        (9, "duplicate key text two", "en", "src1", 22),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
 

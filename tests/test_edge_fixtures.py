@@ -255,6 +255,7 @@ EDGE_SWEEP = [
     "eval_auc_by_source",
     "eval_calibration_bins",
     "eval_rater_agreement",
+    "eval_mcnemar_exact",
     "classifier_lr_train",
     "classifier_lr_score_corpus",
     # embedding family on 64-dim edge vectors (duplicate pair, antipodal

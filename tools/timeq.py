@@ -14,6 +14,7 @@ def main():
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
     for name in names:
         fn = QUERIES[name]
+        fn(spark, sf_dir).collect()  # untimed warmup: first pass runs 3-14x hot (JIT/codegen) — never let N=1 record it
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
