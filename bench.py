@@ -216,6 +216,10 @@ R10_ADDITIONS: list[str] = [
     "text_source_token_gini",
 ]
 
+R11_ADDITIONS: list[str] = [
+    "eval_mcnemar_exact",
+]
+
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
 # timed at the base SF and at a key-shifted 10x fixture; the exponent
 # log10(t_10x / t_base) flags any family whose runtime grows faster than
@@ -244,7 +248,10 @@ SCALE_FAMILIES: dict[str, list[str]] = {
              "text_ngram_novelty", "pipeline_traindata_manifest",
              # r10: one narrow map -> source-keyed hash agg (kappa/alpha);
              # two-phase global rank + hash agg (gini)
-             "eval_rater_agreement", "text_source_token_gini"],
+             "eval_rater_agreement", "text_source_token_gini",
+             # r11: same narrow-map + source-keyed hash-agg shape; the
+             # binomial fold runs on the sources-sized frame only
+             "eval_mcnemar_exact"],
     "streaming": ["stream_session_windows", "stream_window_topk_users"],
     "ann": ["sim_cosine_topk_lsh"],
     "narrow": ["emb_int8_quantize",
@@ -544,11 +551,11 @@ def main() -> None:
     # are reused — only code paths are warmed.
     warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_sf):
-        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS:
+        for wname in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS + R11_ADDITIONS:
             if wname in QUERIES:
                 QUERIES[wname](spark, warm_sf).collect()
 
-    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS if n in QUERIES]
+    names = [n for n in HEADLINE + R3_ADDITIONS + R4_ADDITIONS + R5_ADDITIONS + R6_ADDITIONS + R7_ADDITIONS + R8_ADDITIONS + R9_ADDITIONS + R10_ADDITIONS + R11_ADDITIONS if n in QUERIES]
     extra = [n for n in sorted(QUERIES) if n not in names and os.environ.get("LDS_BENCH_ALL")]
     # Best-of-2 per query, as two INTERLEAVED full passes: steady-state
     # engine throughput is the metric, and a single timing is exposed to
@@ -595,6 +602,7 @@ def main() -> None:
     r8 = {n: t for n, t in timings.items() if n in set(R8_ADDITIONS)}
     r9 = {n: t for n, t in timings.items() if n in set(R9_ADDITIONS)}
     r10 = {n: t for n, t in timings.items() if n in set(R10_ADDITIONS)}
+    r11 = {n: t for n, t in timings.items() if n in set(R11_ADDITIONS)}
     total = round(sum(head.values()), 4)
     # The driver captures only the LAST ~2000 bytes of stdout and parses
     # the final line as JSON (BENCH_r03 lesson: a line that embeds every
@@ -622,6 +630,7 @@ def main() -> None:
         "r8_additions_total": round(sum(r8.values()), 4),
         "r9_additions_total": round(sum(r9.values()), 4),
         "r10_additions_total": round(sum(r10.values()), 4),
+        "r11_additions_total": round(sum(r11.values()), 4),
         "detail": "BENCH_FULL.json",
     }
     full = dict(out)

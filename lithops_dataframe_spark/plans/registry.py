@@ -127,6 +127,10 @@ PRIORITY: tuple[str, ...] = (
     # constraint on the slot; it is driver-green D9): chance-corrected
     # inter-rater agreement, never driver-gated — first contact r10
     "eval_rater_agreement",
+    # r11 addition (displaces graph_pagerank — driver-green D10, no
+    # family constraint on the slot): McNemar's test on the
+    # rater-disagreement cells, never driver-gated — first contact r11
+    "eval_mcnemar_exact",
     # r9 addition batch 3 (displaces join_asof_tolerance_attribution —
     # temporal-join family stays covered by slot 4's as-of; tolerance is
     # driver-green D8)
@@ -135,7 +139,6 @@ PRIORITY: tuple[str, ...] = (
     # r9 addition batch 2 (displaces cf_part_cooccurrence_lift, driver-
     # green D5; no family constraint on that slot)
     "text_ngram_novelty",
-    "graph_pagerank",
     # r9 addition batch 3 (displaces sketch_kll_quantiles_by_type —
     # sketch-percentile family stays covered by slot 8's
     # agg_percentiles_approx; KLL is driver-green D5)
@@ -160,6 +163,7 @@ PRIORITY: tuple[str, ...] = (
     "events_changepoint_cusum",
     # every name below is driver-green in an earlier round
     "feat_quantile_normalize",
+    "graph_pagerank",
     "q01_pricing_summary",
     "q18_large_volume_customers",
     "events_funnel",
