@@ -218,6 +218,7 @@ R10_ADDITIONS: list[str] = [
 
 R11_ADDITIONS: list[str] = [
     "eval_mcnemar_exact",
+    "eval_cochran_q",
 ]
 
 # Scale-curve subset (VERDICT_r02 task 8): representative query per family,
@@ -250,8 +251,8 @@ SCALE_FAMILIES: dict[str, list[str]] = {
              # two-phase global rank + hash agg (gini)
              "eval_rater_agreement", "text_source_token_gini",
              # r11: same narrow-map + source-keyed hash-agg shape; the
-             # binomial fold runs on the sources-sized frame only
-             "eval_mcnemar_exact"],
+             # binomial fold / Q arithmetic run on sources-sized frames
+             "eval_mcnemar_exact", "eval_cochran_q"],
     "streaming": ["stream_session_windows", "stream_window_topk_users"],
     "ann": ["sim_cosine_topk_lsh"],
     "narrow": ["emb_int8_quantize",

@@ -1018,3 +1018,105 @@ def eval_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("long"))
         .alias("p_exact_micros"),
     )
+
+
+# --- Cochran's Q across three deterministic raters (r11) ---
+#
+# The k-rater generalization of McNemar (k = 2 reduces to it): "do the k
+# raters pass documents at the same rate?" over matched (same-document)
+# binary ratings. Third rater C is a plain length gate so the trio spans
+# independent criteria: quality (A), repetition (B), length (C).
+#   L_i = row total (how many raters pass doc i), G_j = column total
+#   (how many docs rater j passes), N = sum L_i:
+#   Q = (k-1) * (k*sum G_j^2 - N^2) / (k*N - sum L_i^2)
+# Every term is a BIGINT count; the denominator sum L_i(k - L_i) is 0
+# iff the raters are unanimous on EVERY doc — NULL on both engines
+# (no disagreement mass to test). Emitted as round(1000*num/den) with
+# the cells alongside, same discipline as kappa/McNemar.
+_COCHRAN_RC = "(n_chars IS NOT NULL AND n_chars >= 20)"
+_COCHRAN_ORACLE = f"""
+    WITH r AS (
+        SELECT source,
+               (len({_AGREE_TOKS}) >= 5
+                AND {TX.distinct_permille_sql('text')} >= 600)::INT AS ra,
+               (len({TX.ngrams_sql(_AGREE_TOKS, 2)}) = 0 OR
+                1000 * (len({TX.ngrams_sql(_AGREE_TOKS, 2)})
+                        - len(list_distinct({TX.ngrams_sql(_AGREE_TOKS, 2)})))
+                <= 300 * len({TX.ngrams_sql(_AGREE_TOKS, 2)}))::INT AS rb,
+               {_COCHRAN_RC}::INT AS rc
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(ra)::BIGINT AS ga,
+               SUM(rb)::BIGINT AS gb,
+               SUM(rc)::BIGINT AS gc,
+               SUM(ra + rb + rc)::BIGINT AS nn,
+               SUM((ra + rb + rc) * (ra + rb + rc))::BIGINT AS l2
+        FROM r GROUP BY source
+    )
+    SELECT source, n_docs, ga AS pass_a, gb AS pass_b, gc AS pass_c,
+           CASE WHEN 3 * nn - l2 > 0
+                THEN CAST(ROUND(1000.0 * 2 * (3 * (ga*ga + gb*gb + gc*gc) - nn*nn)
+                                / (3 * nn - l2), 0) AS BIGINT)
+                END AS q_permille
+    FROM m
+"""
+
+
+@register("eval_cochran_q", oracle=_COCHRAN_ORACLE)
+def eval_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q per source across THREE deterministic raters (quality /
+    repetition / length gates) — the k-rater omnibus test an annotation
+    pipeline runs before drilling into pairwise McNemar: one statistic
+    answering "do these labelers pass documents at the same rate?", with
+    Q ~ chi2(k-1) under the null. All terms are exact BIGINT counts
+    (Q's numerator and denominator are integers; only the final permille
+    quantization divides), and a source where the raters are unanimous
+    on every document has no disagreement mass — NULL on both engines.
+
+    Scale shape: the kappa/McNemar shape again — ONE narrow per-row map
+    (the three gate predicates) into ONE source-keyed hash aggregate
+    (map-side partial combine, ~sources-sized result). No window, no
+    join; the 100 TB cost is the scan. Counts are BIGINT; 3*sumG^2 stays
+    under 2^63 to ~10^9 docs per source (document before DECIMAL)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = TX.ws_tokens(F.col("text"))
+    g2 = TX.ngrams(toks, 2)
+    tot2 = F.size(g2).cast("long")
+    dup2 = (F.size(g2) - F.size(F.array_distinct(g2))).cast("long")
+    ra = ((F.size(toks) >= 5) & (TX.distinct_permille(F.col("text")) >= 600)).cast(
+        "int"
+    )
+    rb = ((tot2 == 0) | (1000 * dup2 <= 300 * tot2)).cast("int")
+    rc = (F.col("n_chars").isNotNull() & (F.col("n_chars") >= 20)).cast("int")
+    li = ra + rb + rc
+    m = (
+        docs.select("source", ra.alias("ra"), rb.alias("rb"), rc.alias("rc"),
+                    li.alias("li"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ra").cast("long").alias("ga"),
+            F.sum("rb").cast("long").alias("gb"),
+            F.sum("rc").cast("long").alias("gc"),
+            F.sum("li").cast("long").alias("nn"),
+            F.sum(F.col("li") * F.col("li")).cast("long").alias("l2"),
+        )
+    )
+    ga, gb, gc = F.col("ga"), F.col("gb"), F.col("gc")
+    nn, l2 = F.col("nn"), F.col("l2")
+    num = 2 * (3 * (ga * ga + gb * gb + gc * gc) - nn * nn)
+    den = 3 * nn - l2
+    return m.select(
+        "source",
+        "n_docs",
+        ga.alias("pass_a"),
+        gb.alias("pass_b"),
+        gc.alias("pass_c"),
+        F.when(den > 0, F.round(1000.0 * num / den, 0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("q_permille"),
+    )

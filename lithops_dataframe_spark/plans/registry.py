@@ -127,18 +127,17 @@ PRIORITY: tuple[str, ...] = (
     # constraint on the slot; it is driver-green D9): chance-corrected
     # inter-rater agreement, never driver-gated — first contact r10
     "eval_rater_agreement",
-    # r11 addition (displaces graph_pagerank — driver-green D10, no
-    # family constraint on the slot): McNemar's test on the
-    # rater-disagreement cells, never driver-gated — first contact r11
+    # r11 additions (displace graph_pagerank and text_ngram_novelty —
+    # both driver-green D9/D10, no family constraint on the slots):
+    # McNemar's test on the rater-disagreement cells and Cochran's Q
+    # across three raters, never driver-gated — first contact r11
     "eval_mcnemar_exact",
+    "eval_cochran_q",
     # r9 addition batch 3 (displaces join_asof_tolerance_attribution —
     # temporal-join family stays covered by slot 4's as-of; tolerance is
     # driver-green D8)
     "stream_ks_drift",
     "dedup_incremental_batch",
-    # r9 addition batch 2 (displaces cf_part_cooccurrence_lift, driver-
-    # green D5; no family constraint on that slot)
-    "text_ngram_novelty",
     # r9 addition batch 3 (displaces sketch_kll_quantiles_by_type —
     # sketch-percentile family stays covered by slot 8's
     # agg_percentiles_approx; KLL is driver-green D5)
@@ -164,6 +163,7 @@ PRIORITY: tuple[str, ...] = (
     # every name below is driver-green in an earlier round
     "feat_quantile_normalize",
     "graph_pagerank",
+    "text_ngram_novelty",
     "q01_pricing_summary",
     "q18_large_volume_customers",
     "events_funnel",

@@ -256,6 +256,7 @@ EDGE_SWEEP = [
     "eval_calibration_bins",
     "eval_rater_agreement",
     "eval_mcnemar_exact",
+    "eval_cochran_q",
     "classifier_lr_train",
     "classifier_lr_score_corpus",
     # embedding family on 64-dim edge vectors (duplicate pair, antipodal

@@ -1,6 +1,7 @@
-"""Direct invariants for the round-11 addition, on crafted corpora with
-hand-computable answers (the oracle gate proves engine parity; these pin
-the STATISTIC itself against the textbook definitions)."""
+"""Direct invariants for the round-11 additions (McNemar's exact test,
+Cochran's Q), on crafted corpora with hand-computable answers (the
+oracle gate proves engine parity; these pin the STATISTICS themselves
+against the textbook definitions)."""
 
 from __future__ import annotations
 
@@ -95,6 +96,67 @@ def test_mcnemar_matches_scipy_style_reference(spark, tmp_path):
     assert (r["a_only"], r["b_only"]) == (0, 9)
     assert r["chi2_cc_permille"] == round(1000 * 64 / 9)
     assert r["p_exact_micros"] == round(1_000_000 * 2 / 512)
+
+
+def _doc_for(a: int, bb: int, c: int, i: int):
+    """Row with rater outcomes (A=quality, B=repetition, C=n_chars>=20)."""
+    text = {(1, 1): _BOTH, (0, 1): _B_ONLY, (1, 0): _a_only_text(), (0, 0): _NEITHER}[
+        (a, bb)
+    ]
+    return (i, text, "en", "s", 25 if c else 5)
+
+
+def _brute_q(ratings) -> float | None:
+    k = 3
+    g = [sum(r[j] for r in ratings) for j in range(k)]
+    n = sum(g)
+    l2 = sum(sum(r) ** 2 for r in ratings)
+    den = k * n - l2
+    if den <= 0:
+        return None
+    return (k - 1) * (k * sum(x * x for x in g) - n * n) / den
+
+
+def test_cochran_q_textbook_value(spark, tmp_path):
+    """Hand-computed: G=(2,3,3), N=8, sum L^2 = 18 ->
+    Q = 2*(3*22 - 64)/(24 - 18) = 4/6."""
+    ratings = [(1, 1, 1), (0, 1, 0), (0, 0, 0), (1, 0, 1), (0, 1, 1)]
+    rows = [_doc_for(*r, i) for i, r in enumerate(ratings)]
+    r = QUERIES["eval_cochran_q"](spark, _mini_docs_dir(tmp_path, rows)).collect()[
+        0
+    ].asDict()
+    assert (r["pass_a"], r["pass_b"], r["pass_c"]) == (2, 3, 3)
+    assert r["q_permille"] == round(1000 * 4 / 6)
+    assert r["q_permille"] == round(1000 * _brute_q(ratings))
+
+
+def test_cochran_q_unanimous_null(spark, tmp_path):
+    """Raters unanimous on every doc (L_i in {0, k}) — zero disagreement
+    mass, Q undefined -> NULL, even when the docs themselves differ."""
+    ratings = [(1, 1, 1), (1, 1, 1), (0, 0, 0)]
+    rows = [_doc_for(*r, i) for i, r in enumerate(ratings)]
+    r = QUERIES["eval_cochran_q"](spark, _mini_docs_dir(tmp_path, rows)).collect()[
+        0
+    ].asDict()
+    assert r["q_permille"] is None
+    assert _brute_q(ratings) is None
+
+
+@pytest.mark.parametrize(
+    "ratings",
+    [
+        [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+        [(1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1), (0, 0, 0), (1, 0, 0)],
+        [(0, 1, 1)] * 4 + [(1, 1, 1)] * 2,
+    ],
+)
+def test_cochran_q_brute_force(spark, tmp_path, ratings):
+    rows = [_doc_for(*r, i) for i, r in enumerate(ratings)]
+    r = QUERIES["eval_cochran_q"](spark, _mini_docs_dir(tmp_path, rows)).collect()[
+        0
+    ].asDict()
+    expect = _brute_q(ratings)
+    assert r["q_permille"] == (None if expect is None else round(1000 * expect))
 
 
 @pytest.mark.parametrize("b,c", [(3, 7), (0, 12), (5, 5), (2, 2)])
