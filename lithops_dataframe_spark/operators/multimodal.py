@@ -73,8 +73,13 @@ def media_table(docs: DataFrame) -> DataFrame:
     column as far as every downstream operator is concerned. media_type
     cycles by doc_id % 3. meta is a typed struct (n_bytes, lang, source).
     """
+    # pmod, not %: Spark's % follows the dividend's sign, so a NEGATIVE
+    # doc_id with doc_id % 3 == -1 fed element_at index 0 — an ANSI crash
+    # (INVALID_INDEX_OF_ZERO) — and -2 silently back-indexed (r11 edge
+    # row). The cycle is defined by the non-negative residue.
     mt = F.element_at(
-        F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+        F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
     )
     # A NULL-text document has no object to ingest (fetch failure): the
     # lake contract is one non-NULL binary per row — downstream decode /
@@ -294,17 +299,20 @@ def frame_sample(media: DataFrame) -> DataFrame:
 CODEC_FORMATS = ["png", "bmp", "ppm", "gif", "jpeg", "wav"]
 #: decodable-image dims: small enough that the oracle's per-pixel replay
 #: stays cheap at sf0.1 (≤ 20×18 px/doc)
-IMG_W = "8 + doc_id % 13"
-IMG_H = "8 + (doc_id * 7) % 11"
+# Non-negative residues (((e % m) + m) % m) so the SQL twins agree with
+# Python's % on NEGATIVE doc_ids (r11 edge row: DuckDB/Spark % follow the
+# dividend's sign; the content formulas are defined by Python's pmod)
+IMG_W = "8 + ((doc_id % 13) + 13) % 13"
+IMG_H = "8 + (((doc_id * 7) % 11) + 11) % 11"
 #: legacy header-only dims (kept for hand-built probe tests)
-HDR_W = "64 + doc_id % 512"
-HDR_H = "64 + (doc_id * 3) % 512"
+HDR_W = "64 + ((doc_id % 512) + 512) % 512"
+HDR_H = "64 + (((doc_id * 3) % 512) + 512) % 512"
 #: gradient pixel value at (y, x)
-PIX = "(x * 7 + y * 13 + doc_id) % 251"
+PIX = "(((x * 7 + y * 13 + doc_id) % 251) + 251) % 251"
 #: WAV: mono PCM-16 at 8 kHz; sample i value and sample count
 WAV_RATE = 8000
-WAV_N = "160 + (doc_id % 50) * 4"
-WAV_S = "(doc_id * 31 + i * 17) % 4096 - 2048"
+WAV_N = "160 + (((doc_id % 50) + 50) % 50) * 4"
+WAV_S = "(((doc_id * 31 + i * 17) % 4096) + 4096) % 4096 - 2048"
 
 
 def _codec_pixels(doc_id: int) -> "np.ndarray":

@@ -31,14 +31,14 @@ from lithops_dataframe_spark.operators import multimodal as M
 from lithops_dataframe_spark.plans.registry import register
 
 _FMT = (
-    "CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' "
+    "CASE (((doc_id % 6) + 6) % 6) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'ppm' "
     "WHEN 3 THEN 'gif' WHEN 4 THEN 'jpeg' ELSE 'wav' END"
 )
 # dims per the shared formulas (operators/multimodal.py IMG_*): every
 # image format — jpeg included since r4's real baseline codec — carries a
 # decodable raster at IMG dims
-_W = f"CASE WHEN doc_id % 6 <= 4 THEN {M.IMG_W} END"
-_H = f"CASE WHEN doc_id % 6 <= 4 THEN {M.IMG_H} END"
+_W = f"CASE WHEN (((doc_id % 6) + 6) % 6) <= 4 THEN {M.IMG_W} END"
+_H = f"CASE WHEN (((doc_id % 6) + 6) % 6) <= 4 THEN {M.IMG_H} END"
 _WAV_N = M.WAV_N
 
 _PROBE_ORACLE = f"""
@@ -46,10 +46,10 @@ _PROBE_ORACLE = f"""
            {_FMT} AS fmt,
            ({_W})::INT AS width,
            ({_H})::INT AS height,
-           (CASE doc_id % 6 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
+           (CASE (((doc_id % 6) + 6) % 6) WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 3
                             WHEN 3 THEN 3 WHEN 4 THEN 1 ELSE 1 END)::INT AS channels,
-           (CASE WHEN doc_id % 6 = 5 THEN {M.WAV_RATE} END)::INT AS sample_rate,
-           (CASE WHEN doc_id % 6 = 5 THEN (({_WAV_N}) * 1000) // {M.WAV_RATE} END)::INT
+           (CASE WHEN (((doc_id % 6) + 6) % 6) = 5 THEN {M.WAV_RATE} END)::INT AS sample_rate,
+           (CASE WHEN (((doc_id % 6) + 6) % 6) = 5 THEN (({_WAV_N}) * 1000) // {M.WAV_RATE} END)::INT
                AS duration_ms
     FROM documents
 """
@@ -70,10 +70,10 @@ def mm_codec_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIX_ORACLE = f"""
     WITH d AS (
         SELECT doc_id,
-               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+               CASE (((doc_id % 6) + 6) % 6) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                                WHEN 2 THEN 'ppm' ELSE 'gif' END AS fmt,
                {M.IMG_W} AS w, {M.IMG_H} AS h
-        FROM documents WHERE doc_id % 6 < 4
+        FROM documents WHERE (((doc_id % 6) + 6) % 6) < 4
     ),
     s AS (
         SELECT doc_id, fmt, w, h,
@@ -100,22 +100,22 @@ def mm_codec_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESIZE_ORACLE = f"""
     WITH d AS (
         SELECT doc_id,
-               CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+               CASE (((doc_id % 6) + 6) % 6) WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
                                WHEN 2 THEN 'ppm' ELSE 'gif' END AS fmt,
                {M.IMG_W} AS w, {M.IMG_H} AS h
-        FROM documents WHERE doc_id % 6 < 4
+        FROM documents WHERE (((doc_id % 6) + 6) % 6) < 4
     ),
     s AS (
         SELECT doc_id, fmt, w, h,
                list_sum(flatten(list_transform(range(8), yy ->
                    list_transform(range(8), xx ->
-                       (((xx * w) // 8) * 7 + ((yy * h) // 8) * 13 + doc_id) % 251)))) AS r_sum
+                       ((((xx * w) // 8) * 7 + ((yy * h) // 8) * 13 + doc_id) % 251 + 251) % 251)))) AS r_sum
         FROM d
     )
     SELECT doc_id, fmt, w::INT AS width, h::INT AS height,
            r_sum::DOUBLE / 64 AS r_mean,
-           (doc_id % 251)::INT AS r_topleft,
-           ((((7 * w) // 8) * 7 + ((7 * h) // 8) * 13 + doc_id) % 251)::INT AS r_bottomright
+           ((((doc_id % 251) + 251) % 251))::INT AS r_topleft,
+           (((((((7 * w) // 8) * 7 + ((7 * h) // 8) * 13 + doc_id) % 251) + 251) % 251))::INT AS r_bottomright
     FROM s
 """
 
@@ -130,7 +130,7 @@ def mm_codec_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WAV_ORACLE = f"""
     WITH d AS (
-        SELECT doc_id, {_WAV_N} AS n FROM documents WHERE doc_id % 6 = 5
+        SELECT doc_id, {_WAV_N} AS n FROM documents WHERE (((doc_id % 6) + 6) % 6) = 5
     ),
     s AS (
         SELECT doc_id, n,
@@ -159,13 +159,13 @@ def mm_codec_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JPEG_ORACLE = f"""
     SELECT doc_id,
-           (8 + doc_id % 13)::INT AS width,
-           (8 + (doc_id * 7) % 11)::INT AS height,
+           (8 + ((doc_id % 13) + 13) % 13)::INT AS width,
+           (8 + (((doc_id * 7) % 11) + 11) % 11)::INT AS height,
            3::INT AS channels,
            TRUE AS gray_within_1,
            TRUE AS rgb444_within_3,
            TRUE AS rgb420_within_4
-    FROM documents WHERE doc_id % 30 = 10
+    FROM documents WHERE (((doc_id % 30) + 30) % 30) = 10
 """
 
 
@@ -183,11 +183,11 @@ def mm_codec_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # 'jpeg' docs are doc_id % 6 = 4; the deterministic 1-in-5 subset
+    # 'jpeg' docs are (((doc_id % 6) + 6) % 6) = 4; the deterministic 1-in-5 subset
     # (CRT: % 30 = 10) keeps the per-doc three-leg proof at a fifth of the
     # pure-Python entropy-decode cost — tolerance evidence is per-row, so
     # the subset proves the same property
-    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 30 = 10").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").filter("pmod(doc_id, 30) = 10").select("doc_id")
 
     def fn(batches):
         from lithops_dataframe_spark.functions.jpeg import decode_jpeg, encode_jpeg
@@ -228,7 +228,7 @@ _DFT_N = 128  # analysis frame (every wav doc has >= 160 samples)
 _DFT_BINS = 32
 
 _SPECTRAL_ORACLE = f"""
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 5),
+    WITH d AS (SELECT doc_id FROM documents WHERE (((doc_id % 6) + 6) % 6) = 5),
     sm AS MATERIALIZED (
         SELECT doc_id,
                list_transform(range(0, {_DFT_N}), i -> ({M.WAV_S})::DOUBLE) AS s,
@@ -291,7 +291,7 @@ def mm_wav_spectral_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # format/content from doc_id, so pre-filtering drops the 5/6 of
     # payloads (including pure-Python JPEG encodes) a post-filter would
     # build and discard
-    docs = load_table(spark, sf_dir, "documents").filter("doc_id % 6 = 5")
+    docs = load_table(spark, sf_dir, "documents").filter("(((doc_id % 6) + 6) % 6) = 5")
     payloads = M.synthesize_codec_payloads(docs)
 
     N, B = _DFT_N, _DFT_BINS

@@ -17,8 +17,9 @@ from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators import multimodal as M
 from lithops_dataframe_spark.plans.registry import register
 
-# media_type by doc_id % 3 (matches operators/multimodal.py MEDIA_TYPES).
-_MT = "(CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END)"
+# media_type by the NON-NEGATIVE residue of doc_id mod 3 (matches the
+# engine's F.pmod — DuckDB % follows the dividend's sign; r11 edge row).
+_MT = "(CASE (((doc_id % 3) + 3) % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END)"
 _W = "(16 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1024)"
 _H = "(16 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1024)"
 _D = "(('0x' || substr(md5(text), 9, 5))::BIGINT % 600000)"
@@ -41,7 +42,7 @@ _FEATURES_ORACLE = "SELECT doc_id, " + ", ".join(
 _RESIZE_ORACLE = f"""
     WITH img AS (
         SELECT doc_id, {_W} AS w, {_H} AS h FROM documents
-        WHERE doc_id % 3 = 0 AND text IS NOT NULL
+        WHERE (((doc_id % 3) + 3) % 3) = 0 AND text IS NOT NULL
     ),
     halved AS (
         -- steps = min s with m // 2^s <= 128, i.e. m <= 129 * 2^s - 1;
@@ -63,7 +64,7 @@ _RESIZE_ORACLE = f"""
 _FRAMES_ORACLE = f"""
     WITH v AS (
         SELECT doc_id, text FROM documents
-        WHERE doc_id % 3 = 2 AND text IS NOT NULL
+        WHERE (((doc_id % 3) + 3) % 3) = 2 AND text IS NOT NULL
     ),
     f AS (
         SELECT doc_id, text,
@@ -143,7 +144,9 @@ def mm_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     M.write_payload_files(media, out)
     files = M.read_binary_files(spark, out, pattern="*.bin")
     return files.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        # -? in the id capture: a NEGATIVE doc_id's "-6.bin" previously
+        # extracted "6", silently re-keying the object (r11 edge row)
+        F.regexp_extract(F.col("path"), r"(-?\d+)\.bin$", 1).cast("long").alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("payload_md5"),
     )
@@ -169,7 +172,7 @@ _PLANT_SQL = "\n        UNION ALL ".join(
 _PHASH_ORACLE = f"""
     WITH img AS (
         SELECT doc_id, upper(hex(encode(text))) AS hx
-        FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+        FROM documents WHERE (((doc_id % 3) + 3) % 3) = 0 AND text IS NOT NULL
         UNION ALL {_PLANT_SQL}
     ),
     v AS (

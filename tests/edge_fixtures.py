@@ -199,6 +199,17 @@ def _documents() -> pd.DataFrame:
         # engines; doc_id 9 %3 == 0 also puts TWO payloads in one media id.
         (9, "duplicate key text one", "en", "src0", 22),
         (9, "duplicate key text two", "en", "src1", 22),
+        # r11 (second batch): NEGATIVE doc_ids — CDC / synthetic-key
+        # pipelines produce them, and `id % k` cycle arithmetic diverges
+        # three ways on them: Python % is the non-negative residue,
+        # Spark/DuckDB % follow the dividend's sign, and Spark's
+        # element_at(arr, id % 3 + 1) CRASHES on the 0 index. -7 lands in
+        # the wav codec slot, -8 in jpeg, -6 in png+image (pmod residues
+        # 5/4/0) — arming each fixed site; events carries negative ids
+        # since r9, documents never did.
+        (-6, "negative id doc six", "de", "src0", 19),
+        (-7, "negative id doc seven", "en", "src0", 21),
+        (-8, "negative id doc eight", "de", "src1", 21),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
 
