@@ -132,8 +132,17 @@ def write_payload_files(media: DataFrame, out_dir: str) -> int:
     # the lexicographically-smallest payload per key (binary min ==
     # memcmp order == the source text's min in any binary-collated
     # engine), so the lake layout is deterministic and idempotent.
-    dedup = media.select("doc_id", "payload").groupBy("doc_id").agg(
-        F.min("payload").alias("payload")
+    # Empty payloads are excluded BEFORE the min (ADVICE r11): a zero-byte
+    # object never round-trips (Spark's binaryFile source emits no row for
+    # a zero-length file), and an empty duplicate would otherwise shadow a
+    # real payload as the binary min — the writer's contract is "smallest
+    # NON-EMPTY payload per key; keys with only empty payloads get no
+    # object", matching every read-back oracle's filter-before-min order.
+    dedup = (
+        media.select("doc_id", "payload")
+        .filter(F.length("payload") > 0)
+        .groupBy("doc_id")
+        .agg(F.min("payload").alias("payload"))
     )
     counts = dedup.mapInPandas(fn, "n long").collect()
     return int(sum(r.n for r in counts))

@@ -988,9 +988,14 @@ def eval_mcnemar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact binomial tail S = sum_{k<=m} C(n,k), folded over k = 1..m
     # with the exact-in-doubles recurrence (guarded to n <= 50 above the
     # select, so the fold never sees a non-exact intermediate)
-    seq = F.when(mm >= 1, F.sequence(F.lit(1), mm.cast("int"))).otherwise(
-        F.array().cast("array<int>")
-    )
+    # the (nn <= 50) guard on the SEQUENCE itself (ADVICE r11): the p
+    # column's outer CaseWhen already NULLs out n > 50, but expression
+    # evaluation must not be relied on to elide the fold input — a source
+    # with millions of discordant pairs would otherwise materialize a
+    # min(b,c)-element array per source row for work that is thrown away
+    seq = F.when(
+        (mm >= 1) & (nn <= 50), F.sequence(F.lit(1), mm.cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
     tail = F.aggregate(
         seq,
         F.struct(

@@ -136,10 +136,14 @@ _BINDIR_ORACLE = """
            md5(text) AS payload_md5
     FROM (
         -- writer's key-collision policy: one object per doc_id, smallest
-        -- payload kept (min over UTF-8 text == min over bytes)
+        -- NON-EMPTY payload kept (min over UTF-8 text == min over bytes;
+        -- ADVICE r11: the writer excludes empty payloads before the min —
+        -- zero-byte objects never round-trip through a binary source —
+        -- so the oracle filters before GROUP BY to min over the same set)
         SELECT doc_id, min(text) AS text
         FROM documents
         WHERE doc_id < 200 AND text IS NOT NULL
+              AND octet_length(encode(text)) > 0
         GROUP BY doc_id
     )
 """

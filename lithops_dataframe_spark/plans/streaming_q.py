@@ -74,11 +74,16 @@ _DEDUP_ORACLE = """
         -- keep-earliest per event_id, tiebreak (event_type, value) —
         -- the batch twin's deterministic rule (r11: duplicate event_ids
         -- with different payloads; a full-tuple DISTINCT kept both).
-        -- value NULLS FIRST matches Spark's struct-min NULL ordering.
+        -- NULLS FIRST on EVERY field (ADVICE r11): Spark's struct-min
+        -- orders a NULL anywhere in the struct first, while DuckDB's
+        -- ORDER BY defaults to NULLS LAST per key — a tie on ts with a
+        -- NULL event_type would otherwise diverge.
         SELECT event_id,
-               first(event_type ORDER BY ts, event_type, value NULLS FIRST)
+               first(event_type ORDER BY ts NULLS FIRST,
+                     event_type NULLS FIRST, value NULLS FIRST)
                    AS event_type,
-               first(value ORDER BY ts, event_type, value NULLS FIRST)
+               first(value ORDER BY ts NULLS FIRST,
+                     event_type NULLS FIRST, value NULLS FIRST)
                    AS value
         FROM events WHERE ts IS NOT NULL
         GROUP BY event_id

@@ -194,9 +194,20 @@ def dedup_events(events: DataFrame) -> DataFrame:
     Streaming keeps one state entry per event_id inside the watermark
     horizon; batch is a plain dropDuplicates. Aggregated here (count +
     value sum) so the result is a stable small frame in both modes.
+
+    Equivalence precondition (ADVICE r11): streaming keeps the FIRST
+    ARRIVAL per event_id, batch keeps the event-time min — these agree
+    exactly when the replay delivers duplicates in event-time order
+    (log-compacted sources) or when duplicate payloads are identical
+    (at-least-once redelivery). Both paths drop NULL-ts rows: an event
+    with no event time can't be watermarked, so admitting it on one leg
+    only would fork the result.
     """
     if events.isStreaming:
-        deduped = with_watermark(events).dropDuplicates(["event_id"])
+        deduped = (
+            with_watermark(events.filter(F.col("ts").isNotNull()))
+            .dropDuplicates(["event_id"])
+        )
     else:
         # Batch twin pins the DETERMINISTIC rule: keep the earliest
         # event-time row per event_id, tiebreak (event_type, value) by

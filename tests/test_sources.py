@@ -225,14 +225,46 @@ def test_payload_files_roundtrip(spark, tmp_path):
     docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 20)
     media = media_table(docs)
     n = write_payload_files(media, str(tmp_path))
-    assert n == docs.count() > 0
+    want = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in media.collect()
+        if len(bytes(r["payload"])) > 0  # writer contract: non-empty only
+    }
+    assert n == len(want) > 0
     back = read_binary_files(spark, str(tmp_path), pattern="*.bin")
     got = {
         int(r["path"].rsplit("/", 1)[-1][: -len(".bin")]): bytes(r["content"])
         for r in back.collect()
     }
-    want = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
     assert got == want
+
+
+def test_payload_writer_empty_duplicate_keeps_nonempty_min(spark, tmp_path):
+    """ADVICE r11: a doc_id carrying BOTH an empty and a non-empty payload
+    must keep the non-empty min — empty payloads are excluded before the
+    key-collision min, never allowed to shadow a real object (a zero-byte
+    object wouldn't round-trip through binaryFile anyway). A key with ONLY
+    empty payloads gets no object at all."""
+    from lithops_dataframe_spark.operators.multimodal import (
+        media_table,
+        read_binary_files,
+        write_payload_files,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zz real payload", "en", "s0", 15),
+            (1, "", "en", "s1", 0),  # empty duplicate: binary min, must lose
+            (1, "aa real payload", "en", "s2", 15),  # non-empty min: must win
+            (2, "", "en", "s0", 0),  # only-empty key: no object
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    n = write_payload_files(media_table(docs), str(tmp_path))
+    assert n == 1
+    back = read_binary_files(spark, str(tmp_path), pattern="*.bin").collect()
+    assert len(back) == 1
+    assert bytes(back[0]["content"]) == b"aa real payload"
 
 
 def test_write_json_roundtrip(spark, tmp_path):

@@ -7,6 +7,13 @@ SURVEY §2.10.
 The replay directory stages the events file TWICE, so the input contains
 full duplicates: this makes dedup_events a real cross-micro-batch state
 test (duplicates arrive in different micro-batches) rather than a no-op.
+
+dedup_events equivalence precondition (ADVICE r11): streaming keeps first
+ARRIVAL, batch keeps event-time min — equal here because every duplicate
+pair in the staged replay carries an IDENTICAL payload (same file twice),
+so whichever copy arrives first, the kept row is the same. A replay with
+same-id different-payload rows out of event-time order would be outside
+the documented contract (see streaming/events.py::dedup_events).
 """
 
 from __future__ import annotations
