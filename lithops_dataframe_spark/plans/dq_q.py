@@ -1125,3 +1125,117 @@ def eval_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("long"))
         .alias("q_permille"),
     )
+
+
+# --- Fleiss' kappa per source across the same three raters (r12) ---
+#
+# Completes the annotation-QA trio (VERDICT r11 task 3): kappa (pairwise,
+# r10) and Cochran's Q (omnibus TEST, r11) answer "do the raters differ?";
+# Fleiss' kappa is the MAGNITUDE metric an RLHF labeling pipeline reports
+# next to the omnibus p — chance-corrected agreement for k raters. For
+# k = 3 raters over binary pass/fail categories, with per-doc pass count
+# L_i, N = sum L_i, L2 = sum L_i^2, n docs:
+#   P_bar  = sum_i [L_i(L_i-1) + (3-L_i)(2-L_i)] / (6n)
+#          = (2*L2 - 6N + 6n) / (6n)
+#   P_e    = (N/(3n))^2 + ((3n-N)/(3n))^2 = (N^2 + (3n-N)^2) / (9n^2)
+#   kappa  = (P_bar - P_e) / (1 - P_e)
+#          = [3n(2*L2 - 6N + 6n) - 2(N^2 + (3n-N)^2)]
+#            / [18n^2 - 2(N^2 + (3n-N)^2)]     (common denominator 18n^2)
+# Every term is a BIGINT product of counts; the denominator is 0 exactly
+# when every single rating in the source is the same category (N = 0 or
+# N = 3n — P_e = 1, chance correction undefined) → NULL on both engines.
+# 54*n*L2-style terms stay under 2^63 to ~4*10^8 docs per source
+# (document before DECIMAL). Only the final permille quantization
+# divides, and it divides the SAME two BIGINTs on both engines, so IEEE
+# double division gives bit-identical results.
+_FLEISS_ORACLE = f"""
+    WITH r AS (
+        SELECT source,
+               (len({_AGREE_TOKS}) >= 5
+                AND {TX.distinct_permille_sql('text')} >= 600)::INT AS ra,
+               (len({TX.ngrams_sql(_AGREE_TOKS, 2)}) = 0 OR
+                1000 * (len({TX.ngrams_sql(_AGREE_TOKS, 2)})
+                        - len(list_distinct({TX.ngrams_sql(_AGREE_TOKS, 2)})))
+                <= 300 * len({TX.ngrams_sql(_AGREE_TOKS, 2)}))::INT AS rb,
+               {_COCHRAN_RC}::INT AS rc
+        FROM documents
+        WHERE text IS NOT NULL
+    ),
+    m AS (
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(ra)::BIGINT AS ga,
+               SUM(rb)::BIGINT AS gb,
+               SUM(rc)::BIGINT AS gc,
+               SUM(ra + rb + rc)::BIGINT AS nn,
+               SUM((ra + rb + rc) * (ra + rb + rc))::BIGINT AS l2
+        FROM r GROUP BY source
+    )
+    SELECT source, n_docs, ga AS pass_a, gb AS pass_b, gc AS pass_c,
+           CASE WHEN 18 * n_docs * n_docs
+                     - 2 * (nn * nn + (3 * n_docs - nn) * (3 * n_docs - nn)) > 0
+                THEN CAST(ROUND(
+                    1000.0 * (3 * n_docs * (2 * l2 - 6 * nn + 6 * n_docs)
+                              - 2 * (nn * nn + (3 * n_docs - nn) * (3 * n_docs - nn)))
+                    / (18 * n_docs * n_docs
+                       - 2 * (nn * nn + (3 * n_docs - nn) * (3 * n_docs - nn))),
+                    0) AS BIGINT)
+                END AS kappa_permille
+    FROM m
+"""
+
+
+@register("eval_fleiss_kappa", oracle=_FLEISS_ORACLE)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa per source over the quality/repetition/length rater
+    trio — chance-corrected k-rater agreement magnitude, the number an
+    annotation pipeline reports NEXT TO Cochran's Q (Q says whether the
+    raters' pass rates differ; Fleiss says how much they agree beyond
+    chance). Closed-form over the SAME per-doc L_i / per-rater G_j counts
+    as eval_cochran_q — see _FLEISS_ORACLE for the exact-BIGINT algebra.
+    A source where every rating is one category (P_e = 1) has no chance
+    correction — NULL on both engines.
+
+    Scale shape: identical to kappa/McNemar/Cochran — ONE narrow per-row
+    map (three gate predicates) into ONE source-keyed hash aggregate with
+    map-side partial combine; result is sources-sized, no window, no
+    join. At 100 TB the only full-data cost is the scan (and the three
+    predicates share one tokenization per row)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = TX.ws_tokens(F.col("text"))
+    g2 = TX.ngrams(toks, 2)
+    tot2 = F.size(g2).cast("long")
+    dup2 = (F.size(g2) - F.size(F.array_distinct(g2))).cast("long")
+    ra = ((F.size(toks) >= 5) & (TX.distinct_permille(F.col("text")) >= 600)).cast(
+        "int"
+    )
+    rb = ((tot2 == 0) | (1000 * dup2 <= 300 * tot2)).cast("int")
+    rc = (F.col("n_chars").isNotNull() & (F.col("n_chars") >= 20)).cast("int")
+    li = ra + rb + rc
+    m = (
+        docs.select("source", ra.alias("ra"), rb.alias("rb"), rc.alias("rc"),
+                    li.alias("li"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ra").cast("long").alias("ga"),
+            F.sum("rb").cast("long").alias("gb"),
+            F.sum("rc").cast("long").alias("gc"),
+            F.sum("li").cast("long").alias("nn"),
+            F.sum(F.col("li") * F.col("li")).cast("long").alias("l2"),
+        )
+    )
+    n, nn, l2 = F.col("n_docs"), F.col("nn"), F.col("l2")
+    pe2 = nn * nn + (3 * n - nn) * (3 * n - nn)  # P_e * (3n)^2, BIGINT
+    num = 3 * n * (2 * l2 - 6 * nn + 6 * n) - 2 * pe2
+    den = 18 * n * n - 2 * pe2
+    return m.select(
+        "source",
+        "n_docs",
+        F.col("ga").alias("pass_a"),
+        F.col("gb").alias("pass_b"),
+        F.col("gc").alias("pass_c"),
+        F.when(den > 0, F.round(1000.0 * num / den, 0).cast("long"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("kappa_permille"),
+    )

@@ -133,11 +133,15 @@ PRIORITY: tuple[str, ...] = (
     # across three raters, never driver-gated — first contact r11
     "eval_mcnemar_exact",
     "eval_cochran_q",
+    # r12 addition (displaces dedup_incremental_batch — incremental dedup
+    # family stays covered by slot 21's stream_incremental_dedup and slot
+    # 14's LSH pairs; it is driver-green D11): Fleiss' kappa completes
+    # the annotation-QA trio, never driver-gated — first contact r12
+    "eval_fleiss_kappa",
     # r9 addition batch 3 (displaces join_asof_tolerance_attribution —
     # temporal-join family stays covered by slot 4's as-of; tolerance is
     # driver-green D8)
     "stream_ks_drift",
-    "dedup_incremental_batch",
     # r9 addition batch 3 (displaces sketch_kll_quantiles_by_type —
     # sketch-percentile family stays covered by slot 8's
     # agg_percentiles_approx; KLL is driver-green D5)
@@ -177,6 +181,7 @@ PRIORITY: tuple[str, ...] = (
     # (CORRECTNESS_r01-r08); they remain covered by the local
     # full-battery driver_sim run
     "dq_ks_value_drift",
+    "dedup_incremental_batch",
     "events_lttb_downsample",
     "sample_systematic_weighted",
     "mix_interleave_epoch",

@@ -22,7 +22,7 @@ import pandas as pd
 _TS = datetime.datetime
 
 
-def _events() -> pd.DataFrame:
+def _events() -> tuple[pd.DataFrame, list]:
     """Edge shapes: user 1 single event; user 2 exact ts ties; user 3 NULL
     ts rows; user 4 all-NULL values for one event_type; user 5 a clean
     multi-day purchase/click trail (keeps as-of/gap-fill queries
@@ -69,10 +69,35 @@ def _events() -> pd.DataFrame:
         # "whichever row the shuffle saw first").
         (18, _TS(2024, 1, 19, 10, 0, 0), 5, "click", 2.225, '{"k": 17}'),
         (18, _TS(2024, 1, 19, 10, 5, 0), 5, "view", 3.775, '{"k": 18}'),
+        # r12: NON-FINITE doubles — sensor glitches / division artifacts
+        # produce real NaN/±Inf values, and the engines disagree on them
+        # three ways: Spark orders NaN LAST and treats NaN > x as TRUE,
+        # DuckDB follows IEEE in comparisons (NaN > x is FALSE) but sorts
+        # NaN largest; ANSI cast(NaN/Inf AS BIGINT) crashes Spark's
+        # cents-exact money paths; sum/avg propagate NaN identically but
+        # min/max/percentile/window frames do not. user 8 carries one
+        # normal row so mixed-group statistics are exercised, and the
+        # rows sit in 'view' so per-type aggregates mix with other users.
+        # NOTE: these rows reach parquet through the explicit pyarrow
+        # path in build_edge_dir — pandas' to_parquet silently converts
+        # NaN (its missing marker) to NULL, even inside nested lists.
+        (19, _TS(2024, 1, 21, 10, 0, 0), 8, "view", float("nan"), '{"k": 19}'),
+        (20, _TS(2024, 1, 21, 11, 0, 0), 8, "view", float("inf"), '{"k": 20}'),
+        (21, _TS(2024, 1, 21, 12, 0, 0), 8, "view", float("-inf"), '{"k": 21}'),
+        (22, _TS(2024, 1, 21, 13, 0, 0), 8, "view", 2.505, '{"k": 22}'),
+        # r12: FULL-TIE duplicate — same ts AND event_id AND user_id AND
+        # event_type, different value/props (the at-least-once ingestion
+        # artifact where a retry re-sends a mutated payload). Everything
+        # that assumed (ts, event_id) or (ts, event_id, event_type) was a
+        # unique physical-row identity — dropDuplicates, OHLC min_by/
+        # max_by struct tiebreaks, Markov transitions, sessionize — must
+        # break the tie on the payload itself, identically on both sides.
+        (23, _TS(2024, 1, 22, 9, 0, 0), 5, "click", 1.005, '{"k": 23}'),
+        (23, _TS(2024, 1, 22, 9, 0, 0), 5, "click", 2.005, '{"k": 24}'),
     ]
     return pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
-    )
+    ), [r[4] for r in rows]
 
 
 def _tpch() -> dict[str, pd.DataFrame]:
@@ -234,12 +259,19 @@ def _embeddings() -> pd.DataFrame:
         vec(lambda i: 1.0 if i >= 32 else 0.0),  # half-support
         vec(lambda i: 0.0),  # zero-norm (r9): cosine undefined — the ANSI
         # div-by-zero class; every cosine site must NULL-guard, not crash
+        # r12: one NaN component (a corrupt upstream encode) — NaN
+        # poisons every dot product / norm / centroid it touches, and
+        # Spark (NaN > x TRUE, NaN sorts largest) vs DuckDB (IEEE
+        # comparisons) resolve the poisoned similarity differently in
+        # thresholds and top-k. Written via the pyarrow path below so
+        # the NaN survives parquet (pandas would NULL it).
+        vec(lambda i: float("nan") if i == 3 else 0.5),
     ]
     return pd.DataFrame(
         {
-            "vec_id": [0, 1, 2, 3, 4, 5, 6],
+            "vec_id": [0, 1, 2, 3, 4, 5, 6, 7],
             "embedding": vecs,
-            "label": pd.array([0, 0, 1, 1, 2, 3, 4], dtype="int32"),
+            "label": pd.array([0, 0, 1, 1, 2, 3, 4, 5], dtype="int32"),
         }
     )
 
@@ -248,14 +280,53 @@ def build_edge_dir(path) -> str:
     """Write every fixture table's edge twin under ``path`` (a directory);
     returns ``str(path)`` for use as an sf_dir."""
     tables = dict(_tpch())
-    tables["events"] = _events()
+    tables["events"], raw_event_values = _events()
     tables["documents"] = _documents()
     tables["embeddings"] = _embeddings()
     for name, df in tables.items():
         if name == "events":
             # driver testdata writes events.ts as TIMESTAMP(NANOS) — keep
-            # that here so the edge sweep exercises the nanosAsLong path
-            df.to_parquet(f"{path}/{name}.parquet", index=False)
+            # that here so the edge sweep exercises the nanosAsLong path.
+            # value goes through an EXPLICIT pyarrow array (r12): pandas
+            # float64 uses NaN as its missing marker, so to_parquet would
+            # silently turn the planted NaN into NULL; rebuilding the
+            # column from the raw Python literals keeps NaN a VALUE and
+            # None a NULL — distinct things, as they are in production.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"),
+                "value",
+                pa.array(raw_event_values, type=pa.float64()),
+            )
+            pq.write_table(tbl, f"{path}/{name}.parquet")
+        elif name == "embeddings":
+            # same pyarrow-explicit treatment for the NaN vector element:
+            # nested NaN would also be nulled by the pandas writer
+            import math
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pa.table(
+                {
+                    "vec_id": pa.array([int(v) for v in df["vec_id"]], pa.int64()),
+                    "embedding": pa.array(
+                        [[float(x) for x in v] for v in df["embedding"]],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([int(v) for v in df["label"]], pa.int32()),
+                }
+            )
+            assert any(
+                math.isnan(x)
+                for v in tbl["embedding"].to_pylist()
+                for x in v
+                if x is not None
+            ), "NaN embedding element must survive the parquet write"
+            pq.write_table(tbl, f"{path}/{name}.parquet")
         else:
             # TPC-H tables carry µs timestamps in the driver fixtures;
             # pandas' ns default would read back as BIGINT in Spark

@@ -257,6 +257,7 @@ EDGE_SWEEP = [
     "eval_rater_agreement",
     "eval_mcnemar_exact",
     "eval_cochran_q",
+    "eval_fleiss_kappa",
     "classifier_lr_train",
     "classifier_lr_score_corpus",
     # embedding family on 64-dim edge vectors (duplicate pair, antipodal
