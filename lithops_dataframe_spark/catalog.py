@@ -43,17 +43,32 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) → read as long nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
-    matching DuckDB's ns→µs truncation in the oracle."""
+    """The events-table contract normalizer (batch AND streaming inputs):
+
+    - ts: parquet TIMESTAMP(NANOS) → read as long nanos
+      (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
+      matching DuckDB's ns→µs truncation in the oracle.
+    - value: non-finite measurement policy (r12 edge class) — NaN/±Inf
+      map to NULL (missing measurement) at first touch. Real streams
+      carry them (sensor glitches, upstream division artifacts) and the
+      engines disagree structurally: ANSI cents-exact casts crash on
+      BOTH engines, and where nothing crashes the comparison/ordering
+      semantics fork (Spark NaN > x is TRUE and NaN sorts largest;
+      DuckDB follows IEEE in comparisons). NULL routes every downstream
+      statistic through the NULL-skip machinery both engines agree on.
+      The oracle twin is the shadowing CTE every events oracle gets in
+      plans/registry.py::register.
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    from lithops_dataframe_spark.operators.util import finite_or_null
 
     if isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not floor(x/1000): double division loses ulps at
         # ~1.7e18 ns and shifts some timestamps by 1 µs vs the oracle.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return df.withColumn("value", finite_or_null("value"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

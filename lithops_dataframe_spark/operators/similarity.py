@@ -58,6 +58,44 @@ HYPERPLANES: list[list[list[float]]] = [
 ]
 
 
+# --- non-finite vector hygiene gate (r12 edge class) ---
+#
+# A corrupt upstream encode leaves NaN/±Inf components in real embedding
+# corpora. One such vector poisons everything it touches: its cosine is
+# NaN with EVERY query, and because Spark/DuckDB both sort NaN above +Inf
+# in DESC order, a top-k would return the corrupt vector as the best
+# match for every query; trainers (k-means / PQ / PCA) smear NaN through
+# every centroid they fold it into. The production contract is the one
+# the embedding-table audit (emb_table_audit, which deliberately reads
+# RAW rows and reports n_nan_comp) implies: vector OPS run behind the
+# hygiene gate — non-finite vectors are excluded before indexing,
+# training, scoring, or pair mining. `FINITE_EMB_CTE` is the DuckDB twin
+# (a shadowing CTE, same pattern as the events non-finite-value policy in
+# plans/registry.py; `main.embeddings` because a bare self-named CTE
+# reference binds circularly in DuckDB).
+
+FINITE_EMB_CTE = (
+    "WITH embeddings AS (SELECT * FROM main.embeddings "
+    "WHERE len(list_filter(embedding, x -> NOT isfinite(x::DOUBLE))) = 0) "
+)
+
+
+def finite_emb_oracle(sql: str) -> str:
+    """Wrap an oracle so every ``embeddings`` reference resolves to the
+    hygiene-gated view — apply to every vector-op oracle (NOT the audit,
+    which must see the corrupt rows to report them)."""
+    return FINITE_EMB_CTE + "SELECT * FROM (" + sql + "\n) __finite_emb_q"
+
+
+def finite_vectors(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Spark half of the hygiene gate: drop rows whose vector carries any
+    non-finite component. Narrow JVM-side predicate (no UDF), evaluated
+    in the scan stage — at 100 TB it rides the existing full pass."""
+    c = F.col(emb_col)
+    bad = F.exists(c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+    return df.filter(~bad)
+
+
 # ---------------------------------------------------------------------------
 # core expressions (JVM-side higher-order functions — no Python UDFs)
 # ---------------------------------------------------------------------------

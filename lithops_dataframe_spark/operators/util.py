@@ -63,6 +63,35 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+# --- non-finite double policy (r12 edge class) ---
+#
+# Real event streams carry NaN/±Inf (sensor glitches, upstream division
+# artifacts), and the engines disagree on them three ways: Spark's ANSI
+# cents-exact casts CRASH (cast(NaN/Inf AS BIGINT) → ARITHMETIC_OVERFLOW),
+# DuckDB's own BIGINT cast crashes too, and where nothing crashes the
+# comparison/ordering semantics fork (Spark: NaN > x is TRUE, NaN sorts
+# largest and equals itself in group keys; DuckDB: IEEE comparisons, own
+# ORDER BY rules). The uniform policy is the one production pipelines
+# use: a NON-FINITE MEASUREMENT IS A MISSING MEASUREMENT — mapped to NULL
+# at first touch, so every downstream statistic flows through the
+# NULL-skip machinery both engines agree on (and which the r6-r11 edge
+# rows already pin). `FINITE_VALUE_SQL` is the DuckDB twin oracles
+# inline; `isfinite()` is false for NaN and ±Inf on both sides.
+
+FINITE_VALUE_SQL = "CASE WHEN isfinite(value) THEN value END"
+
+
+def finite_or_null(col):
+    """``col`` if finite, NULL for NaN/±Inf — the Spark half of the
+    non-finite-is-missing policy (see module comment above). Narrow
+    per-row expression, JVM-side, codegen-friendly."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.when(~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))), c)
+
+
 def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFrame:
     """Exact global ``row_number`` over ``order_cols`` WITHOUT a
     single-task global window — the two-phase prefix pattern shared with

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import hashing as H
 from lithops_dataframe_spark.operators import dedup as D
+from lithops_dataframe_spark.operators import similarity as SIM
 from lithops_dataframe_spark.plans.registry import register
 
 _SHINGLES = H.word_shingles_sql("text", 2)
@@ -762,7 +763,7 @@ def _ensemble_oracle() -> str:
     """
 
 
-@register("dedup_ensemble_agreement", oracle=_ensemble_oracle())
+@register("dedup_ensemble_agreement", oracle=SIM.finite_emb_oracle(_ensemble_oracle()))
 def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-detector agreement matrix: run the lexical near-dup pass
     (MinHash-LSH, Jaccard-verified) and the semantic near-dup pass
@@ -779,7 +780,8 @@ def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tx = D.minhash_lsh_pairs(docs, "text", "doc_id").select("id_a", "id_b")
-    emb = load_table(spark, sf_dir, "embeddings")
+    # r12 hygiene gate: the semantic detector excludes non-finite vectors
+    emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     em = S.cosine_near_dup_pairs(emb, threshold=0.4, use_lsh=False).select(
         F.col("id_a").alias("e_a"), F.col("id_b").alias("e_b")
     )

@@ -630,10 +630,17 @@ _OHLC_ORACLE = """
         FROM events
     )
     SELECT event_type, bucket,
-           (first(cents ORDER BY ts, event_id))::BIGINT AS open_cents,
+           -- cents itself is the final tiebreak (r12 full-tie edge row:
+           -- same ts AND event_id AND type with different payloads —
+           -- (ts, event_id) is no longer a unique physical-row identity
+           -- under at-least-once ingestion). NULLS FIRST matches Spark's
+           -- struct ordering (NULL field sorts smallest).
+           (first(cents ORDER BY ts, event_id, cents NULLS FIRST))::BIGINT
+               AS open_cents,
            MAX(cents)::BIGINT AS high_cents,
            MIN(cents)::BIGINT AS low_cents,
-           (last(cents ORDER BY ts, event_id))::BIGINT AS close_cents,
+           (last(cents ORDER BY ts, event_id, cents NULLS FIRST))::BIGINT
+               AS close_cents,
            COUNT(*)::BIGINT AS n_points,
            SUM(cents)::BIGINT AS volume_cents
     FROM c GROUP BY event_type, bucket
@@ -652,10 +659,16 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (series, bucket) key with no window shuffle at all (the oracle's
     row_number formulation is the semantic spec, not the plan). Exactness:
     all outputs are half-up integer cents / BIGINT counts; the
-    (ts, event_id) order key is unique, so first/last are deterministic."""
+    (ts, event_id, cents) order key includes the payload, so first/last
+    stay deterministic even for full-tie duplicate rows (r12 edge class:
+    at-least-once ingestion re-sends a mutated payload under the same
+    identity)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
-    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    # cents closes the order key (r12): a full-tie duplicate (same ts +
+    # event_id, different payload) would otherwise leave open/close to
+    # whichever row the hash aggregate saw first
+    ord_key = F.struct(F.col("ts"), F.col("event_id"), cents.alias("cents"))
     base = ev.select(
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("bucket"),

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators.clustering import kmeans_fit
+from lithops_dataframe_spark.operators import similarity as S
 from lithops_dataframe_spark.plans.registry import register
 
 _K = 8
@@ -81,8 +82,8 @@ def _oracle() -> str:
     )
 
 
-@register("kmeans_cells", oracle=_oracle())
+@register("kmeans_cells", oracle=S.finite_emb_oracle(_oracle()))
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     _, assigned = kmeans_fit(emb, k=_K, iterations=_ITERS)
     return assigned.select("id", "cell", "dist2")

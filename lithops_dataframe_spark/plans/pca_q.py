@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators import similarity as S
 from lithops_dataframe_spark.plans.registry import register
 
 _ITERS = 5
@@ -70,7 +71,7 @@ def _pca_oracle(iters: int, dim: int) -> str:
     return sql + "\n" + "\nUNION ALL\n".join(finals)
 
 
-@register("emb_pca_power_iteration", oracle=_pca_oracle(_ITERS, _DIM))
+@register("emb_pca_power_iteration", oracle=S.finite_emb_oracle(_pca_oracle(_ITERS, _DIM)))
 def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding cloud by distributed power
     iteration: per iteration ONE scan computes centered dots and the
@@ -85,5 +86,5 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold order and in-engine rounding, so all of it value-hashes."""
     from lithops_dataframe_spark.operators.pca import pca_power_iteration
 
-    embs = load_table(spark, sf_dir, "embeddings")
+    embs = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     return pca_power_iteration(embs, "embedding", iterations=_ITERS, dim=_DIM)

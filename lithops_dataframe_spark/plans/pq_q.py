@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators.clustering import assign_cells, kmeans_fit
 from lithops_dataframe_spark.plans.kmeans_q import replay_ctes
+from lithops_dataframe_spark.operators import similarity as S
 from lithops_dataframe_spark.plans.registry import register
 
 _M = 4  # subspaces
@@ -91,14 +92,14 @@ def _trained_codebook(spark, sf_dir: str, m: int, sliced: DataFrame) -> list[lis
     return _PQ_CODEBOOKS[key]
 
 
-@register("emb_pq_encode", oracle=_pq_oracle())
+@register("emb_pq_encode", oracle=S.finite_emb_oracle(_pq_oracle()))
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the embeddings table: train an 8-entry codebook per
     16-dim subspace (deterministic kmeans_fit slice per subspace), assign
     each vector its 4 codes, and audit the reconstruction MSE the
     compression costs — the metric that decides codebook sizes in a real
     vector store."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     out: DataFrame | None = None
     for m in range(_M):
         sliced = emb.select(
@@ -169,7 +170,7 @@ def _adc_oracle() -> str:
     )
 
 
-@register("sim_adc_topk_pq", oracle=_adc_oracle())
+@register("sim_adc_topk_pq", oracle=S.finite_emb_oracle(_adc_oracle()))
 def sim_adc_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes — the FAISS-style serving
     path: the corpus exists only as 4 small codes per vector; each query
@@ -184,7 +185,7 @@ def sim_adc_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     join over the code table followed by a per-query rank window.
     Distances round to 6 before ranking for deterministic ties; the
     oracle replays codebooks, codes, tables, and lookups exactly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     codes: DataFrame | None = None
     books: list[list[list[float]]] = []
     for m in range(_M):
@@ -262,7 +263,7 @@ _COARSE_MEMO: dict[str, list[list[float]]] = {}
 
 def _coarse_centroids(spark, sf_dir: str) -> list[list[float]]:
     if sf_dir not in _COARSE_MEMO:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
         _COARSE_MEMO[sf_dir], _ = kmeans_fit(
             emb, k=_IVFPQ_COARSE_K, iterations=_IVFPQ_COARSE_ITERS
         )
@@ -329,7 +330,7 @@ def _ivfpq_oracle() -> str:
     )
 
 
-@register("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+@register("sim_ivfpq_topk", oracle=S.finite_emb_oracle(_ivfpq_oracle()))
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full IVF-PQ serving architecture (the production vector-store
     layout): an L2-trained coarse quantizer (k=8, 3 Lloyd iterations —
@@ -343,7 +344,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table lookups — independent of both corpus size (IVF) and vector
     dimension (PQ). Everything (coarse replay, codebooks, codes, tables,
     lookups, ranking) is hash-replayed by the oracle."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     coarse = _coarse_centroids(spark, sf_dir)
 
     # corpus cell index (argmin) + query probes (top-_IVFPQ_PROBE cells)

@@ -25,6 +25,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Non-finite measurement policy, oracle half (r12; engine half lives in
+# catalog.load_table): every oracle that reads the events table reads it
+# through a shadowing CTE that maps NaN/±Inf value to NULL — the same
+# "non-finite measurement is a missing measurement" contract the engine
+# applies at load. `main.events` (not bare `events`) inside the CTE body:
+# DuckDB resolves a bare self-named reference as a circular CTE; the
+# schema-qualified name reaches the registered view. Applied centrally at
+# registration so the contract cannot drift per query.
+_EVENTS_FINITE_CTE = (
+    "WITH events AS (SELECT * REPLACE "
+    "(CASE WHEN isfinite(value) THEN value END AS value) FROM main.events) "
+)
+
+
+def _wrap_events_oracle(sql: str) -> str:
+    import re as _re
+
+    if not _re.search(r"\bevents\b", sql):
+        return sql
+    return _EVENTS_FINITE_CTE + "SELECT * FROM (" + sql + "\n) __finite_events_q"
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Decorator: register a query builder and its oracle SQL under ``name``.
@@ -49,7 +70,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         QUERIES[name] = wrapped
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = _wrap_events_oracle(oracle)
         return wrapped
 
     return deco

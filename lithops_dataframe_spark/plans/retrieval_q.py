@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.operators import similarity as S
 from lithops_dataframe_spark.plans.registry import register
 
 # ---------------------------------------------------------------------------
@@ -215,7 +216,7 @@ def _hybrid_rrf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = _bm25_ranked(spark, docs, _FUSE_TOPK).select(
         "query_id", "doc_id", F.col("rank").alias("lex_rank")
     )
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = ensure_parallelism(S.finite_vectors(load_table(spark, sf_dir, "embeddings")))
     qids = [qid for qid, _ in _QUERIES]
     q = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").cast("int").alias("query_id"),
@@ -261,7 +262,7 @@ def _hybrid_rrf_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+@register("retrieval_hybrid_rrf", oracle=S.finite_emb_oracle(_rrf_oracle()))
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hybrid_rrf_frame(spark, sf_dir)
 
@@ -315,7 +316,7 @@ def _rerank_oracle() -> str:
 """
 
 
-@register("retrieval_rerank_features", oracle=_rerank_oracle())
+@register("retrieval_rerank_features", oracle=S.finite_emb_oracle(_rerank_oracle()))
 def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-encoder-style feature re-rank (round 8, VERDICT r7 task 6):
     the second retrieval stage every production stack runs on top of a
@@ -362,7 +363,7 @@ def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
 
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = ensure_parallelism(S.finite_vectors(load_table(spark, sf_dir, "embeddings")))
     qids = [qid for qid, _ in _QUERIES]
     qv = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").cast("int").alias("query_id"),
@@ -655,7 +656,7 @@ def _mmr_oracle() -> str:
     return sql
 
 
-@register("retrieval_mmr_rerank", oracle=_mmr_oracle())
+@register("retrieval_mmr_rerank", oracle=S.finite_emb_oracle(_mmr_oracle()))
 def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking: take each anchor's cosine
     top-20 candidate pool and greedily select 5 results maximizing
@@ -683,7 +684,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def micros(col):
         return F.floor(col * F.lit(1000000) + F.lit(0.5)).cast("long")
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < _MMR_Q).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -720,7 +721,7 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share exprIds — the self-join attribute-dedup trap documented at
     # udf_cogroup_reconcile); the pool×pool self-join uses the supported
     # alias() + qualified-column route
-    emb_b = load_table(spark, sf_dir, "embeddings")
+    emb_b = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     q_b = emb_b.filter(F.col("vec_id") < _MMR_Q).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -896,7 +897,7 @@ def _rbo_oracle() -> str:
 """
 
 
-@register("retrieval_rbo_lex_vs_sem", oracle=_rbo_oracle())
+@register("retrieval_rbo_lex_vs_sem", oracle=S.finite_emb_oracle(_rbo_oracle()))
 def retrieval_rbo_lex_vs_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-biased overlap (Webber et al. 2010) between the lexical BM25
     top-10 and the semantic cosine top-10, per query — the top-weighted
@@ -918,7 +919,7 @@ def retrieval_rbo_lex_vs_sem(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = _bm25_ranked(spark, docs, _RBO_D).select(
         "query_id", "doc_id", F.col("rank").alias("rl")
     )
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    emb = ensure_parallelism(S.finite_vectors(load_table(spark, sf_dir, "embeddings")))
     qids = [qid for qid, _ in _QUERIES]
     q = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").cast("int").alias("query_id"),

@@ -231,16 +231,22 @@ _KNN_VOTE_ORACLE = f"""
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hygiene gate (r12): vector ops exclude non-finite vectors — see
+    # operators/similarity.py::finite_vectors; the audit reads raw
+    return S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
+
+
+def _emb_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
-@register("sim_cosine_topk_bruteforce", oracle=_TOPK_BRUTE_ORACLE)
+@register("sim_cosine_topk_bruteforce", oracle=S.finite_emb_oracle(_TOPK_BRUTE_ORACLE))
 def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K)
 
 
-@register("sim_cosine_topk_lsh", oracle=_TOPK_LSH_ORACLE)
+@register("sim_cosine_topk_lsh", oracle=S.finite_emb_oracle(_TOPK_LSH_ORACLE))
 def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN with multi-probe: each query also probes the N_PLANES
     buckets one bit-flip away in every hash table (recall lever at fixed
@@ -269,7 +275,7 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     return _IVF_CENTROIDS[sf_dir]
 
 
-@register("sim_cosine_topk_ivf", oracle=_ivf_oracle())
+@register("sim_cosine_topk_ivf", oracle=S.finite_emb_oracle(_ivf_oracle()))
 def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a TRAINED coarse quantizer: kmeans_fit (k=_IVF_CELLS,
     _IVF_ITERS iterations — deterministic, replayed by the oracle's CTE
@@ -286,12 +292,12 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_cosine_neardup_exact", oracle=_NEARDUP_EXACT_ORACLE)
+@register("sim_cosine_neardup_exact", oracle=S.finite_emb_oracle(_NEARDUP_EXACT_ORACLE))
 def sim_cosine_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_T, use_lsh=False)
 
 
-@register("sim_cosine_neardup_lsh", oracle=_NEARDUP_LSH_ORACLE)
+@register("sim_cosine_neardup_lsh", oracle=S.finite_emb_oracle(_NEARDUP_LSH_ORACLE))
 def sim_cosine_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=_NEARDUP_T, use_lsh=True)
 
@@ -329,7 +335,7 @@ _SEMDEDUP_ORACLE = f"""
 """
 
 
-@register("emb_semantic_dedup_keep", oracle=_SEMDEDUP_ORACLE)
+@register("emb_semantic_dedup_keep", oracle=S.finite_emb_oracle(_SEMDEDUP_ORACLE))
 def emb_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup decision over the embedding corpus:
     LSH-bucketed cosine near-dup pairs → connected components → keep the
@@ -360,7 +366,7 @@ _CENTROIDS_ORACLE = """
 """
 
 
-@register("sim_label_centroids", oracle=_CENTROIDS_ORACLE)
+@register("sim_label_centroids", oracle=S.finite_emb_oracle(_CENTROIDS_ORACLE))
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroids, exploded to (label, pos, m) scalar rows for the
     value-hash gate (the array-valued operator is S.label_centroids)."""
@@ -372,7 +378,7 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_knn_label_vote", oracle=_KNN_VOTE_ORACLE)
+@register("sim_knn_label_vote", oracle=S.finite_emb_oracle(_KNN_VOTE_ORACLE))
 def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return S.knn_label_vote(emb, emb.filter(F.col("vec_id") < 20), k=5)
@@ -405,7 +411,7 @@ _QUANT_ORACLE = """
 """
 
 
-@register("emb_int8_quantize", oracle=_QUANT_ORACLE)
+@register("emb_int8_quantize", oracle=S.finite_emb_oracle(_QUANT_ORACLE))
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization (min/max affine, 256 levels):
     the storage form a 100 TB vector corpus actually ships — 4x smaller
@@ -500,7 +506,7 @@ _MRL_ORACLE = f"""
 """
 
 
-@register("emb_matryoshka_recall", oracle=_MRL_ORACLE)
+@register("emb_matryoshka_recall", oracle=S.finite_emb_oracle(_MRL_ORACLE))
 def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation retrieval evaluation: rank the corpus by
     cosine on the FULL 64-dim embedding and again on only its first
@@ -592,7 +598,7 @@ def _sign_words(emb_col: str):
     return word(0, 32), word(32, S.DIM)
 
 
-@register("emb_binary_quantize_recall", oracle=_BINQ_ORACLE)
+@register("emb_binary_quantize_recall", oracle=S.finite_emb_oracle(_BINQ_ORACLE))
 def emb_binary_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary (sign-bit) embedding quantization + Hamming retrieval
     recall: pack each 64-dim float vector into two BIGINT words of sign
@@ -671,7 +677,7 @@ _HARDNEG_ORACLE = f"""
 """
 
 
-@register("emb_hard_negative_mining", oracle=_HARDNEG_ORACLE)
+@register("emb_hard_negative_mining", oracle=S.finite_emb_oracle(_HARDNEG_ORACLE))
 def emb_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor,
     the top-k most-similar corpus vectors with a DIFFERENT label — the
@@ -767,7 +773,7 @@ _SEMDECON_ORACLE = f"""
 """
 
 
-@register("decontaminate_semantic", oracle=_SEMDECON_ORACLE)
+@register("decontaminate_semantic", oracle=S.finite_emb_oracle(_SEMDECON_ORACLE))
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic decontamination: drop every training vector whose cosine
     to ANY held-out benchmark vector reaches the contamination threshold
@@ -874,8 +880,10 @@ def emb_table_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one narrow per-row fold (JVM higher-order functions, no
     UDF) + one hash aggregate. Counts are BIGINTs; min/max norms pick
     identical fold-computed doubles (rounded 6dp for display, never
-    re-summed)."""
-    emb = _emb(spark, sf_dir)
+    re-summed). Reads RAW rows (_emb_raw, not the hygiene-gated _emb) —
+    the audit is the detector the r12 finite-vector gate answers to; it
+    must see and count the corrupt vectors the ops exclude."""
+    emb = _emb_raw(spark, sf_dir)
     dim = F.size("embedding").cast("long")
     nrm = F.sqrt(
         F.aggregate(

@@ -467,11 +467,13 @@ def user_counter_agg(events: DataFrame) -> DataFrame:
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         for v in batch["value"]:
-            # NULL reading (missed scrape): no delta is defined against
-            # it in either direction — exactly SQL's three-valued LAG
-            # chain (delta non-NULL iff prev AND cents non-NULL), found
-            # by the r9 edge sweep (NaN crashed the int() conversion).
-            if v is None or (isinstance(v, float) and math.isnan(v)):
+            # NULL / non-finite reading (missed scrape, sensor glitch):
+            # no delta is defined against it in either direction —
+            # exactly SQL's three-valued LAG chain (delta non-NULL iff
+            # prev AND cents non-NULL). r9 edge sweep: NaN crashed the
+            # int() conversion; r12: ±Inf crashed it too — the guard is
+            # the full non-finite-is-missing table policy now.
+            if v is None or (isinstance(v, float) and not math.isfinite(v)):
                 has_prev = 0
                 continue
             cents = int(math.floor(v * 100 + 0.5))

@@ -1,9 +1,13 @@
-"""Direct invariants for the round-12 addition (Fleiss' kappa), on
-crafted corpora with hand-computable answers — the oracle gate proves
-engine parity; these pin the STATISTIC itself against the textbook
-definition (Fleiss 1971, binary categories, k = 3 raters)."""
+"""Direct invariants for the round-12 additions: Fleiss' kappa (crafted
+corpora with hand-computable answers — the oracle gate proves engine
+parity; these pin the STATISTIC against the textbook definition, Fleiss
+1971, binary categories, k = 3 raters) and the non-finite data policy
+(events.value NaN/±Inf → NULL at load; non-finite vectors excluded from
+vector ops)."""
 
 from __future__ import annotations
+
+import math
 
 import pytest
 
@@ -79,3 +83,71 @@ def test_fleiss_kappa_brute_force(spark, tmp_path, ratings):
     ].asDict()
     expect = _brute_fleiss(ratings)
     assert r["kappa_permille"] == (None if expect is None else round(1000 * expect))
+
+
+# --- non-finite data policy (r12 edge class) ---
+
+
+def test_events_load_maps_nonfinite_value_to_null(spark, tmp_path):
+    """Table contract: load_table('events') maps NaN/±Inf value to NULL
+    (missing measurement) while keeping finite values and true NULLs —
+    the engine half of the policy; the oracle half is the shadowing CTE
+    every events oracle gets in plans/registry.py."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lithops_dataframe_spark.catalog import load_table
+
+    ts = datetime.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([ts] * 5, pa.timestamp("us")),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["view"] * 5),
+            "value": pa.array(
+                [1.5, float("nan"), float("inf"), float("-inf"), None],
+                pa.float64(),
+            ),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    got = {
+        r["event_id"]: r["value"]
+        for r in load_table(spark, str(tmp_path), "events").collect()
+    }
+    assert got == {1: 1.5, 2: None, 3: None, 4: None, 5: None}
+
+
+def test_finite_vectors_excludes_nonfinite_rows(spark):
+    """Vector hygiene gate: rows whose embedding carries any NaN/±Inf
+    component are excluded; clean rows (including zero vectors, which the
+    cosine NULL-guard handles separately) pass through."""
+    from lithops_dataframe_spark.operators.similarity import finite_vectors
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm: hygiene gate keeps it
+        (3, [1.0, float("nan"), 3.0]),
+        (4, [float("inf"), 2.0, 3.0]),
+        (5, [1.0, 2.0, float("-inf")]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in finite_vectors(df).collect())
+    assert kept == [1, 2]
+
+
+def test_finite_or_null_expression(spark):
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators.util import finite_or_null
+
+    df = spark.createDataFrame(
+        [(1.5,), (float("nan"),), (float("inf"),), (float("-inf"),), (None,)],
+        "v double",
+    )
+    got = [r["o"] for r in df.select(finite_or_null("v").alias("o")).collect()]
+    assert got[0] == 1.5 and got[1:] == [None, None, None, None]
