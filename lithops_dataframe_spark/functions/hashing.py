@@ -73,28 +73,50 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     empty document's shingles — so a fetch-failure row near-dup-paired
     with every empty document while DuckDB's NULL propagation excluded
     it. A missing document has no similarity evidence; NULL signatures
-    fail every band/jaccard predicate identically on both engines."""
+    fail every band/jaccard predicate identically on both engines.
+
+    Built by chained ``zip_with`` over n shifted slices, NOT
+    ``transform(sequence, i -> element_at(words, i+j))`` (r12 long-doc
+    edge row): Spark evaluates a lambda-body reference to the inline
+    ``split`` subtree PER ELEMENT — O(len²) per document, measured 60×
+    slower on one 40k-char document (6.0 s → 0.1 s). The slice/zip form
+    evaluates the split n+1 times per row and is linear in document
+    length; output is identical (same concat_ws join, same distinct)."""
     words = F.split(text, " ")
     if n == 1:
         return F.array_distinct(words)
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])  # noqa: E731
-    return F.when(
-        F.size(words) >= n, F.array_distinct(F.transform(idx, gram))
-    ).otherwise(
+    m = F.size(words)
+    ln = m - (n - 1)
+    acc = F.slice(words, F.lit(1), ln)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, F.lit(1 + j), ln),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(m >= n, F.array_distinct(acc)).otherwise(
         F.when(text.isNotNull(), F.array(F.concat_ws(" ", words)))
     )
 
 
 def word_shingles_sql(expr: str, n: int = 2) -> str:
-    """DuckDB twin of :func:`word_shingles` (1-based list indexing)."""
+    """DuckDB twin of :func:`word_shingles` (1-based list indexing).
+
+    The gram body runs inside a ``list_transform([words], ws -> ...)``
+    LET-BINDING (r12 long-doc edge row): a bare ``string_split(expr)[i]``
+    inside the per-index lambda re-splits the whole document per element
+    — O(len²), measured 470× slower on one 40k-char document (4.2 s →
+    0.009 s, values identical). Same trap and same cure as the Spark
+    side (see :func:`word_shingles`) and the CDC chunker's wrap-in-array
+    let-binding."""
     if n == 1:
         return f"list_distinct(string_split({expr}, ' '))"
     words = f"string_split({expr}, ' ')"
-    gram = " || ' ' || ".join(f"{words}[i+{j}]" for j in range(n))
+    gram = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
     return (
         f"(CASE WHEN len({words}) >= {n} THEN "
-        f"list_distinct(list_transform(range(1, len({words}) - {n - 2}), i -> {gram})) "
+        f"list_transform([{words}], ws -> "
+        f"list_distinct(list_transform(range(1, len(ws) - {n - 2}), i -> {gram})))[1] "
         f"WHEN {expr} IS NOT NULL THEN [array_to_string({words}, ' ')] "
         f"ELSE NULL END)"
     )
@@ -129,11 +151,21 @@ def minhash_signature_from_hashes(hashes: Column) -> Column:
 
 
 def minhash_signature_sql(shingles_expr: str) -> str:
+    """k-component signature; the shingle array AND the per-shingle md5
+    hashes are let-bound once (r12): the naive form re-evaluated the
+    whole shingle construction k=16 times and the md5 k times per
+    shingle — on long documents that multiplied the O(len²) shingle
+    trap by 16. Mirrors the Spark side's ``__hashes`` materialization
+    (operators/dedup.py::with_minhash); values are identical."""
     comps = ", ".join(
-        f"list_min(list_transform({shingles_expr}, s -> ({a} * {token_hash_sql('s')} + {b}) % {P}))"
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
         for a, b in zip(MINHASH_A, MINHASH_B)
     )
-    return f"[{comps}]"
+    hashes = f"list_transform(sh, s -> {token_hash_sql('s')})"
+    return (
+        f"list_transform([{shingles_expr}], sh -> "
+        f"list_transform([{hashes}], hs -> [{comps}])[1])[1]"
+    )
 
 
 def band_signatures(sig: Column, bands: int) -> Column:

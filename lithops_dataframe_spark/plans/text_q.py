@@ -584,15 +584,12 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram volume with no window anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     w = T.ws_tokens(F.col("text"))
-    grams = F.when(
-        F.size(w) >= _NOVELTY_N,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - _NOVELTY_N),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # T.ngrams (slice+zip_with), not transform-over-indices (r12 long-doc
+    # edge row): element_at(w, i+j) in the lambda body re-tokenized the
+    # whole document per gram — O(len²); the zip form is linear and
+    # produces the identical space-joined trigrams ([] short, NULL→no
+    # rows after the explode, exactly as before).
+    grams = F.coalesce(T.ngrams(w, _NOVELTY_N), F.array().cast("array<string>"))
     g = ensure_parallelism(docs).select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     )

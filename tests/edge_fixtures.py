@@ -94,6 +94,21 @@ def _events() -> tuple[pd.DataFrame, list]:
         # break the tie on the payload itself, identically on both sides.
         (23, _TS(2024, 1, 22, 9, 0, 0), 5, "click", 1.005, '{"k": 23}'),
         (23, _TS(2024, 1, 22, 9, 0, 0), 5, "click", 2.005, '{"k": 24}'),
+        # r12 batch 2: EPOCH-BOUNDARY timestamps — backfills and
+        # integer-epoch ingestion bugs land events at or BEFORE
+        # 1970-01-01. Arms: negative epoch micros in every ts-arithmetic
+        # site (day/week bucketing on negative numbers is where floor vs
+        # truncate-toward-zero division forks), hour buckets straddling
+        # the epoch, and the ns→µs normalize path on NEGATIVE
+        # sub-microsecond fragments (measured r12: Spark `ts div 1000`
+        # and DuckDB's parquet TIMESTAMP_NS→TIMESTAMP read BOTH truncate
+        # toward zero — these rows pin that agreement forever).
+        (24, _TS(1970, 1, 1, 0, 0, 0), 9, "view", 1.115, '{"k": 25}'),
+        (25, _TS(1969, 12, 31, 23, 59, 59), 9, "click", 2.225, '{"k": 26}'),
+        (26, pd.Timestamp("1969-12-31T23:59:59.999999750"), 9, "view",
+         3.335, '{"k": 27}'),
+        (27, pd.Timestamp("2024-01-03T08:00:00.000000750"), 9, "purchase",
+         4.445, '{"k": 28}'),
     ]
     return pd.DataFrame(
         rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -235,8 +250,28 @@ def _documents() -> pd.DataFrame:
         (-6, "negative id doc six", "de", "src0", 19),
         (-7, "negative id doc seven", "en", "src0", 21),
         (-8, "negative id doc eight", "de", "src1", 21),
+        # r12 batch 2: VERY-LONG document (~40k chars — a crawl page that
+        # dodged the length gate). Arms every O(len)+ text path at a size
+        # the micro-fixture never reached: shingling/minhash signature
+        # width, token explodes, chunking across many chunks, CDC rolling
+        # hashes, BPE pair counting, tfidf/zipf mass concentration, and
+        # the levenshtein family's cost guards (prefix blocking +
+        # threshold-bounded distance must keep this row CHEAP — an
+        # unbounded all-pairs edit distance against 40k chars is the
+        # failure mode the guards exist for). Deterministic construction;
+        # n_chars = len(text) at the bottom.
+        (10, _long_text(), "en", "src1", len(_long_text())),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _long_text() -> str:
+    """~40k chars, deterministic: a 4000-token distinct run (heavy
+    distinct-token mass) followed by a repeated phrase block (heavy
+    duplicate-n-gram mass) — both text-quality regimes in one document."""
+    toks = [f"tok{i}" for i in range(4000)]
+    rep = ["lorem ipsum dolor sit amet"] * 600
+    return " ".join(toks + rep)
 
 
 def _embeddings() -> pd.DataFrame:

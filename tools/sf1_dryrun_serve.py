@@ -187,6 +187,15 @@ def main() -> int:
     build(spark, BASE_SF_DIR, out_dir, copies=COPIES)
     build_s = round(time.perf_counter() - t0, 2)
 
+    # session JIT warmup at the smallest SF (bench.py's methodology): the
+    # codebook memo is keyed per fixture dir, so this warms codegen/JIT
+    # for the plan shapes WITHOUT pre-training the measured legs — the
+    # "cold" rows below then measure training, not first-call compilation
+    warm_sf = os.path.join(os.path.dirname(BASE_SF_DIR.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_sf):
+        for name in GATED:
+            _noop(Q[name](spark, warm_sf))
+
     print("gated queries, base leg:", file=sys.stderr)
     gated_base = _gated_leg(Q, spark, BASE_SF_DIR)
     print("gated queries, sf1-equivalent leg:", file=sys.stderr)
