@@ -151,3 +151,47 @@ def test_finite_or_null_expression(spark):
     )
     got = [r["o"] for r in df.select(finite_or_null("v").alias("o")).collect()]
     assert got[0] == 1.5 and got[1:] == [None, None, None, None]
+
+
+def test_word_shingles_matches_python_reference(spark):
+    """The r12 zip_with rewrite of word_shingles (linear in doc length)
+    must produce byte-identical shingle sets to the straightforward
+    Python definition, across the edge shapes: normal, short (< n),
+    single-token, empty, NULL, and a long document."""
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.functions import hashing as H
+
+    texts = [
+        "a b c d e",
+        "one",
+        "",
+        None,
+        "x y",
+        " ".join(f"t{i}" for i in range(500)) + " repeat repeat repeat",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def ref(t, n):
+        if t is None:
+            return None
+        ws = t.split(" ")
+        if len(ws) < n:
+            return [" ".join(ws)]
+        seen, out = set(), []
+        for i in range(len(ws) - n + 1):
+            g = " ".join(ws[i : i + n])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    for n in (2, 3):
+        got = [
+            r["sh"]
+            for r in df.select(
+                H.word_shingles(F.col("text"), n).alias("sh")
+            ).collect()
+        ]
+        want = [ref(t, n) for t in texts]
+        assert got == want, f"n={n}: {got} != {want}"
