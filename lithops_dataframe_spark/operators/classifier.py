@@ -104,14 +104,26 @@ def lr_train_features(
     *,
     epochs: int = 6,
     lr: float = 5.0,
+    n: int | None = None,
 ) -> DataFrame:
     """Train on an ALREADY-FEATURIZED (and ideally already-materialized)
     frame with columns ``y, x0..x{k-1}`` — the hook that lets k-fold CV
     featurize the corpus once and run every fold's epochs against the
     same cached frame instead of re-paying the regex-heavy featurize
-    pass per fold (r7; the caller owns materialization)."""
+    pass per fold (r7; the caller owns materialization). ``n`` lets a
+    caller that already knows the row count (k-fold's per-fold sizes
+    come from one groupBy) skip the count job.
+
+    r12 action fusion (guide §1.2 — don't pay two scans where one
+    suffices): each epoch's exact train-correct count under the UPDATED
+    weights is computed in the SAME aggregate as the NEXT epoch's
+    gradient, so the loop runs ``epochs + 1`` jobs instead of
+    ``2 × epochs``. Every expression (gradient sums, HALF_UP 6-decimal
+    weight rounding, the exp-free correctness predicate) is unchanged,
+    so the trajectory stays bit-identical to the unrolled oracle."""
     spark = feats.sparkSession
-    n = feats.count()
+    if n is None:
+        n = feats.count()
     w = [0.0] * N_FEATURES
 
     def margin(weights):
@@ -120,27 +132,50 @@ def lr_train_features(
             z = z + F.lit(weights[j]) * F.col(f"x{j}")
         return z
 
-    rows = []
-    for epoch in range(epochs):
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w)))
-        grad_agg = feats.agg(
-            *[F.sum(F.col(f"x{j}") * (F.col("y") - p)).alias(f"g{j}") for j in range(N_FEATURES)]
-        )
+    def grad_exprs(weights):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(weights)))
+        return [
+            F.sum(F.col(f"x{j}") * (F.col("y") - p)).alias(f"g{j}")
+            for j in range(N_FEATURES)
+        ]
+
+    def correct_expr(weights):
+        # ≡ filter((margin > 0)::int == y).count(): TRUE → 1, FALSE → 0,
+        # NULL comparison → NULL which sum skips exactly like filter drops
+        return F.coalesce(
+            F.sum(((margin(weights) > 0).cast("int") == F.col("y")).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("__nc")
+
+    def update(weights, grad_row):
         # weight update rounded IN-ENGINE: Spark F.round (HALF_UP) matches
         # DuckDB ROUND; Python's round() is banker's and can diverge on
         # representable 6-decimal ties, compounding through later epochs
-        upd = grad_agg.select(
-            *[
-                F.round(F.lit(w[j]) + F.lit(lr) * F.col(f"g{j}") / F.lit(float(n)), 6).alias(
-                    f"w{j}"
-                )
-                for j in range(N_FEATURES)
-            ]
-        ).collect()[0]
-        w = [float(upd[f"w{j}"]) for j in range(N_FEATURES)]
-        n_correct = feats.filter(
-            ((margin(w) > 0).cast("int") == F.col("y"))
-        ).count()
+        upd = (
+            spark.range(1)
+            .select(
+                *[
+                    F.round(
+                        F.lit(weights[j])
+                        + F.lit(lr) * F.lit(grad_row[f"g{j}"]) / F.lit(float(n)),
+                        6,
+                    ).alias(f"w{j}")
+                    for j in range(N_FEATURES)
+                ]
+            )
+            .collect()[0]
+        )
+        return [float(upd[f"w{j}"]) for j in range(N_FEATURES)]
+
+    rows = []
+    grad_row = feats.agg(*grad_exprs(w)).collect()[0]
+    for epoch in range(epochs):
+        w = update(w, grad_row)
+        if epoch + 1 < epochs:
+            fused = feats.agg(*grad_exprs(w), correct_expr(w)).collect()[0]
+            grad_row, n_correct = fused, fused["__nc"]
+        else:
+            n_correct = feats.agg(correct_expr(w)).collect()[0]["__nc"]
         rows.append((epoch, *w, int(n_correct)))
 
     schema = (

@@ -116,6 +116,21 @@ def minhash_lsh_pairs(
         from pyspark import StorageLevel
 
         base = cache.track(base.persist(StorageLevel.MEMORY_AND_DISK))
+    return minhash_pairs_from_base(base, bands=bands, threshold=threshold)
+
+
+def minhash_pairs_from_base(
+    base: DataFrame,
+    *,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """LSH band join + exact-Jaccard verify over a prepared ``base`` frame
+    with columns (id, __shingles, __sig). The caller owns persistence of
+    ``base`` (it feeds both join sides and the verification); composers
+    like the corpus-cleaning pipeline reuse one persisted frame that also
+    carries their own downstream columns, so the corpus is scanned and
+    shingled exactly once per run."""
     # Slim postings: the band self-join shuffles only (id, band_idx,
     # band_key) — never the shingle arrays. Shingles rejoin AFTER candidate
     # dedup, so payload movement is O(candidates), not O(docs × bands).
@@ -136,7 +151,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
         # byte-small candidates, CPU-bound array verify: pin the verify
         # stage at full parallelism (AQE coalesces by bytes, not CPU)
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
+        .repartition(base.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
     )
     sh = base.select("id", "__shingles")
     cand = (

@@ -40,8 +40,12 @@ def clean_corpus(
     connected-components clustering is the iterative variant; pairwise
     greedy is the standard single-pass approximation.)
     """
+    from lithops_dataframe_spark import cache
+    from lithops_dataframe_spark.operators.util import ensure_parallelism
+
     gated = (
-        docs.withColumn("quality", T.quality_score(F.col("text")))
+        ensure_parallelism(docs.select("doc_id", "lang", "text"))
+        .withColumn("quality", T.quality_score(F.col("text")))
         .filter(F.col("quality") >= min_quality)
         .filter(F.col("lang").isin(*langs))
     )
@@ -50,16 +54,32 @@ def clean_corpus(
     w = Window.partitionBy(F.md5("text")).orderBy(F.col("doc_id").asc())
     exact = gated.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
-    # near-dup pairs among the exact-deduped survivors; drop larger ids
-    pairs = D.minhash_lsh_pairs(
-        exact, "text", "doc_id", shingle_n=2, bands=4, threshold=neardup_threshold
+    # ONE text pass: shingles + minhash signature + token count + quality
+    # land in a single persisted projection (text itself is dropped), so
+    # the scan → quality regexes → fingerprint window → shingling chain
+    # runs exactly once per job. The r11 shape recomputed the whole gated/
+    # exact lineage twice (once under the pair miner's persist, once for
+    # the survivor anti-join) — at 100 TB that is two full corpus scans
+    # and double regex/md5 work for no informational gain (guide §1.2).
+    base = cache.persist_tracked(
+        D.with_minhash(exact, "text", shingle_n=2).select(
+            F.col("doc_id").alias("id"),
+            "lang",
+            F.size(T.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            "quality",
+            "__shingles",
+            "__sig",
+        )
     )
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    cleaned = exact.join(losers, "doc_id", "left_anti")
+
+    # near-dup pairs among the exact-deduped survivors; drop larger ids
+    pairs = D.minhash_pairs_from_base(base, bands=4, threshold=neardup_threshold)
+    losers = pairs.select(F.col("id_b").alias("id")).distinct()
+    cleaned = base.join(losers, "id", "left_anti")
 
     return cleaned.select(
-        "doc_id",
+        F.col("id").alias("doc_id"),
         "lang",
-        F.size(T.ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        "n_tokens",
         F.round("quality", 6).alias("quality"),
     )

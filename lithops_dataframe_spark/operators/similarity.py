@@ -295,6 +295,7 @@ def ann_topk(
     emb_col: str = "embedding",
     k: int = 10,
     multi_probe_bits: int = 0,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k via sign-LSH buckets + exact re-rank of candidates.
 
@@ -349,6 +350,23 @@ def ann_topk(
         q.select(qid.alias("__id"), F.col("q_emb").cast("array<double>").alias("__emb"), F.lit(1).alias("__side"))
     )
     postings = with_buckets(tagged, "__emb").select("__id", "__side", "table_idx", "bucket")
+    if broadcast_queries:
+        # The query-side postings are bounded by construction (every
+        # caller's query set is a fixed-size probe table, ≤ queries ×
+        # tables × (1 + probe bits) int rows after dedup), so the bucket
+        # join broadcasts them and the CORPUS postings stream through a
+        # BroadcastHashJoin with no exchange at all — r12: the unhinted
+        # plan ran the bucket join as SortMergeJoin, hash-shuffling and
+        # sorting the full corpus postings (the dominant shuffle at scale;
+        # guide §3.1). Persisting the tagged-union postings keeps the
+        # single shared bucket pass: without it the broadcast build would
+        # re-run the union lineage (including the corpus half) a second
+        # time for the qb subtree. Pass broadcast_queries=False for a
+        # corpus-scale query set — the join falls back to the shuffled
+        # form AQE sizes.
+        from lithops_dataframe_spark import cache
+
+        postings = cache.persist_tracked(postings)
     cb_id = F.col("__id") if same_id else F.col("__id").cast(c_id_type)
     qb_id = F.col("__id") if same_id else F.col("__id").cast(q_id_type)
     cb = postings.filter(F.col("__side") == 0).select(cb_id.alias("neighbor_id"), "table_idx", "bucket")
@@ -364,7 +382,7 @@ def ann_topk(
             "query_id", "table_idx", F.explode(probes).alias("bucket")
         ).dropDuplicates(["query_id", "table_idx", "bucket"])
     cand = (
-        cb.join(qb, ["table_idx", "bucket"])
+        cb.join(F.broadcast(qb) if broadcast_queries else qb, ["table_idx", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -63,6 +63,29 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def empty_frame(spark, schema) -> DataFrame:
+    """A zero-row DataFrame with ``schema``, built as a LIMIT-0 projection
+    over ``range(0)`` instead of ``spark.createDataFrame([], schema)``.
+
+    The createDataFrame path parallelizes an empty Python list into a
+    defaultParallelism-partition RDD whose every action schedules a full
+    wave of empty pickled tasks — measured 6-12 s per materialization at
+    local[32] (r12). The range(0) form is a plain relational leaf: zero
+    tasks, sub-second, same schema, same NULL typing. Used on the hot
+    streaming paths (first-epoch index reads, empty micro-batch staging)
+    where the empty frame is materialized once per epoch."""
+    from pyspark.sql import functions as F
+
+    sch = schema if not isinstance(schema, str) else None
+    if sch is None:
+        from pyspark.sql.types import _parse_datatype_string
+
+        sch = _parse_datatype_string(schema)
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in sch.fields]
+    )
+
+
 # --- non-finite double policy (r12 edge class) ---
 #
 # Real event streams carry NaN/±Inf (sensor glitches, upstream division

@@ -313,18 +313,46 @@ def classifier_lr_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fold", (F.col("doc_id") % _KF_FOLDS).cast("int"))
         .localCheckpoint(eager=True)
     )
-    out = None
-    for f in range(_KF_FOLDS):
+    # Per-fold sizes from ONE aggregate (train n = total − fold size)
+    # instead of a count job inside every fold's train plus a second
+    # per-fold tr.count() — 2×folds jobs folded into one (r12, guide §1.2).
+    fold_sizes = {
+        int(r["fold"]): int(r["n"])
+        for r in feats_all.groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(fold_sizes.values())
+
+    # The folds are INDEPENDENT jobs over one shared materialized frame:
+    # run them from a small thread pool so fold B's stages back-fill the
+    # executor slots fold A's driver-side epoch loop leaves idle (guide
+    # §2.6 — wall time drops to ~one fold; results are deterministic, the
+    # trajectories don't interact).
+    def run_fold(f: int):
         tr = feats_all.filter(F.col("fold") != f)
+        n_train = n_total - fold_sizes.get(f, 0)
         traj = sorted(
-            C.lr_train_features(tr, epochs=_KF_EPOCHS, lr=_LR).collect(),
+            C.lr_train_features(tr, epochs=_KF_EPOCHS, lr=_LR, n=n_train).collect(),
             key=lambda r: r["epoch"],
         )
         w = [float(traj[-1][f"w{j}"]) for j in range(5)]
-        n_train = int(tr.count())
         te = feats_all.filter(F.col("fold") == f)
         scored = C.score_features(te, w)
-        conf = scored.agg(
+        return _fold_conf(scored, f, n_train)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(_KF_FOLDS, 3)) as pool:
+        confs = list(pool.map(run_fold, range(_KF_FOLDS)))
+    out = None
+    for conf in confs:
+        out = conf if out is None else out.unionAll(conf)
+    return out
+
+
+def _fold_conf(scored, f: int, n_train: int):
+    from pyspark.sql import functions as F
+
+    return scored.agg(
             F.count(F.lit(1)).cast("long").alias("n_test"),
             F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("int"))
             .cast("long")
@@ -347,8 +375,6 @@ def classifier_lr_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fn",
             "tn",
         )
-        out = conf if out is None else out.unionAll(conf)
-    return out
 
 
 # ---------------------------------------------------------------------------

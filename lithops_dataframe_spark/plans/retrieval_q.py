@@ -85,7 +85,11 @@ def _bm25_ranked(spark: SparkSession, docs: DataFrame, topk: int) -> DataFrame:
     hybrid RRF fusion leg."""
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl derived FROM tf (Σ tf per doc ≡ token count — exact BIGINT
+    # identity), so the corpus is tokenized once and AQE reuses tf's
+    # exchange for the dl/avgdl lineage instead of a second full
+    # explode+aggregate pass (r12, guide §1.2/§2.4).
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     q = spark.createDataFrame(
@@ -344,8 +348,17 @@ def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged."""
     from lithops_dataframe_spark.operators import similarity as S
 
+    from lithops_dataframe_spark import cache
+
     fused = _hybrid_rrf_frame(spark, sf_dir)
-    cand = fused.select("query_id", "doc_id", "rrf_micro")
+    # BOUNDED (queries × FINAL_K rows) but expensive lineage: the whole
+    # first-stage RRF (BM25 leg + dense leg + fusion). It feeds the
+    # candidate-key broadcast (cdocs), the embeddings semi-join AND the
+    # final feature join — without a persist each consumer re-runs both
+    # first-stage corpus scans (r12: three full RRF executions per run,
+    # guide §5 "caching is worth it when reused and recompute is
+    # expensive").
+    cand = cache.persist_tracked(fused.select("query_id", "doc_id", "rrf_micro"))
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     q = spark.createDataFrame(

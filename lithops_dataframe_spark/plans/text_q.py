@@ -161,9 +161,16 @@ def text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs")))
     tok = docs.select("doc_id", F.explode(T.tf_buckets(T.ws_tokens(F.col("text")))).alias("bucket"))
     tf = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    # IDF document-frequency derived FROM tf — df(bucket) = COUNT(*) of the
+    # (doc, bucket) aggregate rows per bucket, identically equal to
+    # COUNT(DISTINCT doc_id) over the raw postings. This removes the whole
+    # second tokenize+hash lineage (scan → explode → two-level distinct
+    # aggregate) the r11 plan paid: one Exchange on (doc_id, bucket) feeds
+    # both the output rows and the idf side (guide §1.2/§2.4 — at 100 TB
+    # the corpus is tokenized and md5-hashed once, not twice).
     idf = (
-        tok.groupBy("bucket")
-        .agg(F.countDistinct("doc_id").alias("__df"))
+        tf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .crossJoin(n_docs)
         .select(
             "bucket",

@@ -70,7 +70,9 @@ def _read_index(spark, path: str, schema: T.StructType, before_epoch: int) -> Da
     Existence is checked through the Hadoop FileSystem API so the index
     can live on HDFS/S3, not only the driver's local disk."""
     if not fsutil.exists(spark, path):
-        return spark.createDataFrame([], schema)
+        from lithops_dataframe_spark.operators.util import empty_frame
+
+        return empty_frame(spark, schema)
     with_epoch = T.StructType(
         list(schema.fields) + [T.StructField("epoch", T.IntegerType())]
     )

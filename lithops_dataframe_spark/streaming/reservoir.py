@@ -56,7 +56,9 @@ def _read_latest_state(
         return spark.read.schema(schema).parquet(
             os.path.join(state_dir, f"epoch={max(prior)}")
         )
-    return spark.createDataFrame([], schema)
+    from lithops_dataframe_spark.operators.util import empty_frame
+
+    return empty_frame(spark, schema)
 
 
 def reservoir_batch_step(

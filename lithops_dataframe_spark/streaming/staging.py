@@ -30,15 +30,47 @@ def stage_microbatches(
     (zero-row) file — its epoch fires with an empty frame, which the
     step functions must handle (and their tests pin)."""
     os.makedirs(replay_dir, exist_ok=True)
+    # ONE pass over the source (r12, guide §1.2): the previous form ran
+    # n_batches filter+coalesce(1) writes, i.e. n_batches full scans of
+    # the (possibly expensive) staging lineage. A single partitionBy
+    # write splits every batch in one job; repartition(n, __b) lands each
+    # batch value in one task, so each batch directory holds exactly one
+    # part file. Batch values that produce no rows get an explicit
+    # zero-row file afterwards (schema-only job, no source scan) — the
+    # contract that an empty epoch still fires is unchanged.
+    tmp = os.path.join(replay_dir, "_staged")
+    from pyspark.sql import functions as F
+
+    from lithops_dataframe_spark.operators.util import empty_frame
+
+    (
+        df.withColumn("__b", batch_expr.cast("int"))
+        .repartition(n_batches, "__b")
+        .write.partitionBy("__b")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    spark = df.sparkSession
     files = []
     for b in range(n_batches):
-        d = os.path.join(replay_dir, f"b{b}")
-        df.filter(batch_expr == b).coalesce(1).write.mode("overwrite").parquet(d)
-        part = [n for n in os.listdir(d) if n.endswith(".parquet")][0]
+        d = os.path.join(tmp, f"__b={b}")
         dst = os.path.join(replay_dir, f"b{b}.parquet")
-        shutil.copy(os.path.join(d, part), dst)
+        parts = (
+            [n for n in os.listdir(d) if n.endswith(".parquet")]
+            if os.path.isdir(d)
+            else []
+        )
+        if parts:
+            shutil.copy(os.path.join(d, parts[0]), dst)
+        else:  # empty batch: write a zero-row file with the data schema
+            empty_dir = os.path.join(tmp, f"__empty{b}")
+            empty_frame(spark, df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(empty_dir)
+            part = [n for n in os.listdir(empty_dir) if n.endswith(".parquet")][0]
+            shutil.copy(os.path.join(empty_dir, part), dst)
         files.append(dst)
-        shutil.rmtree(d)
+    shutil.rmtree(tmp)
     now = time.time()
     for i, f in enumerate(files):
         age = 60 * (len(files) - i)
