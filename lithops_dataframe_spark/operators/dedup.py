@@ -348,6 +348,12 @@ def connected_components(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
         .distinct()
+        # pre-partition on the loop's join key: distinct leaves the frame
+        # hash-partitioned on (src, dst), so every propagation round's
+        # edges⋈labels join on dst re-shuffled the cached edges (r12,
+        # guide §2.4); one extra narrow shuffle at build makes all
+        # max_iterations round joins exchange-free on the edge side
+        .repartition("dst")
         .persist()
     )
     # Fused first round: starting from identity labels, round 1 would

@@ -645,7 +645,11 @@ def pagerank_topk(
     cross-copy densification (bench.py 'graph_iter' family)."""
     e = _coactivity_edges(spark, sf_dir, band_stride=band_stride)
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    ed = cache.persist_tracked(e.join(deg, "u"))  # reused every iteration
+    # reused every iteration — persisted PRE-PARTITIONED on u (the
+    # degree join broadcasts, leaving the union's unknown partitioning),
+    # so none of the _PR_ITERS round joins re-shuffles the edge side
+    # (r12, guide §2.4)
+    ed = cache.persist_tracked(e.join(deg, "u").repartition("u"))
 
     ranks = deg.select(F.col("u").alias("node"), F.lit(_PR_INIT).cast("long").alias("rank"))
     for _ in range(_PR_ITERS):
@@ -750,8 +754,14 @@ def label_propagation_counts(
     key-shifted scale fixture (identity on the base fixture), exactly as
     in :func:`pagerank_topk` — the curve then measures the BSP
     join+agg+argmax loop, not the fixture's cross-copy densification."""
+    # Persist the edge list PRE-PARTITIONED on the loop's join key (r12,
+    # guide §2.4 "two operations keyed the same way share one exchange"):
+    # the symmetric union's output partitioning is unknown, so without
+    # this every one of the _LPA_ITERS round joins re-shuffled the edges
+    # by u; cached hashpartitioning(u) makes the per-round join
+    # exchange-free on the edge side.
     e = cache.persist_tracked(
-        _coactivity_edges(spark, sf_dir, band_stride=band_stride)
+        _coactivity_edges(spark, sf_dir, band_stride=band_stride).repartition("u")
     )
     nodes = e.select(F.col("u").alias("node")).distinct()
     seeded = cache.persist_tracked(

@@ -92,6 +92,60 @@ def _trained_codebook(spark, sf_dir: str, m: int, sliced: DataFrame) -> list[lis
     return _PQ_CODEBOOKS[key]
 
 
+def _all_codebooks(spark, sf_dir: str, emb: DataFrame) -> list[list[list[float]]]:
+    """The M trained sub-codebooks (memoized per fixture)."""
+    books: list[list[list[float]]] = []
+    for m in range(_M):
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
+        )
+        books.append(_trained_codebook(spark, sf_dir, m, sliced))
+    return books
+
+
+def _sub_dist_fn(sub_col):
+    """λ c → Σ (sub[i] − c[i])² — the same in-order double fold
+    assign_cells runs (single-parameter lambda: a (c, s=...) default-arg
+    binding would make PySpark treat it as an (element, index) lambda)."""
+    return lambda c: F.aggregate(
+        F.zip_with(
+            sub_col, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_codes(emb: DataFrame, books, *, with_dist: bool = False) -> DataFrame:
+    """All M code assignments in ONE narrow pass over the embeddings —
+    (id, code0..code{M-1}[, __d0..]) with exactly assign_cells' per-
+    subspace arithmetic (same fold, same argmin/tie-break, same 6-decimal
+    dist rounding). The r11 shape ran assign_cells once per subspace and
+    reassembled rows with M−1 equi-joins — at any scale that is M scans
+    plus M−1 shuffles of the corpus for values a single projection
+    computes (r12, guide §1.2/§2.4). Every code/dist value is
+    bit-identical, so the PQ oracles are untouched."""
+    spark = emb.sparkSession
+    cb = F.broadcast(
+        spark.createDataFrame([(books,)], "__allcb: array<array<array<double>>>")
+    )
+    out = emb.select(F.col("vec_id").alias("id"), "embedding").crossJoin(cb)
+    for m in range(_M):
+        sub = F.slice("embedding", m * _SUB + 1, _SUB)
+        out = out.withColumn(
+            f"__dist{m}", F.transform(F.element_at("__allcb", m + 1), _sub_dist_fn(sub))
+        )
+    cols = [F.col("id")]
+    for m in range(_M):
+        d = F.col(f"__dist{m}")
+        cols.append(
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias(f"code{m}")
+        )
+        if with_dist:
+            cols.append(F.round(F.array_min(d), 6).alias(f"__d{m}"))
+    return out.select(*cols)
+
+
 @register("emb_pq_encode", oracle=S.finite_emb_oracle(_pq_oracle()))
 def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the embeddings table: train an 8-entry codebook per
@@ -100,22 +154,7 @@ def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression costs — the metric that decides codebook sizes in a real
     vector store."""
     emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
-    out: DataFrame | None = None
-    for m in range(_M):
-        sliced = emb.select(
-            "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
-        )
-        codebook = _trained_codebook(spark, sf_dir, m, sliced)
-        assigned = assign_cells(
-            sliced.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
-            codebook,
-            emb_col="emb",
-        ).select(
-            F.col("id"),
-            F.col("cell").alias(f"code{m}"),
-            F.col("dist2").alias(f"__d{m}"),
-        )
-        out = assigned if out is None else out.join(assigned, "id")
+    out = _pq_codes(emb, _all_codebooks(spark, sf_dir, emb), with_dist=True)
     # same left-to-right addition order as the oracle (d0 + d1 + d2 + d3)
     mse = F.col("__d0")
     for m in range(1, _M):
@@ -186,20 +225,8 @@ def sim_adc_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distances round to 6 before ranking for deterministic ties; the
     oracle replays codebooks, codes, tables, and lookups exactly."""
     emb = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
-    codes: DataFrame | None = None
-    books: list[list[list[float]]] = []
-    for m in range(_M):
-        sliced = emb.select(
-            "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
-        )
-        codebook = _trained_codebook(spark, sf_dir, m, sliced)
-        books.append(codebook)
-        assigned = assign_cells(
-            sliced.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
-            codebook,
-            emb_col="emb",
-        ).select("id", F.col("cell").alias(f"code{m}"))
-        codes = assigned if codes is None else codes.join(assigned, "id")
+    books = _all_codebooks(spark, sf_dir, emb)
+    codes = _pq_codes(emb, books)
 
     # one broadcast frame carries all M codebooks (M×k×sub_dim doubles)
     cb = F.broadcast(
@@ -385,20 +412,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # PQ codes + per-query ADC tables (shared builders with sim_adc_topk_pq)
-    codes: DataFrame | None = None
-    books: list[list[list[float]]] = []
-    for m in range(_M):
-        sliced = emb.select(
-            "vec_id", F.slice("embedding", m * _SUB + 1, _SUB).alias("embedding")
-        )
-        codebook = _trained_codebook(spark, sf_dir, m, sliced)
-        books.append(codebook)
-        assigned = assign_cells(
-            sliced.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
-            codebook,
-            emb_col="emb",
-        ).select("id", F.col("cell").alias(f"code{m}"))
-        codes = assigned if codes is None else codes.join(assigned, "id")
+    books = _all_codebooks(spark, sf_dir, emb)
+    codes = _pq_codes(emb, books)
 
     cb = F.broadcast(
         spark.createDataFrame([(books,)], "__cb: array<array<array<double>>>")

@@ -79,9 +79,16 @@ _RECURSIVE = """
     WITH RECURSIVE comp(root, pkey) AS (
         SELECT p_partkey, p_partkey FROM part WHERE p_partkey < 8
         UNION ALL
+        -- r12: child keys via a 2-row VALUES table so the per-level join
+        -- is an EQUI-join (hash-joinable on p_partkey = 2*pkey + i) —
+        -- the original OR-disjunction form planned as a nested-loop join
+        -- on every recursion level. A part row can never match both
+        -- branches (2k+1 != 2k+2), so the produced multiset is identical;
+        -- the same text runs verbatim on DuckDB.
         SELECT c.root, p.p_partkey
-        FROM comp c JOIN part p
-          ON (p.p_partkey = 2 * c.pkey + 1 OR p.p_partkey = 2 * c.pkey + 2)
+        FROM comp c
+        JOIN (VALUES (1), (2)) AS off(i) ON TRUE
+        JOIN part p ON p.p_partkey = 2 * c.pkey + off.i
         WHERE p.p_partkey < 2048  -- bounded tree depth (~11 levels) at any SF
     )
     SELECT root, COUNT(*) AS n_components,
