@@ -69,10 +69,12 @@ def bpe_train(
         "cnt",
         F.posexplode(F.split("word", "")).alias("pos0", "sym"),
     ).select("wid", "cnt", (F.col("pos0") + 1).alias("pos"), "sym")
-    # materialize the initial token table ONCE: every iteration issues an
+    # checkpoint the initial token table ONCE: every iteration issues an
     # action (the argmax collect), and without this barrier each one
-    # replays the corpus-wide word count upstream of it
-    tok = tok.localCheckpoint(eager=True)
+    # replays the corpus-wide word count upstream of it. LAZY checkpoint
+    # (r12): the first argmax collect materializes it anyway, so an eager
+    # checkpoint was a whole extra job per call for no reuse gain.
+    tok = tok.localCheckpoint(eager=False)
 
     merges: list[tuple] = []
     w_pos = Window.partitionBy("wid").orderBy("pos")
@@ -123,8 +125,11 @@ def bpe_train(
         )
         # per-iteration lineage truncation: the frame is ~16k rows, so the
         # checkpoint is cheap, and it stops both plan growth AND the
-        # re-execution of prior rounds by the next argmax collect
-        tok = tok.localCheckpoint(eager=True)
+        # re-execution of prior rounds by the next argmax collect. Lazy:
+        # the NEXT round's argmax (or the caller's first action on the
+        # returned tokens) materializes it — one job per round, not two
+        # (r12, guide §1.2).
+        tok = tok.localCheckpoint(eager=False)
 
     merges_df = spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"

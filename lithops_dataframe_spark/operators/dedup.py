@@ -593,7 +593,11 @@ def jaccard_prefix_filter_pairs(
     ceil_tn = (F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den)
     prefix_len = F.col("n") - F.floor(ceil_tn) + F.lit(1)
     w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("s").asc())
-    prefix = (
+    # persisted: the prefix postings feed BOTH sides of the candidate
+    # self-join; without it the postings⋈dfreq join + rank window execute
+    # twice (the static plan carried two full copies of the subtree —
+    # r12, guide §5 reuse rule)
+    prefix = cache.persist_tracked(
         postings.join(dfreq, "s")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)

@@ -92,35 +92,36 @@ def pca_power_iteration(
         # exploded aggregation. Every j-group sees each row's d exactly
         # once, so any group's sum(d·d) is the global Σd² — read it from
         # the j=0 row. Same values, same 4/6-decimal rounding as before.
-        rows = (
+        perj = (
             centered.select(F.posexplode("c").alias("j", "cj"), "d")
             .groupBy("j")
             .agg(
                 F.round(F.sum(F.col("cj") * F.col("d")), 6).alias("w"),
                 F.round(F.sum(F.col("d") * F.col("d")), 4).alias("dd"),
             )
-            .collect()
         )
-        w = [0.0] * dim
-        d2 = 0.0
-        for r in rows:
-            w[r["j"]] = float(r["w"])
-            if r["j"] == 0:
-                d2 = float(r["dd"])
-        # λ + normalization + variance-explained from the ROUNDED w,
-        # computed IN-ENGINE in one driver-sized job so the rounding mode
-        # matches DuckDB (Python round() is banker's)
-        w_lit = F.array(*[F.lit(c) for c in w])
-        one = spark.range(1).select(
-            F.round(F.sqrt(_fold_sum(F.transform(w_lit, lambda a: a * a))), 6).alias(
-                "lam"
+        # λ + normalization + variance-explained from the ROUNDED per-dim
+        # w, computed IN-ENGINE (Spark round ≡ DuckDB ROUND — Python's is
+        # banker's) in the SAME job as the accumulation: a second global
+        # aggregate over the 64 per-j rows replaces the r11 shape's
+        # separate driver-sized range(1) collect — one action per
+        # iteration instead of two (r12, guide §1.2). w folds in j order
+        # (array_sort on the (j, w) structs), identical to the previous
+        # w_lit literal order, so every double matches bit-for-bit.
+        w_arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "w"))), lambda s: s["w"]
+        )
+        lam_e = F.round(F.sqrt(_fold_sum(F.transform(w_arr, lambda a: a * a))), 6)
+        d2_e = F.max(F.when(F.col("j") == 0, F.col("dd")))
+        row = (
+            perj.agg(w_arr.alias("__w"), lam_e.alias("lam"), d2_e.alias("__d2"))
+            .select(
+                "lam",
+                F.transform(F.col("__w"), lambda a: F.round(a / F.col("lam"), 6)).alias("v"),
+                F.round(F.col("__d2") / F.lit(totss), 6).alias("ve"),
             )
+            .collect()[0]
         )
-        row = one.select(
-            "lam",
-            F.transform(w_lit, lambda a: F.round(a / F.col("lam"), 6)).alias("v"),
-            F.round(F.lit(d2) / F.lit(totss), 6).alias("ve"),
-        ).collect()[0]
         lam = float(row["lam"])
         v = [float(c) for c in row["v"]]
         v_micro = ",".join(str(int(round(c * 1e6))) for c in v)

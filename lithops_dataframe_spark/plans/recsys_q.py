@@ -331,28 +331,31 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
     )
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
-        )
-        .join(pt.alias("pa"), F.col("pa.p_partkey") == F.col("a.l_partkey"))
-        .join(pt.alias("pb"), F.col("pb.p_partkey") == F.col("b.l_partkey"))
-        .filter(F.col("pa.p_brand") != F.col("pb.p_brand"))
+    # Brand attaches BEFORE the self-join (r12, guide §2.3 "project before
+    # the exchange" / §3.3 "join first on the un-exploded key"): one
+    # dimension join over |lineitem| rows instead of two over the ~C(k,2)
+    # fan-out of order-local pairs — and both self-join sides are the same
+    # subtree, so the branded scan computes once under exchange reuse.
+    branded = li.join(pt, pt.p_partkey == li.l_partkey).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "p_brand"
     )
+    a = branded.alias("a")
+    b = branded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).filter(F.col("a.p_brand") != F.col("b.p_brand"))
     a_wins = (
         F.when(F.col("a.l_extendedprice") > F.col("b.l_extendedprice"), True)
         .when(F.col("a.l_extendedprice") < F.col("b.l_extendedprice"), False)
         .otherwise(F.col("a.l_partkey") <= F.col("b.l_partkey"))
     )
     duels = pairs.select(
-        F.when(a_wins, F.col("pa.p_brand")).otherwise(F.col("pb.p_brand")).alias(
+        F.when(a_wins, F.col("a.p_brand")).otherwise(F.col("b.p_brand")).alias(
             "brand_w"
         ),
-        F.when(a_wins, F.col("pb.p_brand")).otherwise(F.col("pa.p_brand")).alias(
+        F.when(a_wins, F.col("b.p_brand")).otherwise(F.col("a.p_brand")).alias(
             "brand_l"
         ),
     ).groupBy("brand_w", "brand_l").agg(F.count(F.lit(1)).cast("long").alias("n"))
