@@ -154,11 +154,13 @@ PRIORITY: tuple[str, ...] = (
     # across three raters, never driver-gated — first contact r11
     "eval_mcnemar_exact",
     "eval_cochran_q",
-    # r12 addition (displaces dedup_incremental_batch — incremental dedup
-    # family stays covered by slot 21's stream_incremental_dedup and slot
-    # 14's LSH pairs; it is driver-green D11): Fleiss' kappa completes
-    # the annotation-QA trio, never driver-gated — first contact r12
-    "eval_fleiss_kappa",
+    # r13 (VERDICT r12 item 1): the r12 rotation that admitted
+    # eval_fleiss_kappa here displaced dedup_incremental_batch, which the
+    # driver had verified green in r11 — restored, exactly reverting the
+    # rotation so the top-50 window matches CORRECTNESS_r11 again. The
+    # window is FROZEN for the optimization rounds (no further rotation).
+    # eval_fleiss_kappa (driver-green D12) moves to the gated tail below.
+    "dedup_incremental_batch",
     # r9 addition batch 3 (displaces join_asof_tolerance_attribution —
     # temporal-join family stays covered by slot 4's as-of; tolerance is
     # driver-green D8)
@@ -202,7 +204,7 @@ PRIORITY: tuple[str, ...] = (
     # (CORRECTNESS_r01-r08); they remain covered by the local
     # full-battery driver_sim run
     "dq_ks_value_drift",
-    "dedup_incremental_batch",
+    "eval_fleiss_kappa",
     "events_lttb_downsample",
     "sample_systematic_weighted",
     "mix_interleave_epoch",
