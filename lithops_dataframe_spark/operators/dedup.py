@@ -119,6 +119,18 @@ def minhash_lsh_pairs(
     return minhash_pairs_from_base(base, bands=bands, threshold=threshold)
 
 
+def _dedup_pinned(df: DataFrame, spark_session, *keys: str) -> DataFrame:
+    """Distinct candidate pairs pinned at full parallelism with ONE
+    exchange: ``repartition(N, keys)`` FIRST — the hash partitioning
+    already satisfies dropDuplicates' clustering requirement, so dedup
+    runs in place (r13, guide §2.4); the r12 order (dedup exchange, then
+    repartition on the same keys) paid a second exchange. Interleaved
+    A/B at sf0.1: pre-dedup repartition median 0.489 s vs the r12 order
+    0.508 s on minhash pairs (plans/r13/ab_records.jsonl)."""
+    n = spark_session.sparkContext.defaultParallelism
+    return df.repartition(n, *keys).dropDuplicates(list(keys))
+
+
 def minhash_pairs_from_base(
     base: DataFrame,
     *,
@@ -148,10 +160,13 @@ def minhash_pairs_from_base(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        # byte-small candidates, CPU-bound array verify: pin the verify
-        # stage at full parallelism (AQE coalesces by bytes, not CPU)
-        .repartition(base.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
+        # ONE exchange for dedup + verify-parallelism (r13, guide §2.4):
+        # the explicit hash repartition on (id_a, id_b) pins the CPU-bound
+        # verify stage at full parallelism (AQE coalesces by bytes, not
+        # CPU) AND already satisfies dropDuplicates' clustering — the r12
+        # order (dedup shuffle, then repartition on the same keys) paid a
+        # second exchange for nothing.
+        .transform(_dedup_pinned, base.sparkSession, "id_a", "id_b")
     )
     sh = base.select("id", "__shingles")
     cand = (
@@ -596,7 +611,9 @@ def jaccard_prefix_filter_pairs(
     # persisted: the prefix postings feed BOTH sides of the candidate
     # self-join; without it the postings⋈dfreq join + rank window execute
     # twice (the static plan carried two full copies of the subtree —
-    # r12, guide §5 reuse rule)
+    # r12, guide §5 reuse rule). Re-adjudicated r13 (VERDICT r12 item 2):
+    # interleaved A/B persist median 3.16 s vs recompute 3.26 s at sf0.1
+    # (plans/r13/ab_records.jsonl) — persist stays.
     prefix = cache.persist_tracked(
         postings.join(dfreq, "s")
         .withColumn("pos", F.row_number().over(w))
@@ -615,15 +632,13 @@ def jaccard_prefix_filter_pairs(
             & (F.lit(den) * F.col("pa.n") >= F.lit(num) * F.col("pb.n")),
         )
         .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         # verification is CPU-bound (array_intersect over full shingle
         # arrays) on a BYTE-small candidate set, so AQE coalesces it onto
         # a handful of tasks and serializes the expensive part; an
         # explicit repartition pins the verify stage at full parallelism
-        # (measured at sf0.1: 4.5 s → 3.0 s)
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
-        )
+        # (measured at sf0.1: 4.5 s → 3.0 s). _dedup_pinned folds the
+        # dedup + pinning into ONE exchange (r13, guide §2.4).
+        .transform(_dedup_pinned, df.sparkSession, "id_a", "id_b")
     )
 
     arr_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -708,13 +723,11 @@ def containment_pairs(
             ),
         )
         .select(F.col("pa.id").alias("id_small"), F.col("pb.id").alias("id_big"))
-        .dropDuplicates(["id_small", "id_big"])
         # same AQE trap as jaccard_prefix_filter_pairs: the candidate set
         # is byte-small but array_intersect verification is CPU-bound —
-        # pin the verify stage at full parallelism
-        .repartition(
-            df.sparkSession.sparkContext.defaultParallelism, "id_small", "id_big"
-        )
+        # pin the verify stage at full parallelism; _dedup_pinned folds
+        # dedup + pinning into ONE exchange (r13, guide §2.4).
+        .transform(_dedup_pinned, df.sparkSession, "id_small", "id_big")
     )
 
     arr_a = base.select(F.col("id").alias("id_small"), F.col("sh").alias("sh_a"))

@@ -244,14 +244,36 @@ def ks_two_sample_by_group(
     # fixtures happen to contain no NULL values).
     df = df.filter(F.col(value_col).isNotNull())
     a = F.col(flag_col).cast("long")
+    # SIZE-GATED persist of g BEFORE the range shuffle (r13, guide §5 /
+    # VERDICT r12 item 6): repartitionByRange SAMPLES its input to pick
+    # the range bounds, so without a persist the distinct-(group, value)
+    # aggregate — the only full pass over the fact table — executes twice
+    # (once for the sampling job, once for the shuffle map). Persisting
+    # saves that second full scan, but the materialization costs MORE
+    # than the repeated aggregate on small inputs: interleaved A/B at
+    # sf0.1 measured persist median 1.17 s vs 0.89 s without
+    # (plans/r13/ab_records.jsonl). Engage the 100 TB shape only when the
+    # scan it saves is big enough to dominate; unknown input size (non-
+    # file lineage) → persist, since such lineages are derived frames
+    # whose recompute is the expensive case.
+    import os as _os
+
+    from lithops_dataframe_spark.operators.util import estimated_input_bytes
+
     g = df.groupBy(group_col, value_col).agg(
         F.sum(a).alias("ca"),
         F.sum(F.lit(1) - a).alias("cb"),
     )
+    min_bytes = int(_os.environ.get("LDS_KS_PERSIST_MIN_BYTES", str(256 * 1024 * 1024)))
+    in_bytes = estimated_input_bytes(df)
+    if in_bytes is None or in_bytes >= min_bytes:
+        g = cache.persist_tracked(g)
     # part feeds the local prefix window AND the per-(pid, group) totals;
-    # the tracked persist stops the source aggregate + range shuffle from
-    # running twice (same contract as asof_join's global path: registry
-    # builders auto-evict, direct library callers release_all()).
+    # the tracked persist stops the range shuffle from running twice AND
+    # pins __pid: spark_partition_id() must be observed by both consumers
+    # from the SAME materialized partitioning (same contract as asof_join's
+    # global path: registry builders auto-evict, direct library callers
+    # release_all()).
     part = cache.persist_tracked(
         g.repartitionByRange(
             F.col(group_col).asc(), F.col(value_col).asc()

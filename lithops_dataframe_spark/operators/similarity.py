@@ -295,7 +295,7 @@ def ann_topk(
     emb_col: str = "embedding",
     k: int = 10,
     multi_probe_bits: int = 0,
-    broadcast_queries: bool = True,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Approximate top-k via sign-LSH buckets + exact re-rank of candidates.
 
@@ -313,6 +313,13 @@ def ann_topk(
     postings only (queries ≪ corpus); the corpus postings, the slim-join
     shape, and the index itself are unchanged — recall rises without
     adding tables or re-hashing the corpus.
+
+    ``broadcast_queries=True`` (opt-in — ADVICE r12: no size guard exists
+    here, so the caller must KNOW its query set is bounded) hints the
+    query postings broadcast so the corpus postings stream through a
+    BroadcastHashJoin with zero corpus-side exchange. Default False: the
+    bucket join stays a shuffled join AQE sizes, safe for corpus-scale
+    query sets.
     """
     # Norms ride the payload projections so the per-candidate score is
     # ONE fold (sim = dot/(q_nrm·c_nrm), bit-identical to inline cosine).
@@ -330,47 +337,26 @@ def ann_topk(
     # embeddings rejoin AFTER candidate dedup (payload movement is
     # O(candidates), and the query side re-attaches via broadcast).
     #
-    # Both sides go through ONE tagged-union bucket pass instead of two
-    # separate with_buckets plans: the per-query driver/compile overhead of
-    # the hyperplane-fold plan (~2 s, data-size-independent) is paid once,
-    # and the two join inputs are filters over the same subtree instead of
-    # two distinct plan shapes. At scale this also halves the number of
-    # stage shapes the scheduler manages; per-row work is unchanged.
-    # The tagged union is positional, so differing id/embedding types across
-    # corpus and queries would either fail analysis or coerce silently.
-    # Normalize: ids ride through the bucket pass as strings when the types
-    # differ (cast back after — lossless for int/string keys), embeddings
-    # always as array<double> (the bucket fold casts to double anyway).
-    c_id_type = c.schema["neighbor_id"].dataType
-    q_id_type = q.schema["query_id"].dataType
-    same_id = c_id_type == q_id_type
-    cid = F.col("neighbor_id") if same_id else F.col("neighbor_id").cast("string")
-    qid = F.col("query_id") if same_id else F.col("query_id").cast("string")
-    tagged = c.select(cid.alias("__id"), F.col("c_emb").cast("array<double>").alias("__emb"), F.lit(0).alias("__side")).unionAll(
-        q.select(qid.alias("__id"), F.col("q_emb").cast("array<double>").alias("__emb"), F.lit(1).alias("__side"))
-    )
-    postings = with_buckets(tagged, "__emb").select("__id", "__side", "table_idx", "bucket")
-    if broadcast_queries:
-        # The query-side postings are bounded by construction (every
-        # caller's query set is a fixed-size probe table, ≤ queries ×
-        # tables × (1 + probe bits) int rows after dedup), so the bucket
-        # join broadcasts them and the CORPUS postings stream through a
-        # BroadcastHashJoin with no exchange at all — r12: the unhinted
-        # plan ran the bucket join as SortMergeJoin, hash-shuffling and
-        # sorting the full corpus postings (the dominant shuffle at scale;
-        # guide §3.1). Persisting the tagged-union postings keeps the
-        # single shared bucket pass: without it the broadcast build would
-        # re-run the union lineage (including the corpus half) a second
-        # time for the qb subtree. Pass broadcast_queries=False for a
-        # corpus-scale query set — the join falls back to the shuffled
-        # form AQE sizes.
-        from lithops_dataframe_spark import cache
-
-        postings = cache.persist_tracked(postings)
-    cb_id = F.col("__id") if same_id else F.col("__id").cast(c_id_type)
-    qb_id = F.col("__id") if same_id else F.col("__id").cast(q_id_type)
-    cb = postings.filter(F.col("__side") == 0).select(cb_id.alias("neighbor_id"), "table_idx", "bucket")
-    qb = postings.filter(F.col("__side") == 1).select(qb_id.alias("query_id"), "table_idx", "bucket")
+    # SPLIT bucket passes (r13): the corpus postings stream straight out
+    # of their own with_buckets pass into the bucket join — no persist,
+    # no materialization, ONE corpus pass — and the query-side postings
+    # come from a second, query-sized pass that only touches the bounded
+    # probe set. History: r11 ran one tagged-union bucket pass, unhinted,
+    # so the join SortMergeJoin-shuffled the full corpus postings; r12
+    # broadcast the query side but had to PERSIST the union postings
+    # (the broadcast build would otherwise re-run the corpus half), and
+    # that materialization measured SLOWER than the shuffle it replaced
+    # in both committed records (driver speedup 0.751). The split shape
+    # keeps r12's zero-corpus-exchange join without the persist:
+    # interleaved same-process A/B (plans/r13/ab_records.jsonl) has it
+    # beating union_persist by ~17% at sf0.1 and level with r11, and at
+    # 100 TB the corpus is scanned once and never cached or shuffled.
+    cb = with_buckets(
+        c.select("neighbor_id", F.col("c_emb").cast("array<double>").alias("__emb")), "__emb"
+    ).select("neighbor_id", "table_idx", "bucket")
+    qb = with_buckets(
+        q.select("query_id", F.col("q_emb").cast("array<double>").alias("__emb")), "__emb"
+    ).select("query_id", "table_idx", "bucket")
     if multi_probe_bits:
         if not 0 < multi_probe_bits <= N_PLANES:
             raise ValueError(f"multi_probe_bits must be in [1, {N_PLANES}]")
@@ -466,9 +452,12 @@ def ivf_topk(
         "__cnorms", F.transform(F.col("__cents"), lambda c: norm(c))
     )
 
-    def nearest_cells(df: DataFrame, idc: str, embc: str, n: int) -> DataFrame:
+    def nearest_cells(df: DataFrame, idc: str, embc: str, n: int, nrm_out: str) -> DataFrame:
         """Attach the n nearest cell ids (by cosine desc, cell_id asc tie
-        break — encoded as ascending (−sim, cell_id) struct sort)."""
+        break — encoded as ascending (−sim, cell_id) struct sort) plus the
+        row's own norm (``nrm_out``) so the downstream candidate score is
+        ONE fold instead of dot + two norms (same trick as ann_topk; the
+        norm doubles are the exact values the inline cosine would fold)."""
         idx = F.sequence(F.lit(0), F.lit(len(cell_ids) - 1))
         ranked = F.slice(
             F.array_sort(
@@ -498,7 +487,11 @@ def ivf_topk(
             df.withColumn("__rn", norm(F.col(embc)))
             .crossJoin(cframe_n)
             .withColumn("__cell", F.explode(ranked))
-            .select(*df.columns, F.col("__cell.cell_id").alias("cell_id"))
+            .select(
+                *df.columns,
+                F.col("__rn").alias(nrm_out),
+                F.col("__cell.cell_id").alias("cell_id"),
+            )
         )
 
     c_assigned = nearest_cells(
@@ -506,21 +499,39 @@ def ivf_topk(
         "neighbor_id",
         "c_emb",
         1,
+        "c_nrm",
     )
     q_assigned = nearest_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb")),
         "query_id",
         "q_emb",
         n_probe,
+        "q_nrm",
     )
-    cand = (
-        c_assigned.join(q_assigned, "cell_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+    # Probe join: the query side is bounded by construction (queries ×
+    # n_probe rows) → broadcast it so the corpus-side assignment STREAMS
+    # through a BroadcastHashJoin with no exchange (guide §3.1 — r12's
+    # unhinted plan shuffled the corpus side). No dropDuplicates: each
+    # corpus row is assigned EXACTLY one cell (n=1 slice), so a
+    # (query, neighbor) pair can match on at most one cell_id — the r12
+    # dedup exchange was a provable no-op (guide §2.4: a distinct on data
+    # that is already unique).
+    cand = c_assigned.join(F.broadcast(q_assigned), "cell_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    # one fold per candidate (norms carried from assignment; bit-identical
+    # to the inline cosine — same doubles, same multiplication order);
+    # zero-norm guard: NULL sim, ranked last on both engines.
+    # Interleaved A/B vs the r12 shape (unhinted join + dropDuplicates +
+    # 3-fold cosine): median 1.068 vs 1.072 s at sf0.1 — flat locally,
+    # strictly better shaped at scale (plans/r13/ab_records.jsonl).
+    sim = F.when(
+        F.col("q_nrm") * F.col("c_nrm") > 0,
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
-        cand.withColumn("sim", cosine(F.col("q_emb"), F.col("c_emb")))
+        cand.withColumn("sim", sim)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), F.round("sim", 6).alias("sim"))

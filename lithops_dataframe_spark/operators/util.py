@@ -41,6 +41,27 @@ def _estimated_splits(df: DataFrame) -> int | None:
     return splits
 
 
+def estimated_input_bytes(df: DataFrame) -> int | None:
+    """Total bytes of the plan's file-scan inputs, from the analysis-phase
+    file listing (no job). None when the lineage is not a plain local
+    file scan — callers choose their own conservative default then."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        try:
+            total += os.path.getsize(f[len("file:") :])
+        except OSError:
+            return None
+    return total
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition up if the input scan has fewer splits than cores.
 

@@ -252,8 +252,15 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets one bit-flip away in every hash table (recall lever at fixed
     table/plane budget; see test_multi_probe_improves_recall)."""
     emb = _emb(spark, sf_dir)
+    # broadcast_queries opt-in: the probe set is bounded by construction
+    # (vec_id < _N_QUERIES), so the corpus postings stream through a
+    # BroadcastHashJoin with no corpus-side exchange (guide §3.1).
     return S.ann_topk(
-        emb, emb.filter(F.col("vec_id") < _N_QUERIES), k=_K, multi_probe_bits=S.N_PLANES
+        emb,
+        emb.filter(F.col("vec_id") < _N_QUERIES),
+        k=_K,
+        multi_probe_bits=S.N_PLANES,
+        broadcast_queries=True,
     )
 
 

@@ -168,14 +168,25 @@ def text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate) the r11 plan paid: one Exchange on (doc_id, bucket) feeds
     # both the output rows and the idf side (guide §1.2/§2.4 — at 100 TB
     # the corpus is tokenized and md5-hashed once, not twice).
-    idf = (
-        tf.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .crossJoin(n_docs)
-        .select(
-            "bucket",
-            (F.log((F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)) + 1.0).alias("idf"),
-        )
+    # r13 reuse fix: the r12 form counted tf's rows with COUNT(*), which
+    # let column pruning DROP the tf count from the idf-side partial
+    # aggregate — the two (doc_id, bucket) exchanges then no longer
+    # canonicalized equal and AQE only reused the scan/repartition stage,
+    # re-running the whole explode+md5 partial-agg lineage for the idf
+    # side (seen in the executed plan: ReusedExchange for the scan only,
+    # two Generate lineages). Summing IF(tf > 0, 1, 0) — identically the
+    # row count, since tf ≥ 1 by construction — keeps the tf column alive
+    # in the idf subtree, the subtrees canonically equal, and the tf
+    # exchange REUSED (verified in the executed plan: one Generate, the
+    # idf lineage starts at ReusedExchange): the corpus is tokenized and
+    # hashed ONCE at any scale. Interleaved A/B vs the r11 two-pass shape:
+    # median 1.28 s vs 1.54 s at sf0.1 (plans/r13/ab_records.jsonl).
+    df_src = tf.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tf") > 0, F.lit(1)).otherwise(F.lit(0))).alias("__df")
+    )
+    idf = df_src.crossJoin(n_docs).select(
+        "bucket",
+        (F.log((F.col("__n_docs") + 1.0) / (F.col("__df") + 1.0)) + 1.0).alias("idf"),
     )
     return tf.join(F.broadcast(idf), "bucket").select(
         "doc_id",

@@ -49,17 +49,26 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Joins (r12, guide §3.1): let the planner and AQE pick SHUFFLED
-        # HASH JOIN instead of sort-merge when the per-partition build side
-        # fits — skips two sorts per join. Size-guarded, not local-mode
-        # tuning: the AQE rewrite only fires when EVERY post-shuffle build
-        # partition is under the threshold (env-tunable; sized to the
-        # per-task memory budget on a real cluster — 64 MB is conservative
-        # for multi-GB executors), and skew-join splitting stays on above
-        # it. Measured at sf0.1: -15-25% on the join-heavy TPC-H shapes
-        # (q05/q07/q08/q09/q18), results bit-identical (execution strategy
-        # only).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Joins (r12→r13, guide §3.1): allow SHUFFLED HASH JOIN instead of
+        # sort-merge when the per-partition build side fits — skips two
+        # sorts per join. Two separate switches, both env-parameterized:
+        #
+        # - The AQE rewrite (maxShuffledHashJoinLocalMapThreshold) is
+        #   size-guarded at RUNTIME: it only fires when every post-shuffle
+        #   build partition is under the threshold (sized to the per-task
+        #   memory budget on a real cluster — 64 MB is conservative for
+        #   multi-GB executors), and skew-join splitting stays on above it.
+        # - preferSortMergeJoin=false additionally opens the STATIC
+        #   planner's SHJ path (canBuildLocalHashMap — driven by
+        #   pre-execution size ESTIMATES, not runtime sizes; ADVICE r12).
+        #   SHJ builds are non-spillable, so a badly mis-estimated build
+        #   side can OOM an executor on a real cluster; set
+        #   SPARK_GRAFT_PREFER_SMJ=true to keep the static preference for
+        #   sort-merge and rely only on the size-guarded AQE rewrite.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64MB"),
