@@ -131,8 +131,10 @@ def bpe_train(
         # (r12, guide §1.2).
         tok = tok.localCheckpoint(eager=False)
 
-    merges_df = spark.createDataFrame(
-        merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
+    from lithops_dataframe_spark.operators.util import values_frame
+
+    merges_df = values_frame(
+        spark, merges, "step int, left_sym string, right_sym string, merged string, pair_count bigint"
     )
     if return_tokens:
         return merges_df, tok

@@ -183,4 +183,6 @@ def lr_train_features(
         + ", ".join(f"w{j} double" for j in range(N_FEATURES))
         + ", n_correct bigint"
     )
-    return spark.createDataFrame(rows, schema)
+    from lithops_dataframe_spark.operators.util import values_frame
+
+    return values_frame(spark, rows, schema)

@@ -38,10 +38,13 @@ def assign_cells(df: DataFrame, centroids: list[list[float]], *, emb_col: str = 
     single `transform` lambda; `array_position(d, array_min(d))` returns
     the FIRST minimal index — exactly the lowest-cell-id tie break.
     """
+    from lithops_dataframe_spark.operators.util import matrix_sql, one_row_frame
+
     spark = df.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame([(centroids,)], "__cents: array<array<double>>")
-    )
+    # one-row literal frame: zero tasks per broadcast build (r13; the
+    # createDataFrame form cost ~0.27 s of pickled-task scheduling per
+    # materialization — per k-means ITERATION on this path)
+    cents = F.broadcast(one_row_frame(spark, __cents=matrix_sql(centroids)))
     scored = df.crossJoin(cents).withColumn(
         "__d",
         F.transform(

@@ -127,6 +127,8 @@ def pca_power_iteration(
         v_micro = ",".join(str(int(round(c * 1e6))) for c in v)
         out_rows.append((it, lam, float(row["ve"]), v_micro))
 
-    return spark.createDataFrame(
-        out_rows, "iter int, lam double, var_explained double, v_micro string"
+    from lithops_dataframe_spark.operators.util import values_frame
+
+    return values_frame(
+        spark, out_rows, "iter int, lam double, var_explained double, v_micro string"
     )

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lithops_dataframe_spark.operators.util import empty_frame, values_frame
+
 
 def systematic_weighted_sample(
     df: DataFrame,
@@ -46,8 +48,8 @@ def systematic_weighted_sample(
     )
     total = base.agg(F.sum("w").alias("W")).collect()[0]["W"]
     if not total:  # empty input / all-zero weights: nothing to pick
-        return df.sparkSession.createDataFrame(
-            [], "id long, w long, c_incl long, n_picks long"
+        return empty_frame(
+            df.sparkSession, "id long, w long, c_incl long, n_picks long"
         )
     step = max(1, int(total) // k)
 
@@ -191,8 +193,8 @@ def weighted_interleave_epoch(
     wts = counts.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
     total_w = wts.agg(F.sum("w").alias("tw")).collect()[0]["tw"]
     if not total_w:  # empty corpus: an empty epoch, not a TypeError
-        return df.sparkSession.createDataFrame(
-            [], "id long, source string, r long, epoch_pos long"
+        return empty_frame(
+            df.sparkSession, "id long, source string, r long, epoch_pos long"
         )
     quotas = wts.select(
         "source",
@@ -329,8 +331,8 @@ def multi_epoch_interleave(
     base = df.select(F.col(source_col).alias("source"), F.col(id_col).alias("id"))
     counts = base.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     ntab = {row["source"]: int(row["n"]) for row in counts.collect()}
-    empty = df.sparkSession.createDataFrame(
-        [], "epoch int, id long, source string, sel_rank long, epoch_pos long"
+    empty = empty_frame(
+        df.sparkSession, "epoch int, id long, source string, sel_rank long, epoch_pos long"
     )
     if not ntab:  # empty corpus: an empty schedule, not a ZeroDivisionError
         return empty
@@ -381,7 +383,8 @@ def multi_epoch_interleave(
         if not ktab:
             continue
         qdf = F.broadcast(
-            df.sparkSession.createDataFrame(
+            values_frame(
+                df.sparkSession,
                 [(s, k, offsets[e][s], ntab[s]) for s, k in ktab],
                 "source string, k long, c long, n long",
             )

@@ -192,9 +192,15 @@ def with_buckets(df: DataFrame, emb_col: str) -> DataFrame:
     analysis/codegen drops ~2× (measured 1.39 s → 0.82 s warm per bucket
     pass at sf0.1 — pure driver overhead, matters per query not per row).
     """
+    from lithops_dataframe_spark.operators.util import matrix_sql, one_row_frame
+
     spark = df.sparkSession
     flat = [HYPERPLANES[t][p] for t in range(N_TABLES) for p in range(N_PLANES)]
-    planes = F.broadcast(spark.createDataFrame([(flat,)], "__planes: array<array<double>>"))
+    # one-row literal frame over OneRowRelation (r13, util.py note): the
+    # createDataFrame form scheduled a defaultParallelism wave of pickled
+    # Python tasks per broadcast build (~0.27 s each, sf-independent);
+    # the SQL double literals round-trip bit-identically (verified).
+    planes = F.broadcast(one_row_frame(spark, __planes=matrix_sql(flat)))
     # The dot fold and the per-table sign-bit keys are built as ONE SQL
     # expression string each: the equivalent Column-object formulation is
     # ~1,000 py4j round-trips (each F.when/element_at/lit is a JVM call),
@@ -436,9 +442,13 @@ def ivf_topk(
         )
         cent_mat = [[float(v) for v in r["cent"]] for r in cent_rows]
         cell_ids = [int(r["cell_id"]) for r in cent_rows]
+    from lithops_dataframe_spark.operators.util import matrix_sql, one_row_frame
+
     cframe = F.broadcast(
-        spark.createDataFrame(
-            [(cent_mat, cell_ids)], "__cents: array<array<double>>, __cids: array<int>"
+        one_row_frame(
+            spark,
+            __cents=matrix_sql(cent_mat),
+            __cids="CAST(array(" + ",".join(str(int(c)) for c in cell_ids) + ") AS array<int>)",
         )
     )
 

@@ -41,6 +41,77 @@ def _estimated_splits(df: DataFrame) -> int | None:
     return splits
 
 
+# --- literal frames without RDD parallelize (r13, guide §4/§1.2) ---
+#
+# ``spark.createDataFrame(small_python_list)`` builds its plan over a
+# parallelized RDD: EVERY materialization (and every broadcast build that
+# embeds it) schedules a wave of defaultParallelism pickled Python tasks.
+# Measured at local[32], sf-independent: ~0.27 s per materialization for
+# a one-row hyperplane frame, ~0.21 s for a 32-row tuple frame — pure
+# scheduling overhead (the empty case measured 6-12 s in r12, fixed by
+# empty_frame). The SQL-literal forms below plan as OneRowRelation /
+# LocalRelation: ZERO tasks, ~0.02-0.16 s, and float literals rendered
+# with repr() + the 'D' (DOUBLE) suffix round-trip bit-identically
+# (verified: struct.pack equality against the createDataFrame path).
+
+
+def sql_scalar_literal(v) -> str:
+    """Render a Python scalar as a Spark SQL literal (None/bool/int/
+    float/str). Floats get the D suffix — an undecorated 0.1 parses as
+    DECIMAL and casts to a DIFFERENT double."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        return repr(v) + "D"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
+    raise TypeError(f"unsupported literal type: {type(v)}")
+
+
+def doubles_sql(vals) -> str:
+    """array(x1D, x2D, ...) — a double-array literal."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def matrix_sql(mat) -> str:
+    """array(array(...), ...) — a double-matrix literal."""
+    return "array(" + ",".join(doubles_sql(row) for row in mat) + ")"
+
+
+def one_row_frame(spark, **named_sql: str) -> DataFrame:
+    """One-row DataFrame of SQL literal expressions over OneRowRelation
+    (``SELECT <expr> AS <name>``): zero tasks per materialization."""
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in named_sql.items())
+    return spark.sql(f"SELECT {cols}")
+
+
+def values_frame(spark, rows, schema) -> DataFrame:
+    """Small literal DataFrame via ``VALUES`` (LocalRelation) with every
+    column cast to the DDL ``schema`` types — the zero-task drop-in for
+    ``spark.createDataFrame(rows, schema)`` on driver-computed results
+    (bounded: literal SQL text; keep it to ≲ thousands of rows)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = schema if not isinstance(schema, str) else _parse_datatype_string(schema)
+    if not rows:
+        return empty_frame(spark, sch)
+    rendered = ",".join(
+        "(" + ",".join(sql_scalar_literal(v) for v in row) + ")" for row in rows
+    )
+    casts = ", ".join(
+        f"CAST(c{i} AS {f.dataType.simpleString()}) AS {f.name}"
+        for i, f in enumerate(sch.fields)
+    )
+    anon = ", ".join(f"c{i}" for i in range(len(sch.fields)))
+    return spark.sql(f"SELECT {casts} FROM VALUES {rendered} AS __v({anon})")
+
+
 def estimated_input_bytes(df: DataFrame) -> int | None:
     """Total bytes of the plan's file-scan inputs, from the analysis-phase
     file listing (no job). None when the lineage is not a plain local
@@ -85,26 +156,25 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 def empty_frame(spark, schema) -> DataFrame:
-    """A zero-row DataFrame with ``schema``, built as a LIMIT-0 projection
-    over ``range(0)`` instead of ``spark.createDataFrame([], schema)``.
+    """A zero-row DataFrame with ``schema``, built over ``emptyRDD()``
+    instead of ``spark.createDataFrame([], schema)``.
 
-    The createDataFrame path parallelizes an empty Python list into a
-    defaultParallelism-partition RDD whose every action schedules a full
-    wave of empty pickled tasks — measured 6-12 s per materialization at
-    local[32] (r12). The range(0) form is a plain relational leaf: zero
-    tasks, sub-second, same schema, same NULL typing. Used on the hot
+    The empty-LIST path parallelizes into a defaultParallelism-partition
+    RDD whose every action schedules a full wave of empty pickled tasks —
+    measured 6-12 s per materialization at local[32] (r12). An emptyRDD
+    has ZERO partitions: actions schedule no tasks (~0.1 s, same as the
+    r12 range(0) form) and — unlike the r12 ``lit(NULL) cast`` projection,
+    which silently widened every field to nullable (ADVICE r12) — the
+    schema's nullability flags are preserved EXACTLY. Used on the hot
     streaming paths (first-epoch index reads, empty micro-batch staging)
-    where the empty frame is materialized once per epoch."""
-    from pyspark.sql import functions as F
-
+    where the empty frame is materialized once per epoch; parquet writes
+    of it still emit one zero-row part file (verified r13)."""
     sch = schema if not isinstance(schema, str) else None
     if sch is None:
         from pyspark.sql.types import _parse_datatype_string
 
         sch = _parse_datatype_string(schema)
-    return spark.range(0).select(
-        *[F.lit(None).cast(f.dataType).alias(f.name) for f in sch.fields]
-    )
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), sch)
 
 
 # --- non-finite double policy (r12 edge class) ---

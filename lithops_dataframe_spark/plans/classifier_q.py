@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators.util import values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 _EPOCHS = 6
@@ -515,7 +516,8 @@ def split_temporal_cv_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
-    folds = spark.createDataFrame(
+    folds = values_frame(
+        spark,
         [(k, b, e) for k, (b, e) in enumerate(_TCV_FOLDS, start=1)],
         "fold int, b string, e string",
     ).select(

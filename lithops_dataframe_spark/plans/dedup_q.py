@@ -16,6 +16,7 @@ from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import hashing as H
 from lithops_dataframe_spark.operators import dedup as D
 from lithops_dataframe_spark.operators import similarity as SIM
+from lithops_dataframe_spark.operators.util import values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 _SHINGLES = H.word_shingles_sql("text", 2)
@@ -338,8 +339,8 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     if mx is None:  # empty corpus: nothing to stream, empty decisions
-        return spark.createDataFrame(
-            [], "doc_id long, n_prior_dups long, keep int, batch_no long"
+        return values_frame(
+            spark, [], "doc_id long, n_prior_dups long, keep int, batch_no long"
         )
     # Same clamped formula as the oracle's batch_no — and the staged file
     # order (b0 < b1 < b2 by mtime) equals batch_no order. Shared helper:
@@ -391,7 +392,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(rows, schema)
+        return values_frame(spark, rows, schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import text as TX
+from lithops_dataframe_spark.operators.util import values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 _DQ_ORACLE = """
@@ -702,7 +703,8 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("event_id")).collect()[0][0]
     if mx is None:  # empty events: nothing to monitor
-        return spark.createDataFrame(
+        return values_frame(
+            spark,
             [],
             "batch_no long, event_type string, n_a long, n_b long,"
             " ks_num long, ks_micros long",
@@ -758,7 +760,8 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
+        return values_frame(
+            spark,
             rows,
             "batch_no long, event_type string, n_a long, n_b long,"
             " ks_num long, ks_micros long",

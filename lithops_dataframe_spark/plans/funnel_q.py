@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators.util import values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 _FUNNEL_ORACLE = """
@@ -94,7 +95,7 @@ def events_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (LocalTableScan), not a distinct over the data: gapfill's contract
     # is "emit the buckets you expect", and a data-derived distinct would
     # silently drop a type that produced no events at all
-    types = spark.createDataFrame([("purchase",), ("signup",)], "event_type string")
+    types = values_frame(spark, [("purchase",), ("signup",)], "event_type string")
     spine = days.crossJoin(F.broadcast(types))
     return spine.join(daily, ["day", "event_type"], "left").select(
         "day",

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators.joins import asof_join, interval_overlap_join, range_join
+from lithops_dataframe_spark.operators.util import values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 
@@ -230,7 +231,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
-    bands = events.sparkSession.createDataFrame(
+    bands = values_frame(
+        events.sparkSession,
         [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 100.0), (3, 100.0, 1000.0)],
         "band_id INT, lo DOUBLE, hi DOUBLE",
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators import multimodal as M
+from lithops_dataframe_spark.operators.util import values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 # media_type by the NON-NEGATIVE residue of doc_id mod 3 (matches the
@@ -218,7 +219,8 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted near-identical payloads (see _PLANTED) so the driver's value
     hash covers real pairs, not an empty result."""
     media = _media(spark, sf_dir).select("doc_id", "media_type", "payload")
-    planted = spark.createDataFrame(
+    planted = values_frame(
+        spark,
         [(i, "image", bytearray(t.encode("utf-8"))) for i, t in _PLANTED],
         "doc_id long, media_type string, payload binary",
     )

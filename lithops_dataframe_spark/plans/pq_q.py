@@ -24,6 +24,7 @@ from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.operators.clustering import assign_cells, kmeans_fit
 from lithops_dataframe_spark.plans.kmeans_q import replay_ctes
 from lithops_dataframe_spark.operators import similarity as S
+from lithops_dataframe_spark.operators import util as U
 from lithops_dataframe_spark.plans.registry import register
 
 _M = 4  # subspaces
@@ -127,7 +128,7 @@ def _pq_codes(emb: DataFrame, books, *, with_dist: bool = False) -> DataFrame:
     bit-identical, so the PQ oracles are untouched."""
     spark = emb.sparkSession
     cb = F.broadcast(
-        spark.createDataFrame([(books,)], "__allcb: array<array<array<double>>>")
+        U.one_row_frame(spark, __allcb="array(" + ",".join(U.matrix_sql(m) for m in books) + ")")
     )
     out = emb.select(F.col("vec_id").alias("id"), "embedding").crossJoin(cb)
     for m in range(_M):
@@ -230,7 +231,7 @@ def sim_adc_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # one broadcast frame carries all M codebooks (M×k×sub_dim doubles)
     cb = F.broadcast(
-        spark.createDataFrame([(books,)], "__cb: array<array<array<double>>>")
+        U.one_row_frame(spark, __cb="array(" + ",".join(U.matrix_sql(m) for m in books) + ")")
     )
     q = emb.filter(F.col("vec_id") < _N_Q).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -381,7 +382,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb_col="emb",
     ).select("id", "cell")
     cframe = F.broadcast(
-        spark.createDataFrame([(coarse,)], "__kc: array<array<double>>")
+        U.one_row_frame(spark, __kc=U.matrix_sql(coarse))
     )
     qp = (
         emb.filter(F.col("vec_id") < _N_Q)
@@ -416,7 +417,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_codes(emb, books)
 
     cb = F.broadcast(
-        spark.createDataFrame([(books,)], "__cb: array<array<array<double>>>")
+        U.one_row_frame(spark, __cb="array(" + ",".join(U.matrix_sql(m) for m in books) + ")")
     )
     qt = emb.filter(F.col("vec_id") < _N_Q).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
+from lithops_dataframe_spark.operators.util import values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 _COOC_TOPK = 20
@@ -396,7 +397,8 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = 1000 * q + Fraction(1, 2)
         return num.numerator // num.denominator
 
-    return spark.createDataFrame(
+    return values_frame(
+        spark,
         [(b, total[b], wins[b], _permille(p[b])) for b in brands],
         "brand string, games long, wins long, bt_permille long",
     )

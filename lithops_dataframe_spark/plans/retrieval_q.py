@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lithops_dataframe_spark.catalog import load_table
-from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.operators.util import ensure_parallelism, values_frame
 from lithops_dataframe_spark.operators import similarity as S
 from lithops_dataframe_spark.plans.registry import register
 
@@ -92,8 +92,8 @@ def _bm25_ranked(spark: SparkSession, docs: DataFrame, topk: int) -> DataFrame:
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    q = spark.createDataFrame(
-        [(qid, t) for qid, terms in _QUERIES for t in terms], "query_id int, token string"
+    q = values_frame(
+        spark, [(qid, t) for qid, terms in _QUERIES for t in terms], "query_id int, token string"
     )
     hits = (
         F.broadcast(q)
@@ -361,7 +361,8 @@ def retrieval_rerank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = cache.persist_tracked(fused.select("query_id", "doc_id", "rrf_micro"))
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    q = spark.createDataFrame(
+    q = values_frame(
+        spark,
         [(qid, t) for qid, terms in _QUERIES for t in terms],
         "query_id int, token string",
     )

@@ -27,7 +27,7 @@ from lithops_dataframe_spark.catalog import load_table
 from lithops_dataframe_spark.functions import hashing as H
 from lithops_dataframe_spark.functions import text as T
 from lithops_dataframe_spark.operators import sampling as SA
-from lithops_dataframe_spark.operators.util import ensure_parallelism
+from lithops_dataframe_spark.operators.util import ensure_parallelism, values_frame
 from lithops_dataframe_spark.plans.registry import register
 
 
@@ -975,8 +975,8 @@ def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     if mx is None:  # empty corpus: an empty reservoir
-        return spark.createDataFrame(
-            [], "doc_id long, source string, w long, res_key double"
+        return values_frame(
+            spark, [], "doc_id long, source string, w long, res_key double"
         )
     # Clamped into [0, 2] so a negative doc_id lands in the first batch
     # instead of vanishing from the stream (shared helper — see
@@ -1017,8 +1017,8 @@ def stream_incremental_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-        return spark.createDataFrame(
-            rows, "doc_id long, source string, w long, res_key double"
+        return values_frame(
+            spark, rows, "doc_id long, source string, w long, res_key double"
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -62,12 +62,18 @@ def get_spark(app_name: str = "lithops_dataframe_spark", *, shuffle_partitions: 
         #   planner's SHJ path (canBuildLocalHashMap — driven by
         #   pre-execution size ESTIMATES, not runtime sizes; ADVICE r12).
         #   SHJ builds are non-spillable, so a badly mis-estimated build
-        #   side can OOM an executor on a real cluster; set
-        #   SPARK_GRAFT_PREFER_SMJ=true to keep the static preference for
-        #   sort-merge and rely only on the size-guarded AQE rewrite.
+        #   side can OOM an executor on a real cluster. r13 cold-process
+        #   interleaved A/B (plans/r13/tpch_cold_ab{32,8}.jsonl — 12+6
+        #   fresh JVMs, legs interleaved): static-SHJ vs AQE-only vs
+        #   no-SHJ medians 13.84/13.93/13.74 s at 32 cores and
+        #   11.90/12.45/13.05 at 8 — the r12 same-session win does NOT
+        #   reproduce cold; all legs are within host noise. The static
+        #   path is therefore DEFAULT-OFF (VERDICT r12 item 7): keep the
+        #   estimate-risk out, rely on the runtime-guarded AQE rewrite.
+        #   SPARK_GRAFT_PREFER_SMJ=false re-enables the static path.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",

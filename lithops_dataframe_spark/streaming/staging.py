@@ -26,7 +26,14 @@ def stage_microbatches(
     """Write ``df`` filtered by ``batch_expr == b`` (b = 0..n-1) to
     ``replay_dir/b<b>.parquet``, one single-part file per batch, with
     mtimes pinned ascending so the file stream consumes them in batch
-    order. Returns the file paths. An empty batch still produces a
+    order. Returns the file paths.
+
+    Contract note (ADVICE r12): row order INSIDE each staged file is not
+    the source order — the one-pass partitionBy write shuffles on the
+    batch key, so rows land in hash-task order. Every consumer here is
+    order-insensitive (aggregates / joins / set ops per epoch); a future
+    order-sensitive replay consumer must add sortWithinPartitions on a
+    stable key before the write. An empty batch still produces a
     (zero-row) file — its epoch fires with an empty frame, which the
     step functions must handle (and their tests pin)."""
     os.makedirs(replay_dir, exist_ok=True)
